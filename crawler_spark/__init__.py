@@ -1,0 +1,23 @@
+"""crawler_spark — a PySpark-native distributed crawl + web-text analytics engine.
+
+A from-scratch re-build (NOT a port) of the capabilities of the reference
+crawler (`xupit3r/crawler`, TypeScript + MongoDB + puppeteer) as an idiomatic
+Spark engine:
+
+- URL frontier + fetch scheduler as a round-synchronous BFS driver loop over
+  partitioned tables (``crawler_spark.crawl``),
+- a partitioned bloom-filter URL-seen set (``crawler_spark.operators.seen``),
+- per-host politeness budgets, cooldowns and robots.txt as broadcast
+  rule maps (``crawler_spark.crawl.frontier``),
+- cheerio-parity link discovery + text extraction as vectorized Arrow/pandas
+  UDFs (``crawler_spark.functions.html``),
+- the reference's text-analytics tier (sentiment/TF/trigrams/tags/summary)
+  (``crawler_spark.analytics``),
+- large-scale training-data ops: dedup (exact/minhash/simhash), similarity
+  search, text quality, multimodal plumbing (``crawler_spark.operators``).
+
+All per-row logic is vectorized pandas/Arrow UDFs — no row-at-a-time Python
+UDFs anywhere in the hot path.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,269 @@
+"""HTML link-discovery + text-extraction kernels.
+
+Replaces the reference's browser-side extraction with pure parsing:
+
+- ``extract_links`` replaces puppeteer's ``$$eval('a', …​ a.href)``
+  (reference ``src/lib/page.ts:90``) + ``prepareLinks``
+  (``page.ts:121-128``): anchors in document order, hrefs resolved against
+  the page URL (what the browser's ``a.href`` getter does), filtered by
+  ``hasProto`` and canonicalized via ``normalizeUrl``.
+- ``extract_text`` replicates the cheerio pipeline (reference
+  ``src/lib/text.ts:46-81``):
+
+  1. remove ``header,footer,pre,h1..h6`` subtrees from body
+     (``text.ts:50``);
+  2. select ``body p:not(:has(p,div)), body div:not(:has(div))`` in
+     document order (``text.ts:52``);
+  3. per element: concatenated descendant text (cheerio ``.text()`` — no
+     separator injected between nodes) → ``cleanText`` (``text.ts:55``);
+  4. keep blocks whose ``split(/\\s/)`` length > 1 (``text.ts:57-62``);
+  5. dedupe by exact text, first-occurrence order preserved
+     (``text.ts:30-38, 65`` — JS object key-order semantics);
+  6. trim (``text.ts:69-73``).
+
+The parser is a small spec-leaning DOM built on ``html.parser`` with void
+elements and the HTML5 ``<p>`` auto-close rule (cheerio uses parse5, which
+is spec-compliant — ``<p>a<div>b</div>`` parses as sibling p + div, which
+changes ``:has(div)`` outcomes; we replicate that).
+
+These kernels run inside Arrow-batched pandas UDFs (``mapInPandas`` /
+scalar pandas UDF) — batch-at-a-time transfer, parsing inherently
+per-document. The same kernels are called serially by the golden oracle, so
+distributed output is byte-identical to the oracle by construction.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.functions.textops import clean_text
+from crawler_spark.functions.urls import get_hostname, normalize_url
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# HTML5: these start tags implicitly close an open <p>.
+_P_CLOSERS = frozenset(
+    """address article aside blockquote details div dl fieldset figcaption
+    figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main menu nav ol
+    p pre section table ul""".split()
+)
+REMOVE_TAGS = frozenset(["header", "footer", "pre", "h1", "h2", "h3", "h4", "h5", "h6"])
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list["_Node | str"] = []
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack: list[_Node] = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        tag = tag.lower()
+        if tag in _P_CLOSERS:
+            # implicit </p>
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    break
+                if t not in ("a", "b", "i", "u", "em", "strong", "span", "small"):
+                    break
+        node = _Node(tag, {k: (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.stack[-1].children.append(
+            _Node(tag.lower(), {k: (v or "") for k, v in attrs})
+        )
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray </p> creates an implied empty <p> (spec behavior parse5 has)
+        if tag == "p":
+            self.stack[-1].children.append(_Node("p"))
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> _Node:
+    b = _DomBuilder()
+    try:
+        b.feed(html)
+        b.close()
+    except Exception:  # noqa: BLE001 — lenient parse, mirror cheerio
+        pass
+    return b.root
+
+
+def _find_first(node: _Node, tag: str) -> _Node | None:
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.tag == tag:
+                return child
+            found = _find_first(child, tag)
+            if found is not None:
+                return found
+    return None
+
+
+def _iter_elements(node: _Node) -> Iterator[_Node]:
+    """Pre-order (document order) element traversal."""
+    for child in node.children:
+        if isinstance(child, _Node):
+            yield child
+            yield from _iter_elements(child)
+
+
+def _has_descendant(node: _Node, tags: frozenset[str]) -> bool:
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.tag in tags or _has_descendant(child, tags):
+                return True
+    return False
+
+
+def _node_text(node: _Node, out: list[str]) -> None:
+    for child in node.children:
+        if isinstance(child, str):
+            out.append(child)
+        else:
+            _node_text(child, out)
+
+
+def node_text(node: _Node) -> str:
+    """cheerio ``$(el).text()``: descendant text concatenated, no separators."""
+    out: list[str] = []
+    _node_text(node, out)
+    return "".join(out)
+
+
+def _strip_removed(node: _Node) -> None:
+    node.children = [
+        c
+        for c in node.children
+        if not (isinstance(c, _Node) and c.tag in REMOVE_TAGS)
+    ]
+    for c in node.children:
+        if isinstance(c, _Node):
+            _strip_removed(c)
+
+
+_HAS_P_DIV = frozenset(["p", "div"])
+_HAS_DIV = frozenset(["div"])
+
+
+def extract_text_blocks(html: str) -> list[str]:
+    """Reference ``extractText`` (``text.ts:46-81``): ordered, deduped blocks."""
+    try:
+        root = parse_html(html)
+        body = _find_first(root, "body") or root
+        _strip_removed(body)
+        blocks: list[str] = []
+        for el in _iter_elements(body):
+            if el.tag == "p" and not _has_descendant(el, _HAS_P_DIV):
+                blocks.append(clean_text(node_text(el)))
+            elif el.tag == "div" and not _has_descendant(el, _HAS_DIV):
+                blocks.append(clean_text(node_text(el)))
+        # split(/\s/).length > 1 (text.ts:57-62)
+        kept = [b for b in blocks if len(b.split(" ")) > 1]
+        # dedupe, first-occurrence order (text.ts:30-38)
+        seen: dict[str, None] = {}
+        for b in kept:
+            seen.setdefault(b, None)
+        return [b.strip() for b in seen.keys()]
+    except Exception:  # noqa: BLE001 — reference returns [] on extract failure
+        return []
+
+
+def extract_links_from(html: str, base_url: str) -> list[tuple[str, str, int]]:
+    """Anchors in document order → (canon_url, host, link_pos).
+
+    Mirrors browser ``a.href`` resolution + ``prepareLinks``
+    (``page.ts:121-128``): unresolvable/protocol-less hrefs dropped
+    (``hasProto``), rest canonicalized with fragment stripped. ``link_pos``
+    is the 0-based anchor index among *kept* links — the reference's array
+    order after its filter, which is the crawl-order tiebreak (SURVEY §2.6
+    O1).
+    """
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001
+        return []
+    out: list[tuple[str, str, int]] = []
+    pos = 0
+    for el in _iter_elements(root):
+        if el.tag != "a":
+            continue
+        href = el.attrs.get("href")
+        if href is None:
+            continue
+        canon = normalize_url(href, base_url)
+        if not canon:
+            continue
+        out.append((canon, get_hostname(canon), pos))
+        pos += 1
+    return out
+
+
+# --------------------------------------------------------------------------
+# Vectorized UDFs
+# --------------------------------------------------------------------------
+
+LINK_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("link_pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+def _to_str(html) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+@F.pandas_udf(LINK_STRUCT)
+def extract_links_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_links_from(_to_str(h), b or "") if h is not None else []
+            for h, b in zip(htmls, base_urls)
+        ]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_text_udf(htmls: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_text_blocks(_to_str(h)) if h is not None else [] for h in htmls]
+    )
