@@ -1,0 +1,264 @@
+"""Pure-Python round-synchronous crawl oracle — the executable spec.
+
+Serial, single-threaded implementation of the crawl semantics the Spark
+engine must reproduce EXACTLY (same visit set, same ``(round, seq)``
+ordering, same URL-seen membership, same cooldown behavior). It re-expresses
+the reference's serial FIFO loop (``storage.ts:137-200`` pop order,
+``crawl.ts:41-71`` driver, ``workers/crawler.ts:10-45`` 429 handling,
+``page.ts:136-219`` fetch/extract, ``storage.ts:82-112`` queue update) as
+round-synchronous BFS:
+
+- **Round model.** Round ``r`` schedules, per eligible host, up to
+  ``budget(host)`` frontier URLs in priority order; priority is
+  ``(discovered_round, discovery_seq)`` — FIFO discovery order. With an
+  unlimited budget and no cooldowns this visits URLs in exactly the
+  reference's FIFO ``_id`` order (verified by ``tests/test_crawl_golden.py``
+  against a direct transliteration of the serial loop).
+- **Fetch is simulated**: a lookup into the Common-Crawl-style corpus
+  table. URL missing → error page status -100 (reference ``page.ts:20-27``
+  catch-all). Non-``text/html`` content type → error page with the
+  response status (``okToStoreResponse``, ``utils.ts:73-90``). A
+  ``text/html`` row is processed as a normal page REGARDLESS of status —
+  the reference only checks content-type (``page.ts:76``), so 404/500 HTML
+  pages are crawled; quirk preserved.
+- **429 → cooldown** (``workers/crawler.ts:21-32``): host enters cooldown
+  for ``retry_after`` seconds (default 3600, ``crawler.ts:22-25``) unless
+  already cooling (add-if-absent, ``storage.ts:216``). Wall-clock TTL maps
+  to rounds: ``ceil(retry_after / round_seconds)`` rounds starting at
+  ``r+1``. The 429 URL itself is still consumed (the reference saves an
+  error page and removes it from the queue).
+- **Seen set**: a URL is seen iff it is in ``pages`` (any type, incl.
+  errors) or already in the frontier. The reference allows queue
+  duplicates and purges them on pop (``storage.ts:120-128``); keeping the
+  first-discovery priority is observably identical (SURVEY §2.4 J7).
+- **Supersets** (north rule, absent in reference, flagged): only http(s)
+  URLs enter the frontier; robots.txt allow/deny longest-prefix rules are
+  applied at discovery time; query params are canonical-sorted; per-host
+  budget generalizes the serial pop's ≥1-url spacing.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from crawler_spark.functions.html import extract_links_from
+from crawler_spark.functions.urls import get_hostname, is_fetchable
+
+DEFAULT_COOLDOWN_SECONDS = 3600  # reference workers/crawler.ts:22-25
+
+
+@dataclass
+class CrawlConfig:
+    budgets: dict[str, int] = field(default_factory=dict)  # host -> k, '*' def
+    robots: list[tuple[str, str, bool]] = field(default_factory=list)
+    limit_to: str = ""  # reference crawl.ts:44 limitTo
+    round_seconds: int = 3600  # wall-clock per round, for cooldown TTL→rounds
+    max_rounds: int = 1000
+
+    def budget(self, host: str) -> int:
+        return self.budgets.get(host, self.budgets.get("*", 1 << 30))
+
+    def robots_allowed(self, host: str, path: str) -> bool:
+        """Longest-prefix rule wins; allow wins length ties; default allow."""
+        best_len, best_allow = -1, True
+        for rhost, rule, allow in self.robots:
+            if rhost != host and rhost != "*":
+                continue
+            if path.startswith(rule):
+                if len(rule) > best_len or (len(rule) == best_len and allow):
+                    best_len, best_allow = len(rule), allow
+        return best_allow
+
+
+@dataclass
+class CrawlResult:
+    crawl_order: pd.DataFrame  # round, seq, url, host, status, type
+    seen: pd.DataFrame  # canon_url
+    links: pd.DataFrame  # source, source_host, url, host, link_pos, round
+    cooldown_events: pd.DataFrame  # round, host, expire_round
+    text: pd.DataFrame  # url, text (extracted blocks newline-joined)
+
+
+def _url_path(url: str) -> str:
+    i = url.find("://")
+    if i < 0:
+        return "/"
+    rest = url[i + 3 :]
+    j = rest.find("/")
+    return rest[j:].split("?", 1)[0] if j >= 0 else "/"
+
+
+def crawl_oracle(
+    corpus: pd.DataFrame,
+    seeds: list[str],
+    config: CrawlConfig,
+) -> CrawlResult:
+    """Run the serial round-synchronous crawl over a corpus DataFrame.
+
+    ``corpus`` columns: url (canonical), html (bytes|None), content_type,
+    status, retry_after. ``seeds`` are canonical URLs, priority = list
+    order.
+    """
+    by_url = {
+        r.url: r for r in corpus.itertuples(index=False)
+    }
+
+    # frontier: canon_url -> (disc_round, disc_seq, host)
+    frontier: dict[str, tuple[int, int, str]] = {}
+    pages: dict[str, tuple] = {}  # canon_url -> row already crawled
+    cooldown: dict[str, int] = {}  # host -> last blocked round
+    order_rows: list[tuple] = []
+    link_rows: list[tuple] = []
+    cooldown_rows: list[tuple] = []
+    text_rows: list[tuple] = []
+
+    for i, url in enumerate(seeds):
+        host = get_hostname(url)
+        if not is_fetchable(url):
+            continue
+        if not config.robots_allowed(host, _url_path(url)):
+            continue
+        if config.limit_to and host != config.limit_to:
+            continue
+        frontier.setdefault(url, (-1, i, host))
+
+    for rnd in range(config.max_rounds):
+        if not frontier:
+            break
+        # -- schedule: eligible hosts, per-host budget, priority order ----
+        eligible = [
+            (pr, ps, host, url)
+            for url, (pr, ps, host) in frontier.items()
+            if cooldown.get(host, -1) < rnd
+        ]
+        eligible.sort()  # (disc_round, disc_seq)
+        taken: dict[str, int] = {}
+        scheduled: list[tuple[int, int, str, str]] = []
+        for pr, ps, host, url in eligible:
+            k = taken.get(host, 0)
+            if k >= config.budget(host):
+                continue
+            taken[host] = k + 1
+            scheduled.append((pr, ps, host, url))
+        if not scheduled:
+            # Frontier non-empty but nothing schedulable ⇒ every remaining
+            # host is cooling (filters are applied at insert time, so
+            # cooldown is the only runtime block). Advance the round so the
+            # cooldown can expire; bail if somehow stuck.
+            if any(cooldown.get(h, -1) >= rnd for _, _, h in frontier.values()):
+                continue
+            break
+
+        # -- fetch + extract ---------------------------------------------
+        new_links: list[tuple[int, str, str, str, str, int]] = []
+        for seq, (pr, ps, host, url) in enumerate(scheduled):
+            del frontier[url]
+            row = by_url.get(url)
+            if row is None:
+                ptype, status = "error", -100
+            elif "text/html" not in (row.content_type or ""):
+                ptype, status = "error", int(row.status)
+                if status == 429 and cooldown.get(host, -1) < rnd:
+                    retry = (
+                        int(row.retry_after)
+                        if row.retry_after is not None
+                        and not (
+                            isinstance(row.retry_after, float)
+                            and math.isnan(row.retry_after)
+                        )
+                        else DEFAULT_COOLDOWN_SECONDS
+                    )
+                    n_rounds = max(1, math.ceil(retry / config.round_seconds))
+                    expire = rnd + n_rounds  # blocked while round <= expire
+                    cooldown[host] = expire
+                    cooldown_rows.append((rnd, host, expire))
+            else:
+                ptype, status = "html", int(row.status)
+                html = row.html
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                links = extract_links_from(html or "", url)
+                for link_url, link_host, pos in links:
+                    new_links.append((seq, url, host, link_url, link_host, pos))
+                text_rows.append((url, row.text))
+            pages[url] = (rnd, seq, url, host, status, ptype)
+            order_rows.append((rnd, seq, url, host, status, ptype))
+
+        # -- merge discoveries into frontier ------------------------------
+        disc_seq = 0
+        for seq, src, src_host, link_url, link_host, pos in sorted(
+            new_links, key=lambda t: (t[0], t[5])
+        ):
+            link_rows.append((src, src_host, link_url, link_host, pos, rnd))
+            if not is_fetchable(link_url):
+                continue
+            if config.limit_to and link_host != config.limit_to:
+                continue
+            if not config.robots_allowed(link_host, _url_path(link_url)):
+                continue
+            if link_url in pages or link_url in frontier:
+                continue
+            frontier[link_url] = (rnd, disc_seq, link_host)
+            disc_seq += 1
+
+    return CrawlResult(
+        crawl_order=pd.DataFrame(
+            order_rows,
+            columns=["round", "seq", "url", "host", "status", "type"],
+        ),
+        seen=pd.DataFrame({"canon_url": sorted(pages)}),
+        links=pd.DataFrame(
+            link_rows,
+            columns=["source", "source_host", "url", "host", "link_pos", "round"],
+        ),
+        cooldown_events=pd.DataFrame(
+            cooldown_rows, columns=["round", "host", "expire_round"]
+        ),
+        text=pd.DataFrame(text_rows, columns=["url", "text"]),
+    )
+
+
+def fifo_reference_oracle(
+    corpus: pd.DataFrame,
+    seeds: list[str],
+) -> list[str]:
+    """Direct transliteration of the reference's serial FIFO loop.
+
+    One URL per iteration, queue ordered by insertion ``_id``
+    (``storage.ts:179``), queue-duplicate purge on pop
+    (``storage.ts:120-128``), enqueue filtered only against ``pages``
+    (``storage.ts:90-106``). No cooldown/robots/budget — used to prove the
+    round model's visit ORDER equals the reference's under unlimited
+    budget (tests/test_crawl_golden.py).
+    """
+    by_url = {r.url: r for r in corpus.itertuples(index=False)}
+    queue: list[str] = []
+    pages: set[str] = set()
+    visit_order: list[str] = []
+
+    def enqueue(urls: list[str]) -> None:
+        for u in urls:
+            if u not in pages and is_fetchable(u):
+                queue.append(u)  # duplicates allowed, as in the reference
+
+    enqueue(list(seeds))
+    i = 0
+    while i < len(queue):
+        url = queue[i]
+        i += 1
+        if url in pages:
+            continue  # deleteMany-on-pop purged duplicates
+        pages.add(url)
+        visit_order.append(url)
+        row = by_url.get(url)
+        if row is None or "text/html" not in (row.content_type or ""):
+            continue
+        html = row.html
+        if isinstance(html, (bytes, bytearray)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        links = extract_links_from(html or "", url)
+        enqueue([u for (u, _h, _p) in links])
+    return visit_order
