@@ -1,0 +1,107 @@
+"""Skew-safe per-group top-k and scalable global sequence numbering.
+
+These are the two ordering primitives of the crawl scheduler (SURVEY §2.6
+O1, §2.9 T2) — and generally useful relational operators.
+
+``topk_per_group``
+    The politeness budget: per host, keep the ``k`` highest-priority
+    frontier rows. A plain ``row_number().over(Window.partitionBy(host))``
+    puts an entire hot host in ONE task — the reference corpus
+    deliberately gives one host ~40% of pages, and at 10^10-frontier scale
+    a hot domain can hold billions of rows. We run two phases:
+
+    1. salt each group into ``salt`` shards (``pmod(xxhash64(order key),
+       S)``), rank within ``(group, shard)``, keep ``rank <= k`` — the
+       survivor set per group is ≤ ``S·k`` rows but provably contains the
+       true top-k;
+    2. exact rank within ``group`` over survivors.
+
+    Phase-2 partitions are bounded by ``S·k``, independent of group skew.
+
+``with_global_seq``
+    Deterministic dense 0-based enumeration of ALL rows by a total order —
+    the crawl-order tiebreak. A global ``row_number`` window is a
+    single-partition sort (the classic anti-pattern); instead:
+    range-partition by the order key, count rows per partition (tiny
+    driver-side prefix sum — one long per partition), then local
+    ``row_number`` per partition + broadcast-joined offset. Fully parallel;
+    the result does not depend on partition boundaries, only on the total
+    order, so it is stable under repartitioning/AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    k: int | Column,
+    salt: int = 8,
+) -> DataFrame:
+    """Keep the top-``k`` rows per group under ``order_cols`` (ascending).
+
+    ``k`` may be a literal or a per-row Column (per-host budgets). The order
+    must be total within each group for deterministic output (the crawl
+    priority ``(disc_round, disc_seq)`` is unique). Output keeps input
+    columns plus ``_rank`` (1-based within group).
+    """
+    k_col = F.lit(k) if isinstance(k, int) else k
+    df = df.withColumn("_k", k_col)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    if salt > 1:
+        shard = F.pmod(F.xxhash64(*[c.cast("string") for c in cols]), F.lit(salt))
+        df = df.withColumn("_shard", shard)
+        w1 = Window.partitionBy(*group_cols, "_shard").orderBy(*cols)
+        df = (
+            df.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("_k"))
+            .drop("_r1", "_shard")
+        )
+
+    w2 = Window.partitionBy(*group_cols).orderBy(*cols)
+    return (
+        df.withColumn("_rank", F.row_number().over(w2))
+        .where(F.col("_rank") <= F.col("_k"))
+        .drop("_k")
+    )
+
+
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "seq",
+    num_partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Add a dense global 0-based (plus ``start``) sequence by total order."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    parted = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # one count per partition — tiny driver round-trip, NOT a data collect
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offset_df), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
