@@ -1,0 +1,176 @@
+"""Checkpointed crawl-table store with atomic per-round commits.
+
+Iceberg-style snapshot semantics on plain parquet (the sandbox has no
+Iceberg runtime jar; the layout mirrors what an Iceberg catalog would give
+us and the driver code would swap to ``df.writeTo(table)`` unchanged):
+
+    <root>/
+      pages/round=R/         append-only crawl results (partitioned by round)
+      links/round=R/         append-only discovered-link log
+      discoveries/round=R/   append-only frontier-discovery log
+      frontier/round=R/      frontier snapshot AFTER round R committed
+      cooldown/round=R/      cooldown snapshot after round R
+      bloom/round=R/         bloom seen-set snapshot after round R
+      manifests/round-R.json commit marker — written LAST, atomically
+
+A round is visible iff its manifest exists (rename is atomic on a posix
+fs; object stores would use a conditional put). The manifest carries the
+round metrics and per-partition lineage (files written per table) required
+by the north rule. ``resume_round`` returns the last committed round and
+deletes any orphaned dirs from a crashed round, so re-running a round is
+idempotent — this replaces the reference's ``processing:true`` in-flight
+flags + ``cleanup()`` crash recovery (``storage.ts:182-188, 236-248``).
+
+Scale note: the frontier snapshot is rewritten per round for simplicity
+and fast resume; at 10^10-frontier scale the same store supports
+merge-on-read — ``frontier = discoveries ≤ R anti-join pages ≤ R`` (both
+sides hash-partitioned on ``xxhash64(url)``) — with periodic snapshot
+compaction; ``rebuild_frontier`` implements that path and the resume test
+exercises it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "pages", "links", "discoveries", "frontier", "cooldown", "bloom",
+    "page_text",
+)
+
+PAGES_SCHEMA = "round int, seq long, url string, host string, status int, type string"
+LINKS_SCHEMA = (
+    "round int, source string, source_host string, url string, host string, "
+    "link_pos int"
+)
+DISC_SCHEMA = "disc_round int, disc_seq long, url string, host string"
+COOLDOWN_SCHEMA = "host string, expire_round int"
+PAGE_TEXT_SCHEMA = "round int, url string, text string"
+
+
+class CrawlStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+
+    def table_round_path(self, table: str, rnd: int) -> str:
+        return os.path.join(self.root, table, f"round={rnd}")
+
+    def _manifest_path(self, rnd: int) -> str:
+        return os.path.join(self.root, "manifests", f"round-{rnd}.json")
+
+    # -- commit protocol ----------------------------------------------------
+
+    def write_round_table(self, table: str, rnd: int, df: DataFrame) -> list[str]:
+        """Write one round partition; returns file lineage."""
+        path = self.table_round_path(table, rnd)
+        df.write.mode("overwrite").parquet(path)
+        return sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
+    def commit_round(self, rnd: int, metrics: dict[str, Any],
+                     lineage: dict[str, list[str]]) -> None:
+        """Write the manifest LAST — the atomic commit point."""
+        manifest = {
+            "round": rnd,
+            "committed_at": time.time(),
+            "metrics": metrics,
+            "lineage": lineage,
+        }
+        tmp = self._manifest_path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(rnd))
+
+    def committed_rounds(self) -> list[int]:
+        mdir = os.path.join(self.root, "manifests")
+        out = []
+        for name in os.listdir(mdir):
+            if name.startswith("round-") and name.endswith(".json"):
+                out.append(int(name[len("round-") : -len(".json")]))
+        return sorted(out)
+
+    def read_manifest(self, rnd: int) -> dict[str, Any]:
+        with open(self._manifest_path(rnd)) as f:
+            return json.load(f)
+
+    def resume_round(self) -> int | None:
+        """Last committed round; removes orphans from a crashed round."""
+        rounds = self.committed_rounds()
+        last = rounds[-1] if rounds else None
+        # clean any table dir for an uncommitted round (crash mid-write)
+        for table in TABLES:
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                if not name.startswith("round="):
+                    continue
+                r = int(name.split("=", 1)[1])
+                if last is None or r > last:
+                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        return last
+
+    # -- reads ----------------------------------------------------------------
+
+    def _read_all(self, table: str, schema: str) -> DataFrame:
+        """Read every committed round partition with an explicit schema.
+
+        The partition dir ``round=R`` supplies the ``round`` column; the
+        explicit schema keeps empty round partitions (a round that
+        discovered nothing) readable.
+        """
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir) or not any(
+            n.startswith("round=") for n in os.listdir(tdir)
+        ):
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", tdir)
+            .parquet(tdir)
+        )
+
+    def read_pages(self) -> DataFrame:
+        return self._read_all("pages", PAGES_SCHEMA)
+
+    def read_links(self) -> DataFrame:
+        return self._read_all("links", LINKS_SCHEMA)
+
+    def read_discoveries(self) -> DataFrame:
+        return self._read_all("discoveries", DISC_SCHEMA + ", round int").drop(
+            "round"
+        )
+
+    def read_snapshot(self, table: str, rnd: int, schema: str) -> DataFrame:
+        path = self.table_round_path(table, rnd)
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def rebuild_frontier(self, upto_round: int) -> DataFrame:
+        """Merge-on-read frontier: discoveries minus crawled pages.
+
+        The scale path — equivalent to the ``frontier/round=R`` snapshot
+        (asserted by tests/test_resume.py) without rewriting the frontier
+        each round.
+        """
+        disc = self.read_discoveries()
+        pages = self.read_pages().where(F.col("round") <= upto_round)
+        return disc.join(pages.select("url"), "url", "left_anti").select(
+            "disc_round", "disc_seq", "url", "host"
+        )
+
+    def read_page_text(self) -> DataFrame:
+        return self._read_all("page_text", PAGE_TEXT_SCHEMA)

@@ -1,0 +1,149 @@
+"""Golden end-to-end crawl tests: Spark engine ≡ pure-Python oracle.
+
+Implements the north-rule correctness gate: same crawl ordering, same
+URL-seen set, same cooldown behavior, and byte-identical extracted text per
+url, under an identical seed list + politeness budget (SURVEY.md §5.2).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from crawler_spark.crawl.driver import run_crawl
+from crawler_spark.crawl.store import CrawlStore
+from crawler_spark.fixtures.webgen import generate
+from crawler_spark.oracle.crawloracle import (
+    CrawlConfig,
+    crawl_oracle,
+    fifo_reference_oracle,
+)
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("retry_after", T.IntegerType()),
+    ]
+)
+
+
+def _to_spark_corpus(spark, pages: pd.DataFrame):
+    pdf = pages.copy()
+    pdf["retry_after"] = pdf["retry_after"].astype(object).where(
+        pdf["retry_after"].notna(), None
+    )
+    return spark.createDataFrame(pdf, CORPUS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def small_web():
+    return generate(seed=7, n_pages=120)
+
+
+@pytest.fixture(scope="module")
+def crawl_outputs(spark, small_web, tmp_path_factory):
+    w = small_web
+    cfg = CrawlConfig(
+        budgets={r.host: int(r.budget_per_round) for r in w.politeness.itertuples()},
+        robots=[(r.host, r.rule, bool(r.allow)) for r in w.robots.itertuples()],
+        max_rounds=60,
+    )
+    seeds = w.seeds.url.tolist()
+    oracle = crawl_oracle(w.pages, seeds, cfg)
+
+    root = str(tmp_path_factory.mktemp("crawlstore"))
+    corpus = _to_spark_corpus(spark, w.pages)
+    stats = run_crawl(spark, corpus, seeds, cfg, root, bloom_buckets=8,
+                      bloom_bits=1 << 16)
+    store = CrawlStore(spark, root)
+    return w, cfg, oracle, store, stats
+
+
+def test_crawl_order_exact(crawl_outputs):
+    _w, _cfg, oracle, store, _stats = crawl_outputs
+    got = (
+        store.read_pages()
+        .toPandas()
+        .sort_values(["round", "seq"])
+        .reset_index(drop=True)
+    )
+    want = oracle.crawl_order.sort_values(["round", "seq"]).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    got_t = list(map(tuple, got[cols].itertuples(index=False)))
+    want_t = list(map(tuple, want[cols].itertuples(index=False)))
+    assert got_t == want_t
+
+
+def test_seen_set_exact(crawl_outputs):
+    _w, _cfg, oracle, store, _stats = crawl_outputs
+    got = sorted(r["url"] for r in store.read_pages().select("url").collect())
+    assert got == oracle.seen.canon_url.tolist()
+
+
+def test_links_table_exact(crawl_outputs):
+    _w, _cfg, oracle, store, _stats = crawl_outputs
+    got = store.read_links().toPandas()
+    cols = ["round", "source", "source_host", "url", "host", "link_pos"]
+    got_set = sorted(map(tuple, got[cols].itertuples(index=False)))
+    want_set = sorted(map(tuple, oracle.links[cols].itertuples(index=False)))
+    assert got_set == want_set
+
+
+def test_cooldown_events_exact(crawl_outputs):
+    _w, _cfg, oracle, store, _stats = crawl_outputs
+    got = []
+    for rnd in store.committed_rounds():
+        m = store.read_manifest(rnd)
+        for h, e in m["metrics"]["cooldown_events"]:
+            got.append((rnd, h, e))
+    want = sorted(map(tuple, oracle.cooldown_events.itertuples(index=False)))
+    assert sorted(got) == want
+
+
+def test_extracted_text_byte_identical(crawl_outputs):
+    """The per-row invariant from BASELINE.json:input_hint."""
+    w, _cfg, oracle, store, _stats = crawl_outputs
+    got = {
+        r["url"]: r["text"] for r in store.read_page_text().collect()
+    }
+    # vs oracle (engine pipeline parity)
+    want = dict(zip(oracle.text.url, oracle.text.text))
+    assert got == want
+    # vs the corpus golden text column (generator-time extraction parity)
+    golden = dict(zip(w.pages.url, w.pages.text))
+    for url, text in got.items():
+        assert text == golden[url], url
+
+
+def test_round_model_equals_reference_fifo_order(spark, small_web):
+    """Unlimited budget + no cooldowns ⇒ the round model visits URLs in
+    exactly the reference's serial FIFO ``_id`` order (storage.ts:179)."""
+    w = small_web
+    corpus = w.pages[~w.pages.url.str.contains("slow-")].reset_index(drop=True)
+    seeds = w.seeds.url.tolist()
+    cfg = CrawlConfig(budgets={}, robots=[], max_rounds=60)
+    rr = crawl_oracle(corpus, seeds, cfg)
+    fifo = fifo_reference_oracle(corpus, seeds)
+    assert (
+        rr.crawl_order.sort_values(["round", "seq"]).url.tolist() == fifo
+    )
+
+
+def test_manifest_lineage_present(crawl_outputs):
+    _w, _cfg, _oracle, store, stats = crawl_outputs
+    rounds = store.committed_rounds()
+    assert rounds == list(range(len(rounds)))  # contiguous
+    for rnd in rounds:
+        m = store.read_manifest(rnd)
+        assert set(m["lineage"]) >= {"pages", "links", "discoveries",
+                                     "frontier", "cooldown", "page_text"}
+        assert "scheduled" in m["metrics"]
+    assert stats.pages == sum(
+        store.read_manifest(r)["metrics"]["scheduled"] for r in rounds
+    )
