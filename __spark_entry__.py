@@ -1,38 +1,835 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the round-synchronous crawl (frontier →
+politeness budget → fetch → extract → bloom seen-set → checkpoint) over a
+mini-web derived deterministically from the sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data tier. SQL-expressible operators carry a
+DuckDB oracle; crawl/UDF-kernel operators (extraction, minhash, simhash,
+LSH-ANN, multimodal, full crawl) are rows-only checks and are golden-tested
+against the pure-Python oracle in tests/ instead.
+
+Float discipline for the value-hash compare: every float column is rounded
+(6 dp for unit-scale scores, 2 dp for money sums) and cast to double in
+BOTH the Spark query and the oracle SQL; decimal-cast sums keep big
+aggregates exact across engines.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PUNCT_RE = r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"
+STOP10 = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Crawl 3 rounds over the documents-derived mini-web; return the crawl
+    order table (round, seq, url, host, status, type)."""
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.crawl.store import CrawlStore
+    from crawler_spark.fixtures.doccorpus import corpus_from_documents, seed_urls
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    corpus = corpus_from_documents(docs)
+    cfg = CrawlConfig(budgets={"*": 16, "hot.docs.test": 32}, max_rounds=3)
+    root = tempfile.mkdtemp(prefix="crawl_entry_")
+    run_crawl(spark, corpus, seed_urls(2), cfg, root, bloom_buckets=8,
+              bloom_bits=1 << 16)
+    return CrawlStore(spark, root).read_pages().orderBy("round", "seq")
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked relational operators (SURVEY §2 ↔ TPC-H/events/documents)
+# ---------------------------------------------------------------------------
+
+
+def q_url_seen_anti_join(spark, sf):
+    """J1: the URL-seen anti-join shape — customers with no orders."""
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q_cooldown_anti_join(spark, sf):
+    """J2/F2: broadcast cooldown anti-join — lineitems of non-'cooling'
+    suppliers (acctbal < 0 plays the cooldown set), agg per supplier."""
+    li = _read(spark, sf, "lineitem")
+    s = _read(spark, sf, "supplier")
+    cool = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(cool), li.l_suppkey == cool.s_suppkey, "left_anti")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_politeness_topk(spark, sf):
+    """O1/T2: per-host budget window — top-3 lineitems per order by
+    (price desc, linenumber), via the skew-salted two-phase operator."""
+    from crawler_spark.operators.topk import topk_per_group
+
+    li = _read(spark, sf, "lineitem")
+    return topk_per_group(
+        li,
+        ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        3,
+        salt=4,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("_rank").cast("int").alias("rank"),
+    )
+
+
+def q_global_crawl_order(spark, sf):
+    """O1: deterministic global sequence — orders by (date, key)."""
+    from crawler_spark.operators.topk import with_global_seq
+
+    o = _read(spark, sf, "orders")
+    return with_global_seq(o, ["o_orderdate", "o_orderkey"], out="seq").select(
+        "o_orderkey", "seq"
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """A4/A5-style hash aggregate (TPC-H Q1 shape)."""
+    li = _read(spark, sf, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec), 2).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_region_revenue(spark, sf):
+    """Broadcast dimension chain: lineitem ⋈ supplier ⋈ nation ⋈ region."""
+    li = _read(spark, sf, "lineitem")
+    s = _read(spark, sf, "supplier")
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(dec), 2).cast("double").alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+def q_semi_join_customers(spark, sf):
+    """Semi-join probe (the $in shape inside J1, storage.ts:94-96)."""
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def q_max_normalized_price(spark, sf):
+    """A5/A7: per-group max normalization window."""
+    li = _read(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / F.max("l_extendedprice").over(w), 6)
+        .cast("double")
+        .alias("norm_price"),
+    )
+
+
+def q_distinct_event_types(spark, sf):
+    """A2: distinct non-empty values (sites shape, learn.ts:538-554)."""
+    e = _read(spark, sf, "events")
+    return (
+        e.select(F.col("event_type").alias("name"))
+        .where(F.length("name") > 0)
+        .distinct()
+    )
+
+
+def q_link_counts(spark, sf):
+    """A11: per-key counts (linkCount shape, reconfigure.ts:55-62)."""
+    o = _read(spark, sf, "orders")
+    return o.groupBy(F.col("o_custkey").alias("url")).agg(
+        F.count("*").alias("link_count")
+    )
+
+
+def q_tags_topk_events(spark, sf):
+    """A10/O3: the extractTags shape — per user, event types whose count
+    beats 2× the user's mean count; top-3 by (count desc, type asc)."""
+    e = _read(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("avg2", F.avg("cnt").over(w) * 2)
+        .where(F.col("cnt") > F.col("avg2"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_type", "cnt", "rank")
+    )
+
+
+def q_round_windows(spark, sf):
+    """T1: tumbling 1-hour 'crawl rounds' over the event stream."""
+    e = _read(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("round_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_first_event_dedup(spark, sf):
+    """D1: dedupe keep-first-occurrence (text.ts:30-38 shape)."""
+    e = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# -- documents: text-analytics + training-data tier -------------------------
+
+
+def q_doc_term_frequency(spark, sf):
+    """A7: per-doc flat-token TF, max-normalized (calcTermFrequencies)."""
+    d = _read(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    counts = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    return counts.select(
+        "doc_id",
+        "term",
+        F.round(F.col("cnt") / F.max("cnt").over(w), 6)
+        .cast("double")
+        .alias("score"),
+    )
+
+
+def _doc_trigram_counts(spark, sf):
+    d = _read(spark, sf, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)
+        ),
+    )
+    grams = d.where(n >= 3).select("doc_id", F.explode(tri).alias("term"))
+    return grams.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+
+
+def q_doc_trigram_tf(spark, sf):
+    """A8: per-doc trigram TF, max-normalized (calcNgrams shape, JVM-side
+    slide via transform/sequence — no UDF)."""
+    counts = _doc_trigram_counts(spark, sf)
+    w = Window.partitionBy("doc_id")
+    return counts.select(
+        "doc_id",
+        "term",
+        F.round(F.col("cnt") / F.max("cnt").over(w), 6)
+        .cast("double")
+        .alias("score"),
+    )
+
+
+def q_doc_tags_top3(spark, sf):
+    """O3: top-3 trigram tags per doc above 2× mean score (extractTags)."""
+    counts = _doc_trigram_counts(spark, sf)
+    w = Window.partitionBy("doc_id")
+    scored = counts.select(
+        "doc_id", "term",
+        (F.col("cnt") / F.max("cnt").over(w)).alias("score"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("avg2", F.avg("score").over(w) * 2)
+        .where(F.col("score") > F.col("avg2"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("score", 6).cast("double").alias("score"),
+                "rank")
+    )
+
+
+def q_doc_exact_dedup(spark, sf):
+    """D4: exact dedup via content grouping (operators.dedup)."""
+    from crawler_spark.operators.dedup import exact_duplicates
+
+    d = _read(spark, sf, "documents")
+    return exact_duplicates(d, "doc_id", "text")
+
+
+def q_doc_token_stats(spark, sf):
+    """Token counting: whitespace + BPE-ish regex + char count."""
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_doc_quality(spark, sf):
+    """Quality scoring: length/punct/stopword factors (operators.quality)."""
+    from crawler_spark.operators.quality import quality_scores
+
+    d = _read(spark, sf, "documents")
+    q = quality_scores(d, stopwords=STOP10)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.round("mean_token_len", 6).cast("double").alias("mean_token_len"),
+        F.round("punct_ratio", 6).cast("double").alias("punct_ratio"),
+        F.round("stop_ratio", 6).cast("double").alias("stop_ratio"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def q_doc_lang_dist(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_doc_fingerprint(spark, sf):
+    """Exact content fingerprint (md5); winnowing sketch is rows-only."""
+    d = _read(spark, sf, "documents")
+    return d.select("doc_id", F.md5("text").alias("fp"))
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram jaccard near-dup pairs via inverted-index join."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
+    )
+
+
+def q_knn_bruteforce(spark, sf):
+    """Exact cosine top-10 against the vec_id=0 embedding (JVM-side)."""
+    from crawler_spark.operators.similarity import cosine_topk
+
+    e = _read(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = cosine_topk(e, list(q), k=10)
+    return top.select(
+        "vec_id", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (kernel/crawl operators; golden-tested in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_bfs(spark, sf):
+    """Full crawl (bloom seen-set, budgets, robots, cooldown, checkpoints)
+    on the deterministic mini-web; golden-verified vs the serial oracle in
+    tests/test_crawl_golden.py."""
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.crawl.store import CrawlStore
+    from crawler_spark.fixtures.webgen import generate
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+    from tests.test_crawl_golden import CORPUS_SCHEMA
+
+    w = generate(seed=13, n_pages=60)
+    pdf = w.pages.copy()
+    pdf["retry_after"] = pdf["retry_after"].astype(object).where(
+        pdf["retry_after"].notna(), None
+    )
+    corpus = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    cfg = CrawlConfig(
+        budgets={r.host: int(r.budget_per_round) for r in w.politeness.itertuples()},
+        robots=[(r.host, r.rule, bool(r.allow)) for r in w.robots.itertuples()],
+        max_rounds=40,
+    )
+    root = tempfile.mkdtemp(prefix="crawl_q_")
+    run_crawl(spark, corpus, w.seeds.url.tolist(), cfg, root, bloom_buckets=4,
+              bloom_bits=1 << 15)
+    return CrawlStore(spark, root).read_pages().orderBy("round", "seq")
+
+
+def q_extract_text(spark, sf):
+    """Cheerio-parity text extraction over the mini-web (pandas UDF)."""
+    from crawler_spark.analytics.text_tier import page_blocks
+    from crawler_spark.fixtures.webgen import generate
+
+    w = generate(seed=13, n_pages=60)
+    pdf = w.pages[w.pages.html.notnull()][["url", "html"]]
+    df = spark.createDataFrame(pdf, "url string, html binary")
+    return page_blocks(df).orderBy("url", "block_idx")
+
+
+def q_extract_links(spark, sf):
+    """Link discovery + WHATWG canonicalization over the mini-web."""
+    from crawler_spark.fixtures.webgen import generate
+    from crawler_spark.functions.html import extract_links_udf
+
+    w = generate(seed=13, n_pages=60)
+    pdf = w.pages[w.pages.html.notnull()][["url", "html"]]
+    df = spark.createDataFrame(pdf, "url string, html binary")
+    return (
+        df.select(
+            F.col("url").alias("source"),
+            F.explode(extract_links_udf("html", "url")).alias("l"),
+        )
+        .select("source", "l.url", "l.host", "l.link_pos")
+        .orderBy("source", "link_pos")
+    )
+
+
+def q_doc_sentiment(spark, sf):
+    """AFINN sentiment (Porter-stemmed lexicon) per document."""
+    from crawler_spark.analytics.text_tier import sentiment_udf
+
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(sentiment_udf("text"), 6).alias("sentiment")
+    )
+
+
+def q_doc_summaries(spark, sf):
+    """calcSummary over documents (blocks = sentence-ish splits)."""
+    from crawler_spark.analytics.text_tier import page_summaries
+
+    d = _read(spark, sf, "documents")
+    blocks = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.posexplode(F.split("text", r"\.\s*")).alias("block_idx", "text"),
+    ).where(F.length("text") > 0)
+    return page_summaries(blocks).withColumnRenamed("url", "doc_id")
+
+
+def q_minhash_near_dups(spark, sf):
+    """MinHash+LSH near-dup pairs over documents (xxhash64 signatures)."""
+    from crawler_spark.operators.dedup import minhash_dedup
+
+    d = _read(spark, sf, "documents")
+    return minhash_dedup(d, threshold=0.4)
+
+
+def q_simhash_sigs(spark, sf):
+    from crawler_spark.operators.dedup import simhash_signatures
+
+    d = _read(spark, sf, "documents")
+    return simhash_signatures(d)
+
+
+def q_lsh_ann(spark, sf):
+    """LSH-bucketed approximate nearest neighbors for one query vector."""
+    from crawler_spark.operators.similarity import lsh_ann_topk
+
+    e = _read(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_ann_topk(e, list(q), dim=len(q), k=10, n_bits=8, multiprobe=2)
+
+
+def q_multimodal_features(spark, sf):
+    """Binary-payload plumbing: metadata + stubbed decode (mapInPandas)."""
+    from crawler_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_features,
+        stub_decoder,
+    )
+
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    meta = attach_media_meta(media)
+    feats = decode_features(media, decoder=stub_decoder, dim=8)
+    return meta.drop("payload").join(feats, "media_id")
+
+
+def q_doc_winnow_fingerprints(spark, sf):
+    from crawler_spark.operators.quality import fingerprints
+
+    d = _read(spark, sf, "documents")
+    return fingerprints(d)
+
+
+def q_doc_language_id(spark, sf):
+    from crawler_spark.operators.quality import language_id
+
+    d = _read(spark, sf, "documents")
+    return language_id(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked relational operators
+        "url_seen_anti_join": q_url_seen_anti_join,
+        "cooldown_anti_join": q_cooldown_anti_join,
+        "politeness_topk": q_politeness_topk,
+        "global_crawl_order": q_global_crawl_order,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "semi_join_customers": q_semi_join_customers,
+        "max_normalized_price": q_max_normalized_price,
+        "distinct_event_types": q_distinct_event_types,
+        "link_counts": q_link_counts,
+        "tags_topk_events": q_tags_topk_events,
+        "round_windows": q_round_windows,
+        "first_event_dedup": q_first_event_dedup,
+        "doc_term_frequency": q_doc_term_frequency,
+        "doc_trigram_tf": q_doc_trigram_tf,
+        "doc_tags_top3": q_doc_tags_top3,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_dist": q_doc_lang_dist,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_bruteforce": q_knn_bruteforce,
+        # rows-only (kernel / crawl / sketch operators)
+        "crawl_bfs": q_crawl_bfs,
+        "extract_text": q_extract_text,
+        "extract_links": q_extract_links,
+        "doc_sentiment": q_doc_sentiment,
+        "doc_summaries": q_doc_summaries,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_sigs": q_simhash_sigs,
+        "lsh_ann": q_lsh_ann,
+        "multimodal_features": q_multimodal_features,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "doc_language_id": q_doc_language_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    trigram_cte = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                   )) AS term
+            FROM toks WHERE len(l) >= 3
+        ), counts AS (
+            SELECT doc_id, term, count(*) AS cnt FROM grams GROUP BY 1, 2
+        )
     """
-    return {}
+    return {
+        "url_seen_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+            ORDER BY c_custkey
+        """,
+        "cooldown_anti_join": """
+            SELECT l_suppkey, count(*) AS n_items,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+            GROUP BY l_suppkey
+        """,
+        "politeness_topk": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS price, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber
+                       ) AS rank
+                FROM lineitem
+            ) WHERE rank <= 3
+        """,
+        "global_crawl_order": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+                       AS seq
+            FROM orders
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "semi_join_customers": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "max_normalized_price": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice /
+                        max(l_extendedprice) OVER (PARTITION BY l_orderkey), 6)
+                        AS DOUBLE) AS norm_price
+            FROM lineitem
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type AS name FROM events
+            WHERE length(event_type) > 0
+        """,
+        "link_counts": """
+            SELECT o_custkey AS url, count(*) AS link_count
+            FROM orders GROUP BY o_custkey
+        """,
+        "tags_topk_events": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), thresh AS (
+                SELECT *, avg(cnt) OVER (PARTITION BY user_id) * 2 AS avg2
+                FROM counts
+            )
+            SELECT user_id, event_type, cnt, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT user_id, event_type, cnt,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY cnt DESC, event_type
+                       ) AS rank
+                FROM thresh WHERE cnt > avg2
+            ) WHERE rank <= 3
+        """,
+        "round_windows": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS round_start,
+                   event_type, count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "first_event_dedup": """
+            SELECT user_id, event_type, event_id
+            FROM (
+                SELECT user_id, event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "doc_term_frequency": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), c AS (
+                SELECT doc_id, term, count(*) AS cnt FROM toks
+                WHERE length(term) > 0 GROUP BY 1, 2
+            )
+            SELECT doc_id, term,
+                   CAST(round(cnt * 1.0 /
+                        max(cnt) OVER (PARTITION BY doc_id), 6) AS DOUBLE)
+                       AS score
+            FROM c
+        """,
+        "doc_trigram_tf": trigram_cte
+        + """
+            SELECT doc_id, term,
+                   CAST(round(cnt * 1.0 /
+                        max(cnt) OVER (PARTITION BY doc_id), 6) AS DOUBLE)
+                       AS score
+            FROM counts
+        """,
+        "doc_tags_top3": trigram_cte
+        + """
+            , scored AS (
+                SELECT doc_id, term,
+                       cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id)
+                           AS score,
+                       avg(cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id))
+                           OVER (PARTITION BY doc_id) * 2 AS avg2
+                FROM counts
+            )
+            SELECT doc_id, term, CAST(round(score, 6) AS DOUBLE) AS score,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT doc_id, term, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term
+                       ) AS rank
+                FROM scored WHERE score > avg2
+            ) WHERE rank <= 3
+        """,
+        "doc_exact_dedup": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY text) AS canon_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+            FROM documents
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(text), '\S+'))
+                       END AS n_tokens,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text,
+                           '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]'))
+                           AS punct,
+                       len(list_filter(
+                           string_split(lower(text), ' '),
+                           x -> x IN ('the','and','of','to','in','is','that',
+                                      'for','with','was')
+                       )) AS stop_hits
+                FROM documents
+            ), ratios AS (
+                SELECT doc_id, n_tokens, n_chars,
+                       n_chars * 1.0 / greatest(n_tokens, 1)
+                           AS mean_token_len,
+                       punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+                       stop_hits * 1.0 / greatest(n_tokens, 1) AS stop_ratio
+                FROM base
+            )
+            SELECT doc_id, n_tokens, n_chars,
+                   CAST(round(mean_token_len, 6) AS DOUBLE)
+                       AS mean_token_len,
+                   CAST(round(punct_ratio, 6) AS DOUBLE) AS punct_ratio,
+                   CAST(round(stop_ratio, 6) AS DOUBLE) AS stop_ratio,
+                   CAST(round(
+                       least(n_tokens / 20.0, 1.0)
+                       * greatest(0.0, 1.0 - punct_ratio * 4)
+                       * (CASE WHEN stop_ratio >= 0.05 AND stop_ratio <= 0.6
+                               THEN 1.0 ELSE 0.5 END), 6) AS DOUBLE)
+                       AS score
+            FROM ratios
+        """,
+        "doc_lang_dist": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS l
+                FROM documents WHERE doc_id < 300
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           range(1, len(l) - 1),
+                           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                       )) AS shingle
+                FROM toks WHERE len(l) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS inter
+                FROM grams a JOIN grams b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(round(inter * 1.0 / (sa.n_grams + sb.n_grams - inter),
+                        6) AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.05
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   CAST(round(cosine, 6) AS DOUBLE) AS cosine
+            FROM (
+                SELECT e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])
+                       ) AS cosine
+                FROM embeddings e, q
+                ORDER BY cosine DESC, e.vec_id
+                LIMIT 10
+            )
+        """,
+    }

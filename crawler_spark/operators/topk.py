@@ -54,7 +54,12 @@ def topk_per_group(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
     if salt > 1:
-        shard = F.pmod(F.xxhash64(*[c.cast("string") for c in cols]), F.lit(salt))
+        # Shard assignment only has to SPREAD rows — the phase-2 exact rank
+        # makes the output invariant to which shard a row competed in, so a
+        # partition-local id is a valid (and sort-expression-safe) salt.
+        shard = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+        )
         df = df.withColumn("_shard", shard)
         w1 = Window.partitionBy(*group_cols, "_shard").orderBy(*cols)
         df = (

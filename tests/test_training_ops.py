@@ -1,0 +1,272 @@
+"""Tests for the training-data ops over the driver-provided testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from crawler_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_features,
+    frame_sample,
+    real_decoder,
+    stub_decoder,
+)
+from crawler_spark.operators.quality import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from crawler_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_join,
+    lsh_ann_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "x y"), (5, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.canon_id, r.is_dup) for r in exact_duplicates(df).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False), 4: (3, True),
+                   5: (5, False)}
+    assert sorted(r.doc_id for r in dedup_exact(df).collect()) == [1, 3, 5]
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    # append a near-duplicate of doc 0 (one word changed)
+    base = docs.where("doc_id = 0").collect()[0]
+    words = base.text.split()
+    words[len(words) // 2] = "zzzaltered"
+    near = spark.createDataFrame(
+        [(9001, " ".join(words))], "doc_id long, text string"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_dedup(corpus, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 9001) in found
+    # jaccard estimate should be high but < 1
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}[(0, 9001)]
+    assert 0.5 <= est <= 1.0
+
+
+def test_minhash_no_pair_for_distinct_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    assert minhash_dedup(df, threshold=0.3).count() == 0
+
+
+def test_simhash_near_dups(spark, docs):
+    # deterministic 60-token doc whose 1-word variant has hamming 3
+    # (scanned offline: seed 0 → hamming 3, 3 of 4 chunks equal)
+    import random
+
+    rng = random.Random(0)
+    vocab = [f"word{i}" for i in range(500)]
+    words = [rng.choice(vocab) for _ in range(60)]
+    variant = list(words)
+    variant[30] = "altered"
+    extra = spark.createDataFrame(
+        [(9002, " ".join(words)), (9003, " ".join(variant))],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").where("doc_id < 50").unionByName(extra)
+    pairs = simhash_near_dups(corpus, max_hamming=3)
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert found.get((9002, 9003)) == 3
+    # identical text ⇒ identical signature
+    sig = simhash_signatures(
+        extra.unionByName(
+            spark.createDataFrame([(9004, " ".join(words))],
+                                  "doc_id long, text string")
+        )
+    )
+    s = {r.doc_id: r.simhash for r in sig.collect()}
+    assert s[9002] == s[9004]
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),  # shares most trigrams with 1
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(df, n=3, threshold=0.1).collect()}
+    assert (1, 2) in pairs
+    # doc1: grams {abc,bcd,cde,def,efg,fgh}, doc2: {...,efx→} share 5 of 7
+    assert pairs[(1, 2)] == pytest.approx(5 / 7)
+    assert (1, 3) not in pairs
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def _exact_topk_numpy(emb_pdf, q, k):
+    mat = np.stack(emb_pdf.embedding.to_numpy()).astype("float64")
+    qv = np.asarray(q, dtype="float64")
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((emb_pdf.vec_id.to_numpy(), -cos))
+    return emb_pdf.vec_id.to_numpy()[order][:k].tolist()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = pdf.embedding.iloc[7]
+    got = [r.vec_id for r in cosine_topk(emb, list(q), k=5).collect()]
+    assert got == _exact_topk_numpy(pdf, q, 5)
+    assert got[0] == 7  # self is nearest
+
+
+def test_cosine_topk_join_matches_single(spark, emb):
+    pdf = emb.toPandas()
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in pdf.embedding.iloc[i]]) for i in (3, 11)],
+        "query_id long, embedding array<float>",
+    )
+    got = cosine_topk_join(queries, emb, k=4).toPandas()
+    for qid in (3, 11):
+        sub = got[got.query_id == qid].sort_values("_rank")
+        assert sub.vec_id.tolist() == _exact_topk_numpy(
+            pdf, pdf.embedding.iloc[qid], 4
+        )
+
+
+def test_lsh_ann_recall(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf.embedding.iloc[0])
+    exact = set(_exact_topk_numpy(pdf, q, 5))
+    approx = {
+        r.vec_id
+        for r in lsh_ann_topk(emb, q, dim=len(q), k=5, n_bits=6,
+                              multiprobe=3).collect()
+    }
+    # self must always be found; recall over exact top-5 should be decent
+    assert 0 in approx
+    assert len(exact & approx) >= 2
+
+
+# -- quality ----------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! a b"), (2, ""), (3, "  x  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.ws_tokens, r.bpe_tokens, r.n_chars)
+           for r in token_counts(df).collect()}
+    # "Hello, world! a b" → ws 4; bpe: Hello , world ! a b = 6
+    assert got[1] == (4, 6, 17)
+    assert got[2] == (0, 0, 0)
+    assert got[3][0] == 1
+
+
+def test_quality_scores_bands(spark, docs):
+    got = quality_scores(docs).toPandas()
+    assert ((got.score >= 0) & (got.score <= 1)).all()
+    assert (got.n_tokens > 0).all()
+    # longer docs should not score lower purely for length
+    assert got[got.n_tokens >= 20].score.mean() >= got.score.mean() - 0.3
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is that good"),
+            (2, "el perro y la casa de que los gatos por una"),
+            (3, "der hund und die katze ist nicht mit ein von zu"),
+            (4, "这是一个中文句子 而且 很长 的 中文"),
+            (5, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "und"}
+
+
+def test_fingerprints_stable_and_shift_tolerant(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            (3, "PREFIX w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+    assert got[1] == got[2]  # deterministic
+    # winnowing: shifted doc shares most picks
+    shared = set(got[1]) & set(got[3])
+    assert len(shared) >= len(set(got[1])) // 2
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_media_meta_and_stub_features(spark):
+    rows = [(i, bytes([i % 251]) * (100 + i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = attach_media_meta(df).collect()
+    assert all(r.n_bytes == 100 + r.media_id for r in meta)
+    assert all(r.media_kind == "image" for r in meta)
+
+    feats = decode_features(df, decoder=stub_decoder, dim=8,
+                            max_batch_rows=6).collect()
+    assert len(feats) == 20
+    by_id = {r.media_id: r.features for r in feats}
+    assert all(len(v) == 8 for v in by_id.values())
+    # deterministic: same payload → same features
+    again = decode_features(df, decoder=stub_decoder, dim=8).collect()
+    assert {r.media_id: r.features for r in again} == by_id
+
+
+def test_real_decoder_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"xx")], "media_id long, payload binary")
+    with pytest.raises(Exception):
+        decode_features(df, decoder=real_decoder, dim=4).collect()
+
+
+def test_frame_sample_expansion(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)))], "media_id long, payload binary"
+    )
+    frames = frame_sample(df, n_frames=4, frame_bytes=16).collect()
+    assert len(frames) == 4
+    assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+    assert frames[0].frame == bytes(range(16))
+    assert frames[1].frame == bytes(range(64, 80))
