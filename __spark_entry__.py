@@ -261,17 +261,24 @@ def q_doc_term_frequency(spark, sf):
 
 
 def _doc_trigram_counts(spark, sf):
+    # Linear-time trigram slide: three shifted slices zipped pairwise.
+    # (transform(sequence(...), i -> element_at(toks, i)...) re-evaluates the
+    # split per element — O(n^2) per doc and 6x slower at sf0.1.)
     d = _read(spark, sf, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    tri = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2)
-        ),
+    toked = d.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 3
     )
-    grams = d.where(n >= 3).select("doc_id", F.explode(tri).alias("term"))
+    n2 = F.size("toks") - F.lit(2)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("toks", 1, n2),
+            F.slice("toks", 2, n2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("toks", 3, n2),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    grams = toked.select("doc_id", F.explode(tri).alias("term"))
     return grams.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
 
 
@@ -712,13 +719,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tags_top3": trigram_cte
         + """
-            , scored AS (
+            , scored0 AS (
                 SELECT doc_id, term,
                        cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id)
-                           AS score,
-                       avg(cnt * 1.0 / max(cnt) OVER (PARTITION BY doc_id))
-                           OVER (PARTITION BY doc_id) * 2 AS avg2
+                           AS score
                 FROM counts
+            ), scored AS (
+                SELECT doc_id, term, score,
+                       avg(score) OVER (PARTITION BY doc_id) * 2 AS avg2
+                FROM scored0
             )
             SELECT doc_id, term, CAST(round(score, 6) AS DOUBLE) AS score,
                    CAST(rank AS INT) AS rank

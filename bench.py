@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Benchmark harness for the PySpark crawl engine.
+
+Default mode (what the driver runs per round): executes the headline query
+suite from ``__spark_entry__.queries()`` at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` plus an end-to-end
+crawl over the documents-derived mini-web, and prints ONE JSON line::
+
+    {"metric": "headline_suite_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "crawl": {...}, "cpus": 32}
+
+``--scaling`` mode (evidence for the BASELINE.json north rule's N→4N
+executor criterion, sandbox substitute per BASELINE.md): re-runs the
+fetch+extract pipeline — the per-round inner work of the crawl, which is
+what dominates at 10^10-frontier scale — in TWO fresh subprocess JVMs at
+``local[8]`` and ``local[32]`` on the same input and reports pages/sec at
+both plus scaling efficiency = (T32/T8)/4.
+
+``--pipeline-only`` / ``--crawl-only`` are the subprocess entrypoints; each
+prints its own one-line JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset of __spark_entry__.queries(): every operator family —
+# anti/semi joins, salted top-k, global seq, hash aggs, broadcast dim chain,
+# windows, TF/trigrams, dedup sketches, quality, ANN.
+HEADLINE = [
+    "url_seen_anti_join",
+    "cooldown_anti_join",
+    "politeness_topk",
+    "global_crawl_order",
+    "pricing_summary",
+    "region_revenue",
+    "tags_topk_events",
+    "first_event_dedup",
+    "doc_term_frequency",
+    "doc_trigram_tf",
+    "doc_tags_top3",
+    "doc_quality",
+    "doc_token_stats",
+    "minhash_near_dups",
+    "simhash_sigs",
+    "knn_bruteforce",
+    "doc_language_id",
+]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> int:
+    """Force full execution without driver-side collect cost."""
+    return df.write.mode("overwrite").format("noop").save() or df.count()
+
+
+def _spark(cpus: int):
+    from crawler_spark.session import get_spark
+
+    return get_spark("bench", master=f"local[{cpus}]")
+
+
+def _bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _bench_crawl(spark) -> dict:
+    """End-to-end crawl (budgets, robots, bloom seen-set, checkpoints) over
+    the documents-derived mini-web at the bench scale factor."""
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.fixtures.doccorpus import corpus_from_documents, seed_urls
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the source is ONE small parquet file → 1-2 input partitions; without
+    # an explicit repartition the whole corpus lands on 1-2 cores. Hash on
+    # url (the join key downstream). Fixed count → identical work at any
+    # parallelism level.
+    corpus = corpus_from_documents(docs).repartition(64, "url").cache()
+    corpus.count()  # exclude corpus synthesis from crawl timing
+    cfg = CrawlConfig(
+        budgets={"*": 1500, "hot.docs.test": 6000}, max_rounds=5
+    )
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.perf_counter()
+    stats = run_crawl(spark, corpus, seed_urls(64), cfg, root,
+                      bloom_buckets=16, bloom_bits=1 << 18)
+    dt = time.perf_counter() - t0
+    corpus.unpersist()
+    return {
+        "sec": round(dt, 3),
+        "rounds": stats.rounds,
+        "pages": stats.pages,
+        "links": stats.links,
+        "pages_per_sec": round(stats.pages / dt, 2),
+        "rounds_per_sec": round(stats.rounds / dt, 4),
+    }
+
+
+def _bench_pipeline(spark, replicate: int = 48) -> dict:
+    """The per-round inner work at scale: fetch (corpus join) + link
+    extraction + text extraction + canonical dedup over a replicated corpus.
+    This is the compute that dominates a 10^10-URL crawl round; used for the
+    two-parallelism scaling evidence."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.fixtures.doccorpus import corpus_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).withColumnRenamed("id", "_rep")
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("_rep")
+        ).drop("_rep")
+    # fixed 128 partitions: same work at every parallelism level; a single
+    # small parquet input would otherwise pin the UDFs to 1-2 cores
+    corpus = corpus_from_documents(docs).repartition(128, "url").cache()
+    n_pages = corpus.count()  # synthesis excluded from timing
+
+    from crawler_spark.functions.html import extract_links_udf, extract_text_udf
+
+    # warmup: run the same UDFs over ~2% of pages (spread over all cached
+    # partitions) so python-worker spawn + Arrow/codegen JIT happen before
+    # the timed window — we measure steady-state throughput, which is what
+    # governs a multi-hour 100 TB run.
+    warm = corpus.where(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+    _materialize(
+        warm.select(
+            F.size(extract_links_udf("html", "url")).alias("n"),
+            F.size(extract_text_udf("html")).alias("m"),
+        )
+    )
+
+    t0 = time.perf_counter()
+    links = corpus.select(
+        F.col("url").alias("source"),
+        F.explode(extract_links_udf("html", "url")).alias("l"),
+    ).select("source", "l.url", "l.host")
+    uniq = links.groupBy("url", "host").agg(F.count("*").alias("n_in"))
+    _materialize(uniq)
+    texts = corpus.select(
+        "url", F.array_join(extract_text_udf("html"), "\n").alias("text")
+    )
+    _materialize(texts)
+    dt = time.perf_counter() - t0
+    corpus.unpersist()
+    return {
+        "sec": round(dt, 3),
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / dt, 2),
+    }
+
+
+def _run_sub(mode: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), mode],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+
+    if mode == "--scaling":
+        # Default pair local[4] vs local[16]: a pandas-UDF task keeps ~2
+        # cores busy (JVM producer + python worker), so demand is 2p cores;
+        # 2*16=32 fits this box exactly, while local[32] would demand 64
+        # cores and measure machine saturation, not engine scaling.
+        lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        r_lo = _run_sub("--pipeline-only", lo)
+        r_hi = _run_sub("--pipeline-only", hi)
+        eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+        print(json.dumps({
+            "metric": f"scaling_efficiency_{lo}_to_{hi}",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "low": {"cpus": lo, **r_lo},
+            "high": {"cpus": hi, **r_hi},
+            "sf": _sf_of(SF_DIR),
+        }))
+        return
+
+    spark = _spark(CPUS)
+    try:
+        if mode == "--pipeline-only":
+            print(json.dumps(_bench_pipeline(spark)))
+            return
+        if mode == "--crawl-only":
+            print(json.dumps(_bench_crawl(spark)))
+            return
+
+        queries = _bench_queries(spark)
+        crawl = _bench_crawl(spark)
+        total = round(sum(queries.values()) + crawl["sec"], 3)
+        print(json.dumps({
+            "metric": "headline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_of(SF_DIR),
+            "cpus": CPUS,
+            "crawl": crawl,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

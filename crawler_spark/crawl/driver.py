@@ -135,12 +135,16 @@ def run_crawl(
     last = store.resume_round() if resume else None
     if last is None:
         frontier = seed_discoveries(spark, seeds, config)
+        n_frontier = frontier.count()
         bloom = BloomSeenSet.empty(spark, bloom_buckets, bloom_bits)
         bloom = bloom.add(frontier.select("url"))
         start_round = 0
         seed_disc = frontier  # committed with round 0
     else:
         frontier = store.read_snapshot("frontier", last, DISC_SCHEMA)
+        n_frontier = int(
+            store.read_manifest(last)["metrics"]["frontier_size"]
+        )
         cd = store.read_snapshot("cooldown", last, COOLDOWN_SCHEMA).collect()
         cooldown = {r["host"]: r["expire_round"] for r in cd}
         bloom = BloomSeenSet.load(
@@ -153,7 +157,8 @@ def run_crawl(
     frontier = frontier.cache()
 
     for rnd in range(start_round, config.max_rounds):
-        if frontier.isEmpty():
+        # frontier size is tracked from the previous commit — no extra job
+        if n_frontier == 0:
             break
 
         # -- eligibility: cooldown anti-join (broadcast, one row per host) --
@@ -183,7 +188,7 @@ def run_crawl(
                 self_urls = spark.createDataFrame([], DISC_SCHEMA)
                 _commit(store, rnd, spark, _empty_pages(spark),
                         _empty_links(spark), self_urls, frontier, cooldown,
-                        bloom, stats, n_frontier=frontier.count())
+                        bloom, stats, n_frontier=n_frontier)
                 continue
             break
 
@@ -292,10 +297,11 @@ def run_crawl(
         bloom = bloom.add(new_disc.select("url"))
 
         # -- atomic round commit -------------------------------------------
+        n_frontier = next_frontier.count()
         _commit(
             store, rnd, spark, pages_df, links.drop("seq"), disc_to_commit,
             next_frontier, cooldown, bloom, stats,
-            n_frontier=next_frontier.count(), cooldown_events=cooldown_events,
+            n_frontier=n_frontier, cooldown_events=cooldown_events,
             page_text_df=page_text_df,
         )
 

@@ -88,8 +88,15 @@ def with_global_seq(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    parted = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # Persist BEFORE reading _pid: the counts job and the final window job
+    # must see the SAME partition-id assignment. Without the persist, the
+    # two jobs re-evaluate the range exchange independently and AQE may
+    # coalesce them differently (and range-boundary sampling may differ),
+    # silently mis-assigning offsets.
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     # one count per partition — tiny driver round-trip, NOT a data collect
     counts = {
