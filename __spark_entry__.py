@@ -377,6 +377,20 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_embedding_cosine_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs, exact baseline (vec_id < 200).
+
+    The scale path (LSH-banded candidates + exact verify) is the rows-only
+    ``lsh_near_dup_pairs`` query; recall is asserted against this exact set
+    in tests/test_training_ops.py."""
+    from crawler_spark.operators.similarity import cosine_pairs_exact
+
+    e = _read(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    return cosine_pairs_exact(e, threshold=0.35).select(
+        "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
 def q_knn_bruteforce(spark, sf):
     """Exact cosine top-10 against the vec_id=0 embedding (JVM-side)."""
     from crawler_spark.operators.similarity import cosine_topk
@@ -496,6 +510,24 @@ def q_lsh_ann(spark, sf):
     return lsh_ann_topk(e, list(q), dim=len(q), k=10, n_bits=8, multiprobe=2)
 
 
+def q_ivf_ann(spark, sf):
+    """IVF ANN: probe the 4 nearest of 16 deterministic centroids."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    e = _read(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(e, list(q), k=10, n_centroids=16, n_probe=4)
+
+
+def q_lsh_near_dup_pairs(spark, sf):
+    """Sub-quadratic embedding near-dup pairs (banded sign-bit LSH)."""
+    from crawler_spark.operators.similarity import lsh_near_dup_pairs
+
+    e = _read(spark, sf, "embeddings")
+    return lsh_near_dup_pairs(e, dim=64, threshold=0.35, n_bits=16,
+                              n_bands=8)
+
+
 def q_multimodal_features(spark, sf):
     """Binary-payload plumbing: metadata + stubbed decode (mapInPandas)."""
     from crawler_spark.operators.multimodal import (
@@ -554,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         # rows-only (kernel / crawl / sketch operators)
         "crawl_bfs": q_crawl_bfs,
         "extract_text": q_extract_text,
@@ -563,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_sigs": q_simhash_sigs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "multimodal_features": q_multimodal_features,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_language_id": q_doc_language_id,
@@ -823,6 +858,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter * 1.0 / (sa.n_grams + sb.n_grams - inter) >= 0.05
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])
+                   ), 6) AS DOUBLE) AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.35
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -184,3 +184,168 @@ def lsh_ann_topk(
     bucketed = lsh_bucket_ids(emb, dim, n_bits, seed, id_col, vec_col)
     cand = bucketed.where(F.col("bucket").isin(buckets)).drop("bucket")
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _pair_cosine(vec_a, vec_b):
+    """JVM-side cosine between two array columns (zip_with + aggregate)."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm_col(vec_a) * _norm_col(vec_b))
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (id_a < id_b, cosine ≥ threshold) pairs — O(n²) verification
+    baseline for small n (oracle-checkable in SQL). The scale path is
+    ``lsh_near_dup_pairs``; this exists to measure its recall and to give
+    the DuckDB oracle an exactly-reproducible query."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", _pair_cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs: random-hyperplane sign bits
+    split into ``n_bands`` bands; candidates join on equal (band, value)
+    (high-cosine pairs agree on most sign bits, so some band matches);
+    exact cosine verified JVM-side on candidates only. Same banding shape
+    as minhash-LSH — pairs never leave their hash bucket until verified."""
+    bucketed = lsh_bucket_ids(emb, dim, n_bits, seed, id_col, vec_col)
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("bucket"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    ex = bucketed.select(
+        id_col, vec_col, F.explode(bands).alias("b")
+    ).select(id_col, vec_col, "b.band", "b.val")
+    a, b = ex.alias("a"), ex.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine", _pair_cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _centroids(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic centroid pick: the ``n_centroids`` rows with smallest
+    ``xxhash64(id)`` — a uniform pseudo-random sample that is a pure
+    function of the data (no RNG state, reproducible across runs/resumes).
+    One tiny collect (n_centroids × dim floats); at 10^10 rows this is the
+    standard 'train on a sample' IVF step."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cell): nearest-centroid (max cosine) assignment via
+    one numpy matmul per Arrow batch. At scale, write the result
+    partitioned by ``cell`` so probes are partition-pruned scans."""
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = f"{id_col} long, {vec_col} array<float>, cell int"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmax(mat @ cents.T, axis=1).astype("int32")
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the ``n_probe`` cells whose centroids are
+    closest to the query. Exact within probed cells."""
+    cents = _centroids(emb, n_centroids, id_col, vec_col)
+    qv = np.asarray(query, dtype="float64")
+    qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    probe = np.argsort(-(cents @ qv))[:n_probe].tolist()
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    return cosine_topk(cand, query, k, id_col, vec_col)

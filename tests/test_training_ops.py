@@ -270,3 +270,63 @@ def test_frame_sample_expansion(spark):
     assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
     assert frames[0].frame == bytes(range(16))
     assert frames[1].frame == bytes(range(64, 80))
+
+
+def test_cosine_pairs_exact_vs_numpy(spark, emb):
+    from crawler_spark.operators.similarity import cosine_pairs_exact
+
+    sub = emb.where(F.col("vec_id") < 60)
+    pdf = sub.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = pdf.vec_id.to_numpy()
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.8
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_exact(sub, threshold=0.8).collect()
+    }
+    assert got == want
+
+
+def test_lsh_near_dup_pairs_recall(spark, emb):
+    from crawler_spark.operators.similarity import (
+        cosine_pairs_exact,
+        lsh_near_dup_pairs,
+    )
+
+    sub = emb.where(F.col("vec_id") < 150).cache()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_exact(sub, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            sub, dim=64, threshold=0.3, n_bits=16, n_bands=8
+        ).collect()
+    }
+    # every reported pair is verified exact-cosine => no false positives
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.6  # banding recall
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    from crawler_spark.operators.similarity import ivf_topk
+
+    pdf = emb.toPandas()
+    q = list(pdf.embedding.iloc[0])
+    exact = set(_exact_topk_numpy(pdf, q, 5))
+    got1 = [r.vec_id for r in
+            ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()]
+    got2 = [r.vec_id for r in
+            ivf_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()]
+    assert got1 == got2  # deterministic centroid pick
+    assert 0 in got1  # self found (its cell is always probed: cos=1)
+    assert len(exact & set(got1)) >= 3
