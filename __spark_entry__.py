@@ -546,6 +546,56 @@ def q_multimodal_features(spark, sf):
     return meta.drop("payload").join(feats, "media_id")
 
 
+def _events_as_link_stream(spark, sf, tmp):
+    """Derive a discoveries stream dir from the events table (deterministic
+    url per event; ~12% duplicate urls via modulus)."""
+    import os
+
+    e = _read(spark, sf, "events").where(F.col("event_id") < 4000)
+    links = e.select(
+        F.concat(
+            F.lit("http://u"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".test/e/"), (F.col("event_id") % 3500).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("u"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+        F.col("ts").alias("disc_ts"),
+    )
+    d = os.path.join(tmp, "links")
+    links.write.mode("overwrite").parquet(d)
+    return d
+
+
+def q_stream_frontier_ingest(spark, sf):
+    """T6 (streaming twin of J1): watermarked exactly-once URL dedup via
+    Structured Streaming (availableNow drain); returns admitted urls."""
+    from crawler_spark.streaming.ingest import streamed_frontier_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_q_")
+    d = _events_as_link_stream(spark, sf, tmp)
+    q = streamed_frontier_ingest(
+        spark, d, f"{tmp}/out", f"{tmp}/ckpt", watermark="365 days"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select("url", "host")
+
+
+def q_stream_host_budget(spark, sf):
+    """T2 as a custom stateful streaming operator (applyInPandasWithState):
+    per-host lifetime admission budget."""
+    from crawler_spark.streaming.ingest import host_budget_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_b_")
+    d = _events_as_link_stream(spark, sf, tmp)
+    q = host_budget_stream(
+        spark, d, f"{tmp}/out", f"{tmp}/ckpt", budget_per_host=20
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out")
+
+
 def q_doc_winnow_fingerprints(spark, sf):
     from crawler_spark.operators.quality import fingerprints
 
@@ -601,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_language_id": q_doc_language_id,
+        "stream_frontier_ingest": q_stream_frontier_ingest,
+        "stream_host_budget": q_stream_host_budget,
     }
 
 

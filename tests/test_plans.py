@@ -1,0 +1,85 @@
+"""Plan-shape assertions: the scale contract as tests.
+
+Every headline operator must produce the plan we would want on a
+1000-executor cluster: predicate pushdown + column pruning at the scan,
+broadcast joins for dimension-sized sides, partial aggregation before
+shuffles, and no cartesian products anywhere.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.inspect import (
+    codegen_stage_count,
+    has_broadcast_join,
+    has_cartesian,
+    partial_aggregation_present,
+    pushed_filters,
+    scan_columns,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, li):
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey")
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, li):
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey")
+    cols = scan_columns(df)
+    assert cols and cols[0] <= {"l_orderkey", "l_quantity"}, cols
+
+
+def test_dimension_join_broadcasts(spark, li):
+    import __spark_entry__ as em
+
+    df = em.q_region_revenue(spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_seen_anti_join_not_cartesian(spark):
+    import __spark_entry__ as em
+
+    df = em.q_url_seen_anti_join(spark, SF)
+    assert not has_cartesian(df)
+
+
+def test_agg_is_partial_then_final(spark):
+    import __spark_entry__ as em
+
+    df = em.q_pricing_summary(spark, SF)
+    assert partial_aggregation_present(df)
+
+
+def test_tf_pipeline_plan(spark):
+    """Trigram TF: partial agg before shuffle, no cartesian, codegen on."""
+    import __spark_entry__ as em
+
+    df = em.q_doc_trigram_tf(spark, SF)
+    assert partial_aggregation_present(df)
+    assert not has_cartesian(df)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_minhash_banding_no_cartesian(spark):
+    """The LSH band join must be an equi hash join on (band, bhash)."""
+    import __spark_entry__ as em
+
+    df = em.q_minhash_near_dups(spark, SF)
+    assert not has_cartesian(df)
+
+
+def test_crawl_budget_topk_no_cartesian(spark):
+    import __spark_entry__ as em
+
+    df = em.q_politeness_topk(spark, SF)
+    assert not has_cartesian(df)
