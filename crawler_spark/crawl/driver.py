@@ -30,6 +30,7 @@ tables are broadcast-sized by construction (one row per host).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -115,9 +116,13 @@ def run_crawl(
     bloom_buckets: int = 16,
     bloom_bits: int = 1 << 18,
     resume: bool = False,
+    write_partitions: int | None = 8,
 ) -> CrawlStats:
-    """Run (or resume) the crawl to completion; state lives in the store."""
-    store = CrawlStore(spark, store_root)
+    """Run (or resume) the crawl to completion; state lives in the store.
+
+    ``write_partitions`` caps files per round table — right for local/bench
+    scale; pass None on a real cluster for natural partitioning."""
+    store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
     robots_ok = _robots_filter_udf(config)
     budget_df, budget_default = _budget_df(spark, config)
 
@@ -177,10 +182,13 @@ def run_crawl(
         ).drop("_bk", "_k", "_rank")
 
         # -- deterministic global crawl order ------------------------------
-        scheduled = with_global_seq(
-            scheduled, ["disc_round", "disc_seq"], out="seq"
-        ).cache()
-        n_scheduled = scheduled.count()
+        _t0 = time.perf_counter()
+        scheduled, n_scheduled = with_global_seq(
+            scheduled, ["disc_round", "disc_seq"], out="seq",
+            return_count=True,
+        )
+        scheduled = scheduled.cache()
+        phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
         if n_scheduled == 0:
             if any(e >= rnd for e in cooldown.values()):
                 # everything eligible is cooling — commit an empty round so
@@ -204,33 +212,18 @@ def run_crawl(
         )
         fetched = fetched.cache()
 
+        # extracted text per url (the byte-identical per-row invariant) is
+        # fused onto the pages row — one write instead of two; retry_after
+        # rides along so 429-cooldown events come from the written parquet
+        # (driver-side footer read in _commit) instead of a collect job
         pages_df = fetched.select(
-            "seq", "url", "host", "status", "type"
+            "seq", "url", "host", "status", "type",
+            F.when(
+                F.col("type") == "html",
+                F.array_join(extract_text_udf("_c_html"), "\n"),
+            ).alias("text"),
+            F.col("_c_retry").cast("int").alias("retry_after"),
         )
-
-        # extracted text per url — the byte-identical per-row invariant
-        page_text_df = fetched.where(F.col("type") == "html").select(
-            "url",
-            F.array_join(extract_text_udf("_c_html"), "\n").alias("text"),
-        )
-
-        # -- cooldown updates (429s), add-if-absent per host ---------------
-        hot = (
-            fetched.where((F.col("status") == 429) & (F.col("type") == "error"))
-            .groupBy("host")
-            .agg(F.min_by("_c_retry", "seq").alias("retry_after"))
-            .collect()
-        )
-        cooldown_events = []
-        for r in hot:
-            h = r["host"]
-            if cooldown.get(h, -1) >= rnd:
-                continue  # already cooling (storage.ts:216 add-if-absent)
-            retry = r["retry_after"]
-            retry = DEFAULT_COOLDOWN_SECONDS if retry is None else int(retry)
-            expire = rnd + max(1, math.ceil(retry / config.round_seconds))
-            cooldown[h] = expire
-            cooldown_events.append((h, expire))
 
         # -- link extraction (Arrow-batched pandas UDF) --------------------
         links = (
@@ -262,7 +255,10 @@ def run_crawl(
         )
         if config.limit_to:
             cands = cands.where(F.col("host") == config.limit_to)
-        cands = cands.where(robots_ok("host", "url"))
+        if config.robots:
+            # only pay the Python round-trip when rules exist (empty rule
+            # set allows everything — robots_allowed() default)
+            cands = cands.where(robots_ok("host", "url"))
         cands = (
             cands.groupBy("url", "host")
             .agg(F.min(F.struct("seq", "link_pos")).alias("_first"))
@@ -281,11 +277,16 @@ def run_crawl(
         )
         unseen = bloom.filter_unseen(cands, exact_seen)
 
+        _t0 = time.perf_counter()
+        seq_disc, n_new = with_global_seq(
+            unseen, ["_src_seq", "_src_pos"], out="disc_seq",
+            return_count=True,
+        )
+        phase_t["extract_seen"] = round(time.perf_counter() - _t0, 3)
         new_disc = (
-            with_global_seq(unseen, ["_src_seq", "_src_pos"], out="disc_seq")
-            .withColumn("disc_round", F.lit(rnd))
+            seq_disc.withColumn("disc_round", F.lit(rnd))
             .select("disc_round", "disc_seq", "url", "host")
-        ).cache()
+        )
 
         if seed_disc is not None:
             disc_to_commit = seed_disc.unionByName(new_disc)
@@ -293,23 +294,27 @@ def run_crawl(
         else:
             disc_to_commit = new_disc
 
-        next_frontier = frontier_rem.unionByName(new_disc).cache()
+        next_frontier = frontier_rem.unionByName(new_disc)
         bloom = bloom.add(new_disc.select("url"))
 
         # -- atomic round commit -------------------------------------------
-        n_frontier = next_frontier.count()
+        # frontier size tracked arithmetically: previous size minus the
+        # scheduled rows plus this round's new discoveries — no count job
+        n_frontier = n_frontier - n_scheduled + n_new
         _commit(
             store, rnd, spark, pages_df, links.drop("seq"), disc_to_commit,
             next_frontier, cooldown, bloom, stats,
-            n_frontier=n_frontier, cooldown_events=cooldown_events,
-            page_text_df=page_text_df,
+            n_frontier=n_frontier, config=config, phase_timings=phase_t,
         )
 
         # re-read committed state → bounded lineage across rounds
+        from crawler_spark.operators.topk import drain_persisted
+
         frontier.unpersist()
         scheduled.unpersist()
         fetched.unpersist()
         links.unpersist()
+        drain_persisted()
         frontier = store.read_snapshot("frontier", rnd, DISC_SCHEMA).cache()
         bloom = BloomSeenSet.load(
             spark, store.table_round_path("bloom", rnd), bloom_buckets,
@@ -321,7 +326,9 @@ def run_crawl(
 
 def _empty_pages(spark):
     return spark.createDataFrame(
-        [], "seq long, url string, host string, status int, type string"
+        [],
+        "seq long, url string, host string, status int, type string, "
+        "text string, retry_after int",
     )
 
 
@@ -331,6 +338,34 @@ def _empty_links(spark):
         "source string, source_host string, url string, host string, "
         "link_pos int",
     )
+
+
+def _hot_hosts_from_files(
+    path: str, files: list[str]
+) -> list[tuple[str, int | None]]:
+    """(host, retry_after-of-min-seq) for hosts with a 429 row — read from
+    the round's parquet files on the driver (they are budget-bounded)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    frames = []
+    cols = ["seq", "host", "status", "type", "retry_after"]
+    for f in files:
+        frames.append(
+            pq.read_table(os.path.join(path, f), columns=cols).to_pandas()
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    hot = pdf[(pdf["status"] == 429) & (pdf["type"] == "error")]
+    if hot.empty:
+        return []
+    first = hot.sort_values("seq", kind="mergesort").groupby(
+        "host", sort=True
+    ).first()
+    return [
+        (h, None if pd.isna(r["retry_after"]) else int(r["retry_after"]))
+        for h, r in first.iterrows()
+    ]
 
 
 def _commit(
@@ -345,28 +380,74 @@ def _commit(
     bloom: BloomSeenSet,
     stats: CrawlStats,
     n_frontier: int,
-    cooldown_events: list[tuple[str, int]] | None = None,
-    page_text_df: DataFrame | None = None,
+    config: CrawlConfig | None = None,
+    phase_timings: dict[str, float] | None = None,
 ) -> None:
+    import time as _time
+
+    timings: dict[str, float] = dict(phase_timings or {})
+
+    def _timed(name, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        timings[name] = round(_time.perf_counter() - t0, 3)
+        return out
+
     lineage: dict[str, list[str]] = {}
-    lineage["pages"] = store.write_round_table("pages", rnd, pages_df)
-    if page_text_df is None:
-        page_text_df = spark.createDataFrame([], "url string, text string")
-    lineage["page_text"] = store.write_round_table("page_text", rnd, page_text_df)
-    lineage["links"] = store.write_round_table("links", rnd, links_df)
-    lineage["discoveries"] = store.write_round_table("discoveries", rnd, disc_df)
-    lineage["frontier"] = store.write_round_table("frontier", rnd, frontier_df)
-    cd_df = spark.createDataFrame(
-        [(h, e) for h, e in cooldown.items()] or [], COOLDOWN_SCHEMA
+    lineage["pages"], n_pages = _timed(
+        "w_pages", lambda: store.write_round_table("pages", rnd, pages_df)
     )
-    lineage["cooldown"] = store.write_round_table("cooldown", rnd, cd_df)
-    bloom.checkpoint(store.table_round_path("bloom", rnd))
+    # 429 cooldown updates, add-if-absent per host (storage.ts:216):
+    # derived from the just-written pages parquet via a driver-side pyarrow
+    # read (tiny files) — no dedicated Spark collect job
+    cooldown_events: list[tuple[str, int]] = []
+    if config is not None and n_pages:
+        hot = _hot_hosts_from_files(
+            store.table_round_path("pages", rnd), lineage["pages"]
+        )
+        for h, retry in hot:
+            if cooldown.get(h, -1) >= rnd:
+                continue  # already cooling
+            retry = DEFAULT_COOLDOWN_SECONDS if retry is None else int(retry)
+            expire = rnd + max(1, math.ceil(retry / config.round_seconds))
+            cooldown[h] = expire
+            cooldown_events.append((h, expire))
+    lineage["links"], n_links = _timed(
+        "w_links", lambda: store.write_round_table("links", rnd, links_df)
+    )
+    lineage["discoveries"], n_disc = _timed(
+        "w_discoveries",
+        lambda: store.write_round_table("discoveries", rnd, disc_df),
+    )
+    lineage["frontier"], _ = _timed(
+        "w_frontier",
+        lambda: store.write_round_table("frontier", rnd, frontier_df),
+    )
+    # cooldown is driver-resident state (a small dict) — pyarrow write,
+    # not a Spark job
+    import pyarrow as pa
+
+    cd_pdf = pd.DataFrame(
+        {
+            "host": list(cooldown),
+            "expire_round": list(cooldown.values()),
+        }
+    )
+    cd_schema = pa.schema(
+        [("host", pa.string()), ("expire_round", pa.int32())]
+    )
+    lineage["cooldown"] = _timed(
+        "w_cooldown",
+        lambda: store.write_driver_table("cooldown", rnd, cd_pdf, cd_schema),
+    )
+    _timed(
+        "w_bloom",
+        lambda: bloom.checkpoint(store.table_round_path("bloom", rnd)),
+    )
     lineage["bloom"] = ["bloom.parquet"]
 
-    n_pages = pages_df.count()
-    n_links = links_df.count()
-    n_disc = disc_df.count()
     metrics = {
+        "timings_sec": timings,
         "scheduled": n_pages,
         "links_found": n_links,
         "new_discoveries": n_disc,

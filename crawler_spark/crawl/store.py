@@ -42,10 +42,13 @@ from pyspark.sql import functions as F
 
 TABLES = (
     "pages", "links", "discoveries", "frontier", "cooldown", "bloom",
-    "page_text",
 )
 
 PAGES_SCHEMA = "round int, seq long, url string, host string, status int, type string"
+# on disk, pages also carries the extracted text (nullable; html rows
+# only) and the 429 retry_after — fused so one write serves page results,
+# the text table, and driver-side cooldown derivation
+PAGES_FILE_SCHEMA = PAGES_SCHEMA + ", text string, retry_after int"
 LINKS_SCHEMA = (
     "round int, source string, source_host string, url string, host string, "
     "link_pos int"
@@ -56,9 +59,19 @@ PAGE_TEXT_SCHEMA = "round int, url string, text string"
 
 
 class CrawlStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        max_write_partitions: int | None = None,
+    ):
+        """``max_write_partitions`` caps output files per round table
+        (coalesce, no shuffle). Local/bench runs set a small cap so a round
+        is not dominated by filesystem metadata for hundreds of tiny files;
+        cluster runs leave None (natural partitioning)."""
         self.spark = spark
         self.root = root
+        self.max_write_partitions = max_write_partitions
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
     # -- paths --------------------------------------------------------------
@@ -71,13 +84,49 @@ class CrawlStore:
 
     # -- commit protocol ----------------------------------------------------
 
-    def write_round_table(self, table: str, rnd: int, df: DataFrame) -> list[str]:
-        """Write one round partition; returns file lineage."""
+    def write_round_table(
+        self, table: str, rnd: int, df: DataFrame
+    ) -> tuple[list[str], int]:
+        """Write one round partition; returns (file lineage, row count).
+
+        The row count is harvested from the parquet footers — free local
+        metadata reads instead of a second Spark job per table."""
         path = self.table_round_path(table, rnd)
+        if self.max_write_partitions is not None:
+            df = df.coalesce(self.max_write_partitions)
         df.write.mode("overwrite").parquet(path)
-        return sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        return files, self._rows_in(path, files)
+
+    @staticmethod
+    def _rows_in(path: str, files: list[str]) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in files
         )
+
+    def write_driver_table(
+        self, table: str, rnd: int, pdf, arrow_schema=None
+    ) -> list[str]:
+        """Write driver-resident state (e.g. the cooldown dict) directly
+        with pyarrow — tiny tables shouldn't cost a Spark job each round.
+        ``arrow_schema`` pins column types (an empty object column would
+        otherwise become unreadable null-type parquet)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.table_round_path(table, rnd)
+        os.makedirs(path, exist_ok=True)
+        fname = "part-00000.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf, schema=arrow_schema, preserve_index=False
+            ),
+            os.path.join(path, fname),
+        )
+        return [fname]
 
     def commit_round(self, rnd: int, metrics: dict[str, Any],
                      lineage: dict[str, list[str]]) -> None:
@@ -173,4 +222,10 @@ class CrawlStore:
         )
 
     def read_page_text(self) -> DataFrame:
-        return self._read_all("page_text", PAGE_TEXT_SCHEMA)
+        """(round, url, text) for fetched html pages — backed by the fused
+        text column on the pages table."""
+        return (
+            self._read_all("pages", PAGES_FILE_SCHEMA)
+            .where(F.col("type") == "html")
+            .select("round", "url", "text")
+        )

@@ -34,6 +34,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# frames persisted internally by with_global_seq; long-running drivers
+# (the crawl round loop) call drain_persisted() once downstream results
+# are checkpointed to bound cache growth
+_PERSISTED: list[DataFrame] = []
+
+
+def drain_persisted() -> None:
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def topk_per_group(
     df: DataFrame,
@@ -82,8 +92,13 @@ def with_global_seq(
     out: str = "seq",
     num_partitions: int | None = None,
     start: int = 0,
-) -> DataFrame:
-    """Add a dense global 0-based (plus ``start``) sequence by total order."""
+    return_count: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Add a dense global 0-based (plus ``start``) sequence by total order.
+
+    ``return_count=True`` also returns the exact row count — free, since
+    the per-partition offset computation already counted every row; callers
+    then never need a separate ``count()`` job."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -98,6 +113,7 @@ def with_global_seq(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    _PERSISTED.append(parted)
     # one count per partition — tiny driver round-trip, NOT a data collect
     counts = {
         r["_pid"]: r["cnt"]
@@ -111,9 +127,12 @@ def with_global_seq(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    result = (
         parted.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(offset_df), "_pid")
         .withColumn(out, (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    if return_count:
+        return result, sum(counts.values())
+    return result

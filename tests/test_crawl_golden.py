@@ -142,7 +142,7 @@ def test_manifest_lineage_present(crawl_outputs):
     for rnd in rounds:
         m = store.read_manifest(rnd)
         assert set(m["lineage"]) >= {"pages", "links", "discoveries",
-                                     "frontier", "cooldown", "page_text"}
+                                     "frontier", "cooldown"}
         assert "scheduled" in m["metrics"]
     assert stats.pages == sum(
         store.read_manifest(r)["metrics"]["scheduled"] for r in rounds
