@@ -501,6 +501,34 @@ def q_simhash_sigs(spark, sf):
     return simhash_signatures(d)
 
 
+def q_simhash_near_dups(spark, sf):
+    """Hamming-≤1 near-dup pairs via 4-chunk pigeonhole banding.
+
+    Short synthetic docs over a tiny vocabulary cluster tightly in simhash
+    space, so the query restricts to hamming ≤ 1 and doc_id < 300 to keep
+    the pair set meaningful."""
+    from crawler_spark.operators.dedup import simhash_near_dups
+
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return simhash_near_dups(d, max_hamming=1)
+
+
+def q_knn_join(spark, sf):
+    """Multi-query exact k-NN join: 8 query vectors × corpus (broadcast
+    queries, per-partition matmul, skew-safe global top-k)."""
+    from crawler_spark.operators.similarity import cosine_topk_join
+
+    e = _read(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_join(q, e, k=5).select(
+        "query_id", "vec_id",
+        F.round("cosine", 6).cast("double").alias("cosine"),
+        F.col("_rank").cast("int").alias("rank"),
+    )
+
+
 def q_lsh_ann(spark, sf):
     """LSH-bucketed approximate nearest neighbors for one query vector."""
     from crawler_spark.operators.similarity import lsh_ann_topk
@@ -645,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_summaries": q_doc_summaries,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_sigs": q_simhash_sigs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "knn_join": q_knn_join,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
@@ -924,6 +954,30 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])
                   ) >= 0.35
+        """,
+        "knn_join": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])
+                       ) AS cosine
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id,
+                   CAST(round(cosine, 6) AS DOUBLE) AS cosine,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "knn_bruteforce": """
             WITH q AS (
