@@ -55,6 +55,9 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_sigs",
     "knn_bruteforce",
+    "knn_join",
+    "embedding_cosine_pairs",
+    "ivf_ann",
     "doc_language_id",
 ]
 
@@ -92,14 +95,23 @@ def _bench_queries(spark) -> dict[str, float]:
     return out
 
 
-def _bench_crawl(spark) -> dict:
+def _bench_crawl(spark, replicate: int = 8) -> dict:
     """End-to-end crawl (budgets, robots, bloom seen-set, checkpoints) over
-    the documents-derived mini-web at the bench scale factor."""
+    the documents-derived mini-web, replicated to ~40k pages so per-round
+    fixed overhead is amortized as it would be at production round sizes."""
+    from pyspark.sql import functions as F
+
     from crawler_spark.crawl.driver import run_crawl
     from crawler_spark.fixtures.doccorpus import corpus_from_documents, seed_urls
     from crawler_spark.oracle.crawloracle import CrawlConfig
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).withColumnRenamed("id", "_rep")
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("_rep")
+        ).drop("_rep")
     # the source is ONE small parquet file → 1-2 input partitions; without
     # an explicit repartition the whole corpus lands on 1-2 cores. Hash on
     # url (the join key downstream). Fixed count → identical work at any
@@ -107,12 +119,13 @@ def _bench_crawl(spark) -> dict:
     corpus = corpus_from_documents(docs).repartition(64, "url").cache()
     corpus.count()  # exclude corpus synthesis from crawl timing
     cfg = CrawlConfig(
-        budgets={"*": 1500, "hot.docs.test": 6000}, max_rounds=5
+        budgets={"*": 1500 * replicate, "hot.docs.test": 6000 * replicate},
+        max_rounds=5,
     )
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.perf_counter()
-    stats = run_crawl(spark, corpus, seed_urls(64), cfg, root,
-                      bloom_buckets=16, bloom_bits=1 << 18)
+    stats = run_crawl(spark, corpus, seed_urls(64 * replicate), cfg, root,
+                      bloom_buckets=16, bloom_bits=1 << 22)
     dt = time.perf_counter() - t0
     corpus.unpersist()
     return {
