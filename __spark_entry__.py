@@ -624,6 +624,23 @@ def q_stream_host_budget(spark, sf):
     return spark.read.parquet(f"{tmp}/out")
 
 
+def q_robots_rules(spark, sf):
+    """T5: distributed robots.txt parse → broadcast-sized rule table."""
+    from crawler_spark.functions.robots import rules_from_bodies
+
+    hosts = [f"d{i}.docs.test" for i in range(8)] + ["hot.docs.test"]
+    body = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /tmp*\n"
+    )
+    df = spark.createDataFrame(
+        [(h, body if i % 3 else body + "Disallow: /extra\n")
+         for i, h in enumerate(hosts)],
+        "host string, body string",
+    )
+    return rules_from_bodies(df).orderBy("host", "rule")
+
+
 def q_doc_winnow_fingerprints(spark, sf):
     from crawler_spark.operators.quality import fingerprints
 
@@ -681,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_language_id": q_doc_language_id,
+        "robots_rules": q_robots_rules,
         "stream_frontier_ingest": q_stream_frontier_ingest,
         "stream_host_budget": q_stream_host_budget,
     }
