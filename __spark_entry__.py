@@ -899,7 +899,7 @@ def oracle_sql() -> dict[str, str]:
                            '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]'))
                            AS punct,
                        len(list_filter(
-                           string_split(lower(text), ' '),
+                           string_split_regex(lower(text), '\s+'),
                            x -> x IN ('the','and','of','to','in','is','that',
                                       'for','with','was')
                        )) AS stop_hits

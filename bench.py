@@ -70,9 +70,9 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def _materialize(df) -> int:
+def _materialize(df) -> None:
     """Force full execution without driver-side collect cost."""
-    return df.write.mode("overwrite").format("noop").save() or df.count()
+    df.write.mode("overwrite").format("noop").save()
 
 
 def _spark(cpus: int):

@@ -73,19 +73,32 @@ def block_sentiment(blocks: DataFrame) -> DataFrame:
     return blocks.withColumn("sentiment", sentiment_udf("text"))
 
 
-def page_summaries(blocks: DataFrame) -> DataFrame:
+def page_summaries(
+    blocks: DataFrame, all_urls: DataFrame | None = None
+) -> DataFrame:
     """Per-url summary (``calcSummary``, ``text.ts:185-208``).
 
     Whole-page semantics (corpus-relative block weights + stable top-2) →
     grouped-map ``applyInPandas``; per-group data is one page's blocks.
+
+    A page whose extraction produced ZERO blocks has no rows in
+    ``blocks`` — the reference still stores the sentinel summary for it
+    (``calc_summary([])``). Pass ``all_urls`` (a one-column ``url``
+    DataFrame of every page) to emit those sentinel rows too; without it
+    only pages with ≥1 block get a summary row.
     """
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        texts = pdf.sort_values("block_idx")["text"].tolist()
+        texts = pdf.sort_values("block_idx")["text"].dropna().tolist()
         return pd.DataFrame({"url": [pdf["url"].iloc[0]],
                              "summary": [calc_summary(texts)]})
 
-    return blocks.groupBy("url").applyInPandas(
+    src = blocks.select("url", "block_idx", "text")
+    if all_urls is not None:
+        # left join puts a single null-text row under block-less urls;
+        # dropna() in the kernel turns it into calc_summary([])
+        src = all_urls.select("url").distinct().join(src, "url", "left")
+    return src.groupBy("url").applyInPandas(
         summarize, "url string, summary string"
     )
 

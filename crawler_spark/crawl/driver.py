@@ -92,7 +92,7 @@ def seed_discoveries(
 ) -> DataFrame:
     """Seeds become disc_round = -1 discoveries; disc_seq = seed-list index
     (pre-filter, matching the oracle's enumerate order)."""
-    rows = []
+    rows: dict[str, tuple[int, int, str, str]] = {}
     for i, url in enumerate(seeds):
         host = get_hostname(url)
         if not is_fetchable(url):
@@ -103,8 +103,9 @@ def seed_discoveries(
 
         if not config.robots_allowed(host, _url_path(url)):
             continue
-        rows.append((-1, i, url, host))
-    return spark.createDataFrame(rows, DISC_SCHEMA)
+        # first occurrence wins — matches the oracle's setdefault dedup
+        rows.setdefault(url, (-1, i, url, host))
+    return spark.createDataFrame(list(rows.values()), DISC_SCHEMA)
 
 
 def run_crawl(
@@ -190,6 +191,8 @@ def run_crawl(
         scheduled = scheduled.cache()
         phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
         if n_scheduled == 0:
+            from crawler_spark.operators.topk import drain_persisted
+
             if any(e >= rnd for e in cooldown.values()):
                 # everything eligible is cooling — commit an empty round so
                 # round numbering (and cooldown expiry) stays resumable
@@ -197,7 +200,11 @@ def run_crawl(
                 _commit(store, rnd, spark, _empty_pages(spark),
                         _empty_links(spark), self_urls, frontier, cooldown,
                         bloom, stats, n_frontier=n_frontier)
+                scheduled.unpersist()
+                drain_persisted()
                 continue
+            scheduled.unpersist()
+            drain_persisted()
             break
 
         # -- simulated fetch ----------------------------------------------
@@ -359,12 +366,15 @@ def _hot_hosts_from_files(
     hot = pdf[(pdf["status"] == 429) & (pdf["type"] == "error")]
     if hot.empty:
         return []
-    first = hot.sort_values("seq", kind="mergesort").groupby(
-        "host", sort=True
-    ).first()
+    # NOT groupby().first(): pandas first() skips NaN per column and would
+    # take a later row's retry_after when the min-seq row's is null —
+    # diverging from the oracle (which uses the min-seq row verbatim)
+    first = hot.sort_values("seq", kind="mergesort").drop_duplicates(
+        subset="host", keep="first"
+    ).sort_values("host")
     return [
-        (h, None if pd.isna(r["retry_after"]) else int(r["retry_after"]))
-        for h, r in first.iterrows()
+        (r["host"], None if pd.isna(r["retry_after"]) else int(r["retry_after"]))
+        for _, r in first.iterrows()
     ]
 
 

@@ -14,12 +14,12 @@ This module compiles real robots.txt bodies into those tuples:
   ``User-agent`` lines stack onto one group; groups for other agents are
   ignored entirely.
 - ``Allow``/``Disallow`` values are treated as path prefixes. RFC 9309
-  wildcards are handled conservatively: a pattern is truncated at its
-  first ``*`` (the prefix before the wildcard is enforced; anything the
-  full pattern would additionally constrain is permitted) and a trailing
-  ``$`` anchor is dropped. This errs on the side of fetching only when a
-  wildcard pattern would have denied a *longer* specialization — never
-  fetches what a plain prefix rule denies.
+  wildcards are handled conservatively — never fetch what a plain prefix
+  rule denies: a ``Disallow`` pattern is truncated at its first ``*``
+  (and a trailing ``$`` dropped), which can only over-block; an ``Allow``
+  pattern containing ``*`` or ``$`` is dropped entirely (truncating it
+  would WIDEN the allow and could override a plain ``Disallow`` via
+  allow-wins-ties), which can only under-fetch.
 - empty ``Disallow:`` means allow-all (emitted as no rule); comments
   (``#``), CRLF, and case-insensitive field names handled.
 
@@ -40,11 +40,19 @@ from pyspark.sql import DataFrame
 ROBOTS_RULE_SCHEMA = "host string, rule string, allow boolean"
 
 
-def _clean_pattern(value: str) -> str | None:
-    """Robots path pattern → enforceable prefix (None = unenforceable)."""
+def _clean_pattern(value: str, allow: bool) -> str | None:
+    """Robots path pattern → enforceable prefix (None = unenforceable).
+
+    Wildcards/anchors are resolved in the never-over-fetch direction:
+    truncating a Disallow over-blocks (safe); truncating an Allow would
+    widen it past what RFC 9309 grants, so wildcarded Allows are dropped.
+    """
     v = value.strip()
     if not v:
         return None  # empty Disallow: allow all ⇒ no rule
+    has_wild = "*" in v or v.endswith("$")
+    if has_wild and allow:
+        return None
     star = v.find("*")
     if star >= 0:
         v = v[:star]
@@ -111,7 +119,7 @@ def parse_robots_txt(
 
     out = []
     for value, allow in best:
-        prefix = _clean_pattern(value)
+        prefix = _clean_pattern(value, allow)
         if prefix is not None:
             out.append((host, prefix, allow))
     return out

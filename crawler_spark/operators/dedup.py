@@ -216,22 +216,35 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ d via 4-chunk pigeonhole banding.
+    """Pairs with hamming(simhash) ≤ d via pigeonhole banding.
 
-    d ≤ 3 guarantees at least one of the four 16-bit chunks is equal, so
-    candidates are found by equality joins on chunks, then verified with
-    JVM-side ``bit_count(xor)``.
+    The 64-bit signature is split into ``d + 1`` chunks: d bit-flips
+    cannot touch every chunk, so two signatures within hamming d share at
+    least one equal chunk — candidates come from equality joins on
+    chunks, then exact verification with JVM-side ``bit_count(xor)``.
+    Chunk count scales with ``max_hamming`` (recall guarantee holds for
+    any d ≤ 63); more chunks ⇒ shorter chunks ⇒ more candidates.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(64, n_chunks)
+    bounds = []
+    off = 0
+    for c in range(n_chunks):
+        w = base_w + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("val"),
             )
-            for c in range(4)
+            for c, (off, w) in enumerate(bounds)
         ]
     )
     ex = sigs.select(id_col, "simhash", F.explode(chunks).alias("c")).select(

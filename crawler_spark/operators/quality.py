@@ -118,11 +118,20 @@ def language_id(
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     scores = []
-    for lang, markers in _LANG_MARKERS.items():
+    n_profiles = len(_LANG_MARKERS)
+    for idx, (lang, markers) in enumerate(_LANG_MARKERS.items()):
         hits = F.size(
             F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers]))
         )
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+        # tie-break field: earlier profile order (en, es, de, fr) wins —
+        # sorting desc on the struct compares hits first, then priority
+        scores.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(n_profiles - idx).alias("pri"),
+                F.lit(lang).alias("lang"),
+            )
+        )
     best = F.sort_array(F.array(*scores), asc=False)[0]
     cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
     pred = F.when(

@@ -44,7 +44,10 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from crawler_spark.functions.html import extract_links_from
+from crawler_spark.functions.html import (
+    extract_links_from,
+    extract_text_blocks,
+)
 from crawler_spark.functions.urls import get_hostname, is_fetchable
 
 DEFAULT_COOLDOWN_SECONDS = 3600  # reference workers/crawler.ts:22-25
@@ -183,7 +186,12 @@ def crawl_oracle(
                 links = extract_links_from(html or "", url)
                 for link_url, link_host, pos in links:
                     new_links.append((seq, url, host, link_url, link_host, pos))
-                text_rows.append((url, row.text))
+                # serial extraction from html — the corpus need not carry a
+                # golden text column (generator-vs-extraction independence
+                # is asserted separately in tests against webgen's text)
+                text_rows.append(
+                    (url, "\n".join(extract_text_blocks(html or "")))
+                )
             pages[url] = (rnd, seq, url, host, status, ptype)
             order_rows.append((rnd, seq, url, host, status, ptype))
 

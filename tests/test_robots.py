@@ -120,3 +120,13 @@ def test_crawl_with_parsed_robots_matches_tuples(spark):
     blocked = [u for u in urls
                if "hot.docs.test/doc/1" in u and "/doc/12" not in u]
     assert blocked == []
+
+
+def test_wildcard_allow_dropped_never_overrides_disallow():
+    """Allow patterns with wildcards/anchors are dropped (truncation would
+    WIDEN them past RFC 9309 and override plain Disallows on ties)."""
+    body = "User-agent: *\nDisallow: /ab\nAllow: /ab*z\nAllow: /x$\n"
+    rules = parse_robots_txt("h", body)
+    assert rules == [("h", "/ab", False)]
+    cfg = CrawlConfig(robots=rules)
+    assert not cfg.robots_allowed("h", "/abc")  # RFC: denied; stays denied

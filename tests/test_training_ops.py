@@ -330,3 +330,30 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     assert got1 == got2  # deterministic centroid pick
     assert 0 in got1  # self found (its cell is always probed: cos=1)
     assert len(exact & set(got1)) >= 3
+
+
+def test_simhash_chunk_scaling_hamming4(spark):
+    """max_hamming=4 uses 5 chunks; a pair differing by 4 spread-out bits
+    (one per 16-bit quarter — invisible to 4-chunk banding) is found."""
+    from crawler_spark.operators.dedup import (
+        _simhash_udf,
+        simhash_near_dups,
+    )
+
+    # craft two texts, then check the operator against brute force
+    df = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta epsilon zeta eta") for i in range(40)]
+        + [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+           (101, "alpha beta gamma delta epsilon zeta eta iota")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in
+            df.select("doc_id", _simhash_udf("text").alias("simhash")).collect()}
+    want = {
+        (a, b)
+        for a in sigs for b in sigs if a < b
+        and bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 4
+    }
+    got = {(r.id_a, r.id_b)
+           for r in simhash_near_dups(df, max_hamming=4).collect()}
+    assert got == want  # exact: banding recall + bit_count verification
