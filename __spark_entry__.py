@@ -624,6 +624,28 @@ def q_stream_host_budget(spark, sf):
     return spark.read.parquet(f"{tmp}/out")
 
 
+def q_sitemap_urls(spark, sf):
+    """Sitemap ingest: urlset + sitemapindex + plain-text bodies →
+    canonicalized frontier candidates (distributed parse)."""
+    from crawler_spark.functions.sitemaps import urls_from_sitemaps
+
+    hosts = [f"d{i}.docs.test" for i in range(8)]
+    def body(h):
+        locs = "".join(
+            f"<url><loc>http://{h.upper()}/doc/{j}#x</loc></url>"
+            for j in range(20)
+        )
+        return f'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{locs}</urlset>'
+    rows = [(f"http://{h}/sitemap.xml", body(h)) for h in hosts]
+    rows.append((
+        "http://idx.docs.test/sitemap_index.xml",
+        "<sitemapindex><sitemap><loc>/s1.xml</loc></sitemap>"
+        "<sitemap><loc>/s2.xml</loc></sitemap></sitemapindex>",
+    ))
+    df = spark.createDataFrame(rows, "url string, body string")
+    return urls_from_sitemaps(df).orderBy("url")
+
+
 def q_robots_rules(spark, sf):
     """T5: distributed robots.txt parse → broadcast-sized rule table."""
     from crawler_spark.functions.robots import rules_from_bodies
@@ -699,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_language_id": q_doc_language_id,
         "robots_rules": q_robots_rules,
+        "sitemap_urls": q_sitemap_urls,
         "stream_frontier_ingest": q_stream_frontier_ingest,
         "stream_host_budget": q_stream_host_budget,
     }

@@ -155,7 +155,8 @@ class CrawlStore:
             return json.load(f)
 
     def resume_round(self) -> int | None:
-        """Last committed round; removes orphans from a crashed round."""
+        """Last committed round; removes orphans from a crashed round (and
+        recovers a compaction interrupted between its two renames)."""
         rounds = self.committed_rounds()
         last = rounds[-1] if rounds else None
         # clean any table dir for an uncommitted round (crash mid-write)
@@ -163,6 +164,11 @@ class CrawlStore:
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
+            seg = os.path.join(tdir, "_compacted")
+            if not os.path.isdir(seg) and os.path.isdir(seg + ".old"):
+                os.rename(seg + ".old", seg)  # crashed mid-swap: roll back
+            shutil.rmtree(seg + ".tmp", ignore_errors=True)
+            shutil.rmtree(seg + ".old", ignore_errors=True)
             for name in os.listdir(tdir):
                 if not name.startswith("round="):
                     continue
@@ -171,6 +177,52 @@ class CrawlStore:
                     shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
         return last
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, table: str, schema: str, upto_round: int) -> int:
+        """Merge round partitions ≤ ``upto_round`` of an append-only table
+        (pages/links/discoveries) into one consolidated segment.
+
+        At 10^10 scale a long crawl accumulates thousands of small round
+        partitions; compaction bounds file count while readers stay
+        correct: ``_read_all`` unions the compacted segment (round column
+        materialized in-file) with the remaining ``round=R`` dirs. The
+        swap is write-tmp → rename, and round dirs are only deleted after
+        the new segment is in place (a crash in between leaves duplicates
+        of no round: dirs are removed before the old segment, which never
+        overlaps them). Returns the number of rows compacted."""
+        seg = os.path.join(self.root, table, "_compacted")
+        tmp = seg + ".tmp"
+        df = self._read_all(table, schema).where(F.col("round") <= upto_round)
+        if self.max_write_partitions is not None:
+            df = df.coalesce(self.max_write_partitions)
+        df.write.mode("overwrite").parquet(tmp)
+        n = self._rows_in(
+            tmp, [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        )
+        old = seg + ".old"
+        if os.path.isdir(seg):
+            os.rename(seg, old)
+        os.rename(tmp, seg)
+        shutil.rmtree(old, ignore_errors=True)
+        tdir = os.path.join(self.root, table)
+        for name in os.listdir(tdir):
+            if name.startswith("round=") and int(name.split("=")[1]) <= upto_round:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+        return n
+
+    def prune_snapshots(self, last_round: int) -> None:
+        """Drop per-round snapshot state (frontier/cooldown/bloom) older
+        than ``last_round`` — only the latest snapshot is needed to
+        resume; history lives in the append-only logs + manifests."""
+        for table in ("frontier", "cooldown", "bloom"):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                if name.startswith("round=") and int(name.split("=")[1]) < last_round:
+                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+
     # -- reads ----------------------------------------------------------------
 
     def _read_all(self, table: str, schema: str) -> DataFrame:
@@ -178,18 +230,37 @@ class CrawlStore:
 
         The partition dir ``round=R`` supplies the ``round`` column; the
         explicit schema keeps empty round partitions (a round that
-        discovered nothing) readable.
+        discovered nothing) readable. A compacted segment (see
+        ``compact``) carries ``round`` in-file and is unioned in.
         """
         tdir = os.path.join(self.root, table)
-        if not os.path.isdir(tdir) or not any(
+        seg = os.path.join(tdir, "_compacted")
+        parts = []
+        if os.path.isdir(seg) and any(
+            f.endswith(".parquet") for f in os.listdir(seg)
+        ):
+            parts.append(self.spark.read.schema(schema).parquet(seg))
+        if os.path.isdir(tdir) and any(
             n.startswith("round=") for n in os.listdir(tdir)
         ):
-            return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.schema(schema)
-            .option("basePath", tdir)
-            .parquet(tdir)
+            parts.append(
+                self.spark.read.schema(schema)
+                .option("basePath", tdir)
+                .parquet(os.path.join(tdir, "round=*"))
+            )
+        empty = self.spark.createDataFrame([], schema)
+        # normalize column ORDER to the partitioned-read convention (the
+        # round partition column comes last) so compaction is invisible
+        # to existing readers
+        cols = [c for c in empty.columns if c != "round"] + (
+            ["round"] if "round" in empty.columns else []
         )
+        if not parts:
+            return empty.select(*cols)
+        out = parts[0].select(*cols)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(*cols))
+        return out
 
     def read_pages(self) -> DataFrame:
         return self._read_all("pages", PAGES_SCHEMA)

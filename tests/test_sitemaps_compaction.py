@@ -1,0 +1,129 @@
+"""Sitemap parsing and store compaction/pruning."""
+
+import os
+import tempfile
+
+from crawler_spark.functions.sitemaps import parse_sitemap, urls_from_sitemaps
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://A.test/page?b=2&amp;a=1</loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc> http://a.test/other#frag </loc></url>
+  <url><loc>not a url</loc></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.test/sitemap-1.xml</loc></sitemap>
+  <sitemap><loc>/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+PLAIN = "http://p.test/x\n# comment\nhttp://p.test/y\n"
+
+
+def test_parse_urlset():
+    pages, kids = parse_sitemap(URLSET)
+    assert pages == [
+        "http://A.test/page?b=2&a=1", "http://a.test/other#frag", "not a url"
+    ]
+    assert kids == []
+
+
+def test_parse_index_and_plain():
+    pages, kids = parse_sitemap(INDEX)
+    assert pages == [] and kids == [
+        "http://a.test/sitemap-1.xml", "/sitemap-2.xml"
+    ]
+    pages, kids = parse_sitemap(PLAIN)
+    assert pages == ["http://p.test/x", "http://p.test/y"] and kids == []
+
+
+def test_urls_from_sitemaps_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [("http://a.test/sitemap.xml", URLSET),
+         ("http://a.test/sitemap_index.xml", INDEX),
+         ("http://p.test/urls.txt", PLAIN),
+         ("http://z.test/empty.xml", None)],
+        "url string, body string",
+    )
+    rows = urls_from_sitemaps(df).collect()
+    pages = {r.url for r in rows if r.kind == "page"}
+    kids = {r.url for r in rows if r.kind == "sitemap"}
+    # canonicalized: host lowered, query sorted, fragment stripped;
+    # scheme-less locs resolve against the sitemap url (browser-style
+    # tolerance — junk resolves to a fetchable-but-404 path)
+    assert pages == {
+        "http://a.test/page?a=1&b=2", "http://a.test/other",
+        "http://a.test/not%20a%20url",
+        "http://p.test/x", "http://p.test/y",
+    }
+    # relative child resolved against the parent sitemap url
+    assert kids == {
+        "http://a.test/sitemap-1.xml", "http://a.test/sitemap-2.xml"
+    }
+    hosts = {r.host for r in rows}
+    assert hosts == {"a.test", "p.test"}
+
+
+def _crawled_store(spark, max_rounds=4):
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.crawl.store import CrawlStore
+    from crawler_spark.fixtures.doccorpus import corpus_from_documents, seed_urls
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = corpus_from_documents(docs).cache()
+    cfg = CrawlConfig(budgets={"*": 8, "hot.docs.test": 16},
+                      max_rounds=max_rounds)
+    root = tempfile.mkdtemp(prefix="compact_")
+    run_crawl(spark, corpus, seed_urls(2), cfg, root, bloom_buckets=4,
+              bloom_bits=1 << 14)
+    return CrawlStore(spark, root), corpus, cfg, root
+
+
+def test_compaction_preserves_reads_and_resume(spark):
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.crawl.store import PAGES_FILE_SCHEMA, LINKS_SCHEMA
+
+    store, corpus, cfg, root = _crawled_store(spark, max_rounds=3)
+    before_pages = sorted(
+        tuple(r) for r in store.read_pages().collect()
+    )
+    before_links = store.read_links().count()
+    last = store.committed_rounds()[-1]
+
+    n = store.compact("pages", PAGES_FILE_SCHEMA, upto_round=last)
+    store.compact("links", LINKS_SCHEMA, upto_round=last)
+    store.prune_snapshots(last)
+    assert n == len(before_pages)
+    # round dirs gone, reads identical
+    pdir = os.path.join(root, "pages")
+    assert not any(d.startswith("round=") for d in os.listdir(pdir))
+    assert sorted(tuple(r) for r in store.read_pages().collect()) == before_pages
+    assert store.read_links().count() == before_links
+
+    # resume after compaction continues the crawl correctly
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    cfg5 = CrawlConfig(budgets=cfg.budgets, max_rounds=5)
+    from crawler_spark.fixtures.doccorpus import seed_urls
+
+    run_crawl(spark, corpus, seed_urls(2), cfg5, root, bloom_buckets=4,
+              bloom_bits=1 << 14, resume=True)
+    resumed = store.read_pages()
+    # uninterrupted reference run
+    store2, _, _, _ = _crawled_store(spark, max_rounds=5)
+    want = sorted(tuple(r) for r in store2.read_pages().collect())
+    assert sorted(tuple(r) for r in resumed.collect()) == want
+
+
+def test_compaction_idempotent_second_pass(spark):
+    from crawler_spark.crawl.store import PAGES_FILE_SCHEMA
+
+    store, _, _, _ = _crawled_store(spark, max_rounds=4)
+    rounds = store.committed_rounds()
+    before = sorted(tuple(r) for r in store.read_pages().collect())
+    store.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[1])
+    mid = sorted(tuple(r) for r in store.read_pages().collect())
+    assert mid == before  # segment + remaining rounds
+    store.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[-1])
+    assert sorted(tuple(r) for r in store.read_pages().collect()) == before
