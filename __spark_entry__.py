@@ -317,6 +317,32 @@ def q_doc_tags_top3(spark, sf):
     )
 
 
+def q_doc_tfidf(spark, sf):
+    """Corpus TF-IDF: tf = per-doc count / doc max; idf = ln(N / df);
+    one pass of partial-aggregated counts + a broadcast-joined df table."""
+    d = _read(spark, sf, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.length("term") > 0)
+    counts = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    df_tbl = counts.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.partitionBy("doc_id")
+    tf = counts.withColumn("tf", F.col("cnt") / F.max("cnt").over(w))
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).cast("double").alias("tfidf"),
+        )
+    )
+
+
 def q_doc_exact_dedup(spark, sf):
     """D4: exact dedup via content grouping (operators.dedup)."""
     from crawler_spark.operators.dedup import exact_duplicates
@@ -694,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_windows": q_round_windows,
         "first_event_dedup": q_first_event_dedup,
         "doc_term_frequency": q_doc_term_frequency,
+        "doc_tfidf": q_doc_tfidf,
         "doc_trigram_tf": q_doc_trigram_tf,
         "doc_tags_top3": q_doc_tags_top3,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -866,6 +893,24 @@ def oracle_sql() -> dict[str, str]:
                         max(cnt) OVER (PARTITION BY doc_id), 6) AS DOUBLE)
                        AS score
             FROM c
+        """,
+        "doc_tfidf": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), c AS (
+                SELECT doc_id, term, count(*) AS cnt FROM toks
+                WHERE length(term) > 0 GROUP BY 1, 2
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM c GROUP BY 1
+            )
+            SELECT c.doc_id, c.term,
+                   CAST(round(
+                       (c.cnt * 1.0 / max(c.cnt) OVER (PARTITION BY c.doc_id))
+                       * ln(n.n_docs * 1.0 / dfreq.df), 6) AS DOUBLE)
+                       AS tfidf
+            FROM c JOIN dfreq USING (term) CROSS JOIN n
         """,
         "doc_trigram_tf": trigram_cte
         + """
