@@ -234,6 +234,11 @@ def main() -> None:
             print(json.dumps(_bench_crawl(spark)))
             return
 
+        # absorb JVM/codegen/python-worker warmup outside per-query timings
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).groupBy(
+            "l_returnflag"
+        ).count().write.mode("overwrite").format("noop").save()
+
         queries = _bench_queries(spark)
         crawl = _bench_crawl(spark)
         total = round(sum(queries.values()) + crawl["sec"], 3)

@@ -403,36 +403,68 @@ def _commit(
         timings[name] = round(_time.perf_counter() - t0, 3)
         return out
 
+    # The five Spark writes are independent jobs over chains rooted at the
+    # same cached frames — submit them from concurrent driver threads so
+    # the round's commit wall is max(write) instead of sum(write).
+    # (Concurrent evaluation of a shared cached partition is safe: the
+    # BlockManager's per-block loading lock makes one task compute it and
+    # the others wait.)
+    from concurrent.futures import ThreadPoolExecutor
+
     lineage: dict[str, list[str]] = {}
-    lineage["pages"], n_pages = _timed(
-        "w_pages", lambda: store.write_round_table("pages", rnd, pages_df)
-    )
-    # 429 cooldown updates, add-if-absent per host (storage.ts:216):
-    # derived from the just-written pages parquet via a driver-side pyarrow
-    # read (tiny files) — no dedicated Spark collect job
-    cooldown_events: list[tuple[str, int]] = []
-    if config is not None and n_pages:
-        hot = _hot_hosts_from_files(
-            store.table_round_path("pages", rnd), lineage["pages"]
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_pages = pool.submit(
+            lambda: _timed(
+                "w_pages",
+                lambda: store.write_round_table("pages", rnd, pages_df),
+            )
         )
-        for h, retry in hot:
-            if cooldown.get(h, -1) >= rnd:
-                continue  # already cooling
-            retry = DEFAULT_COOLDOWN_SECONDS if retry is None else int(retry)
-            expire = rnd + max(1, math.ceil(retry / config.round_seconds))
-            cooldown[h] = expire
-            cooldown_events.append((h, expire))
-    lineage["links"], n_links = _timed(
-        "w_links", lambda: store.write_round_table("links", rnd, links_df)
-    )
-    lineage["discoveries"], n_disc = _timed(
-        "w_discoveries",
-        lambda: store.write_round_table("discoveries", rnd, disc_df),
-    )
-    lineage["frontier"], _ = _timed(
-        "w_frontier",
-        lambda: store.write_round_table("frontier", rnd, frontier_df),
-    )
+        f_links = pool.submit(
+            lambda: _timed(
+                "w_links",
+                lambda: store.write_round_table("links", rnd, links_df),
+            )
+        )
+        f_disc = pool.submit(
+            lambda: _timed(
+                "w_discoveries",
+                lambda: store.write_round_table("discoveries", rnd, disc_df),
+            )
+        )
+        f_frontier = pool.submit(
+            lambda: _timed(
+                "w_frontier",
+                lambda: store.write_round_table("frontier", rnd, frontier_df),
+            )
+        )
+        f_bloom = pool.submit(
+            lambda: _timed(
+                "w_bloom",
+                lambda: bloom.checkpoint(store.table_round_path("bloom", rnd)),
+            )
+        )
+        lineage["pages"], n_pages = f_pages.result()
+        # 429 cooldown updates, add-if-absent per host (storage.ts:216):
+        # derived from the just-written pages parquet via a driver-side
+        # pyarrow read (tiny files) — no dedicated Spark collect job
+        cooldown_events: list[tuple[str, int]] = []
+        if config is not None and n_pages:
+            hot = _hot_hosts_from_files(
+                store.table_round_path("pages", rnd), lineage["pages"]
+            )
+            for h, retry in hot:
+                if cooldown.get(h, -1) >= rnd:
+                    continue  # already cooling
+                retry = (
+                    DEFAULT_COOLDOWN_SECONDS if retry is None else int(retry)
+                )
+                expire = rnd + max(1, math.ceil(retry / config.round_seconds))
+                cooldown[h] = expire
+                cooldown_events.append((h, expire))
+        lineage["links"], n_links = f_links.result()
+        lineage["discoveries"], n_disc = f_disc.result()
+        lineage["frontier"], _ = f_frontier.result()
+        f_bloom.result()
     # cooldown is driver-resident state (a small dict) — pyarrow write,
     # not a Spark job
     import pyarrow as pa
@@ -449,10 +481,6 @@ def _commit(
     lineage["cooldown"] = _timed(
         "w_cooldown",
         lambda: store.write_driver_table("cooldown", rnd, cd_pdf, cd_schema),
-    )
-    _timed(
-        "w_bloom",
-        lambda: bloom.checkpoint(store.table_round_path("bloom", rnd)),
     )
     lineage["bloom"] = ["bloom.parquet"]
 
