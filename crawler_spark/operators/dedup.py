@@ -106,9 +106,17 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs sharing ≥1 LSH band bucket, with
-    ``est_jaccard`` = signature agreement fraction."""
+    ``est_jaccard`` = signature agreement fraction.
+
+    ``max_bucket_size`` guards against degenerate mega-buckets (boiler-
+    plate/duplicated shingle sets put huge doc sets into one (band, hash)
+    bucket, and the within-bucket join is quadratic): buckets above the
+    cap are skipped before the join. True near-dup pairs overwhelmingly
+    co-occur in several bands, so a skipped bucket rarely loses a pair —
+    the standard production LSH trade; pass None to disable."""
     n_hashes = n_bands * rows_per_band
     bands = F.array(
         *[
@@ -124,6 +132,14 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.col("sig"), F.explode(bands).alias("b")
     ).select(id_col, "sig", "b.band", "b.bhash")
+    if max_bucket_size is not None:
+        sizes = (
+            exploded.groupBy("band", "bhash")
+            .agg(F.count("*").alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bhash")
+        )
+        exploded = exploded.join(sizes, ["band", "bhash"], "left_semi")
 
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -357,3 +357,27 @@ def test_simhash_chunk_scaling_hamming4(spark):
     got = {(r.id_a, r.id_b)
            for r in simhash_near_dups(df, max_hamming=4).collect()}
     assert got == want  # exact: banding recall + bit_count verification
+
+
+def test_lsh_mega_bucket_guard(spark):
+    """A degenerate bucket (many identical docs) is skipped at cap, but
+    identical pairs still surface through their other (identical) bands
+    unless ALL their buckets exceed the cap; distinct docs unaffected."""
+    from crawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rows = [(i, "common boiler plate text shared by every doc") for i in range(30)]
+    rows += [(100 + i, f"unique doc {i} alpha beta gamma delta") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(word_shingles(df), n_hashes=64)
+    # no cap: 30 identical docs -> C(30,2)=435 pairs (+ none among uniques)
+    full = lsh_candidate_pairs(sigs, max_bucket_size=None).count()
+    assert full == 435
+    # cap below the clique size: every bucket of the clique is skipped
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10).count()
+    assert capped == 0
+    # cap above it: unaffected
+    assert lsh_candidate_pairs(sigs, max_bucket_size=50).count() == 435
