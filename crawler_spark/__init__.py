@@ -8,7 +8,7 @@ Spark engine:
   partitioned tables (``crawler_spark.crawl``),
 - a partitioned bloom-filter URL-seen set (``crawler_spark.operators.seen``),
 - per-host politeness budgets, cooldowns and robots.txt as broadcast
-  rule maps (``crawler_spark.crawl.frontier``),
+  rule maps (``crawler_spark.crawl.driver``, ``crawler_spark.functions.robots``),
 - cheerio-parity link discovery + text extraction as vectorized Arrow/pandas
   UDFs (``crawler_spark.functions.html``),
 - the reference's text-analytics tier (sentiment/TF/trigrams/tags/summary)
@@ -21,3 +21,12 @@ UDFs anywhere in the hot path.
 """
 
 __version__ = "0.1.0"
+
+# Curated public API — the names a user of the engine reaches for first.
+from crawler_spark.crawl.driver import run_crawl  # noqa: E402
+from crawler_spark.crawl.store import CrawlStore  # noqa: E402
+from crawler_spark.oracle.crawloracle import CrawlConfig  # noqa: E402
+from crawler_spark.session import get_spark  # noqa: E402
+
+__all__ = ["CrawlConfig", "CrawlStore", "get_spark", "run_crawl",
+           "__version__"]
