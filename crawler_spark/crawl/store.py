@@ -169,6 +169,13 @@ class CrawlStore:
                 os.rename(seg + ".old", seg)  # crashed mid-swap: roll back
             shutil.rmtree(seg + ".tmp", ignore_errors=True)
             shutil.rmtree(seg + ".old", ignore_errors=True)
+            wm_tmp = self._watermark_path(table) + ".tmp"
+            if os.path.exists(wm_tmp):
+                os.remove(wm_tmp)
+            # finish an interrupted post-watermark sweep
+            wm = self.compaction_watermark(table)
+            if wm >= 0:
+                self._sweep_compacted_rounds(table, wm)
             for name in os.listdir(tdir):
                 if not name.startswith("round="):
                     continue
@@ -179,18 +186,36 @@ class CrawlStore:
 
     # -- maintenance ---------------------------------------------------------
 
+    def _watermark_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_compacted.json")
+
+    def compaction_watermark(self, table: str) -> int:
+        """Highest round folded into the compacted segment (-1 if none)."""
+        path = self._watermark_path(table)
+        if not os.path.exists(path):
+            return -1
+        with open(path) as f:
+            return int(json.load(f)["upto_round"])
+
     def compact(self, table: str, schema: str, upto_round: int) -> int:
         """Merge round partitions ≤ ``upto_round`` of an append-only table
         (pages/links/discoveries) into one consolidated segment.
 
         At 10^10 scale a long crawl accumulates thousands of small round
         partitions; compaction bounds file count while readers stay
-        correct: ``_read_all`` unions the compacted segment (round column
-        materialized in-file) with the remaining ``round=R`` dirs. The
-        swap is write-tmp → rename, and round dirs are only deleted after
-        the new segment is in place (a crash in between leaves duplicates
-        of no round: dirs are removed before the old segment, which never
-        overlaps them). Returns the number of rows compacted."""
+        correct. Crash safety is watermark-based: readers exclude
+        partitioned rounds ≤ the committed watermark, so a crash after
+        the segment swap but before (or during) round-dir deletion can
+        never produce duplicate rows — leftover dirs are invisible and
+        swept by ``resume_round``. ``upto_round`` below the current
+        watermark is clamped up (compaction never un-compacts — a lower
+        watermark would drop rows that exist only in the segment).
+        Returns the number of rows in the new segment."""
+        upto_round = max(upto_round, self.compaction_watermark(table))
+        # schemas of tables whose round lives only in the dir name
+        # (e.g. DISC_SCHEMA) need the partition column appended to read
+        if "round" not in self.spark.createDataFrame([], schema).columns:
+            schema = schema + ", round int"
         seg = os.path.join(self.root, table, "_compacted")
         tmp = seg + ".tmp"
         df = self._read_all(table, schema).where(F.col("round") <= upto_round)
@@ -205,11 +230,20 @@ class CrawlStore:
             os.rename(seg, old)
         os.rename(tmp, seg)
         shutil.rmtree(old, ignore_errors=True)
+        # commit point: once the watermark is visible, the round dirs
+        # below it are dead to readers regardless of deletion progress
+        wtmp = self._watermark_path(table) + ".tmp"
+        with open(wtmp, "w") as f:
+            json.dump({"upto_round": upto_round}, f)
+        os.replace(wtmp, self._watermark_path(table))
+        self._sweep_compacted_rounds(table, upto_round)
+        return n
+
+    def _sweep_compacted_rounds(self, table: str, upto_round: int) -> None:
         tdir = os.path.join(self.root, table)
         for name in os.listdir(tdir):
             if name.startswith("round=") and int(name.split("=")[1]) <= upto_round:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
-        return n
 
     def prune_snapshots(self, last_round: int) -> None:
         """Drop per-round snapshot state (frontier/cooldown/bloom) older
@@ -235,6 +269,7 @@ class CrawlStore:
         """
         tdir = os.path.join(self.root, table)
         seg = os.path.join(tdir, "_compacted")
+        watermark = self.compaction_watermark(table)
         parts = []
         if os.path.isdir(seg) and any(
             f.endswith(".parquet") for f in os.listdir(seg)
@@ -243,11 +278,16 @@ class CrawlStore:
         if os.path.isdir(tdir) and any(
             n.startswith("round=") for n in os.listdir(tdir)
         ):
-            parts.append(
+            parted = (
                 self.spark.read.schema(schema)
                 .option("basePath", tdir)
                 .parquet(os.path.join(tdir, "round=*"))
             )
+            if watermark >= 0:
+                # rounds at/below the watermark live in the segment; any
+                # lingering dirs (crash mid-sweep) must not double-count
+                parted = parted.where(F.col("round") > watermark)
+            parts.append(parted)
         empty = self.spark.createDataFrame([], schema)
         # normalize column ORDER to the partitioned-read convention (the
         # round partition column comes last) so compaction is invisible

@@ -33,13 +33,17 @@ _LOC_RE = re.compile(r"<(?:[A-Za-z0-9_]+:)?loc\s*>\s*(.*?)\s*</(?:[A-Za-z0-9_]+:
 _SITEMAPINDEX_RE = re.compile(r"<(?:[A-Za-z0-9_]+:)?sitemapindex[\s>]", re.IGNORECASE)
 _URLSET_RE = re.compile(r"<(?:[A-Za-z0-9_]+:)?urlset[\s>]", re.IGNORECASE)
 
-_ENTITIES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'",
-}
+# &amp; MUST be replaced last: doing it first would create new entity
+# sequences out of escaped ampersands ("&amp;lt;" → "&lt;" → "<",
+# double-unescaping a URL that literally contains "&lt;")
+_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&amp;", "&"),
+)
 
 
 def _unescape(s: str) -> str:
-    for k, v in _ENTITIES.items():
+    for k, v in _ENTITIES:
         s = s.replace(k, v)
     return s
 

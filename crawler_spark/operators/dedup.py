@@ -114,9 +114,12 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` guards against degenerate mega-buckets (boiler-
     plate/duplicated shingle sets put huge doc sets into one (band, hash)
     bucket, and the within-bucket join is quadratic): buckets above the
-    cap are skipped before the join. True near-dup pairs overwhelmingly
-    co-occur in several bands, so a skipped bucket rarely loses a pair —
-    the standard production LSH trade; pass None to disable."""
+    cap are skipped before the join. CAVEAT: byte-identical docs share
+    every band, so an identical-doc clique larger than the cap loses ALL
+    its pairs — run ``dedup_exact`` BEFORE minhash (exact duplicates are
+    its job) or pass ``max_bucket_size=None``. For genuinely *near* (not
+    identical) duplicates the loss is rare: such pairs co-occur in
+    several independent bands. Standard production LSH trade."""
     n_hashes = n_bands * rows_per_band
     bands = F.array(
         *[
@@ -133,13 +136,15 @@ def lsh_candidate_pairs(
         F.col(id_col), F.col("sig"), F.explode(bands).alias("b")
     ).select(id_col, "sig", "b.band", "b.bhash")
     if max_bucket_size is not None:
-        sizes = (
-            exploded.groupBy("band", "bhash")
-            .agg(F.count("*").alias("_bsz"))
+        # window count over (band, bhash): one shuffle, no second scan of
+        # the expensive signature lineage (a groupBy+semi-join would
+        # re-evaluate the minhash aggregation for the sizes table)
+        w = Window.partitionBy("band", "bhash")
+        exploded = (
+            exploded.withColumn("_bsz", F.count("*").over(w))
             .where(F.col("_bsz") <= max_bucket_size)
-            .select("band", "bhash")
+            .drop("_bsz")
         )
-        exploded = exploded.join(sizes, ["band", "bhash"], "left_semi")
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -177,13 +182,17 @@ def minhash_dedup(
     n_bands: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.7,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
-    """End-to-end near-dup pairs with est_jaccard ≥ threshold."""
+    """End-to-end near-dup pairs with est_jaccard ≥ threshold.
+
+    Run ``dedup_exact`` first — see the mega-bucket caveat on
+    ``lsh_candidate_pairs`` (``max_bucket_size`` passes through)."""
     sh = word_shingles(df, id_col, text_col, k)
     sigs = minhash_signatures(sh, id_col, n_bands * rows_per_band)
-    return lsh_candidate_pairs(sigs, id_col, n_bands, rows_per_band).where(
-        F.col("est_jaccard") >= threshold
-    )
+    return lsh_candidate_pairs(
+        sigs, id_col, n_bands, rows_per_band, max_bucket_size
+    ).where(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -127,3 +127,63 @@ def test_compaction_idempotent_second_pass(spark):
     assert mid == before  # segment + remaining rounds
     store.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[-1])
     assert sorted(tuple(r) for r in store.read_pages().collect()) == before
+
+
+def test_unescape_no_double_pass():
+    from crawler_spark.functions.sitemaps import _unescape
+
+    # a URL whose query LITERALLY contains "&lt;b&gt;" is XML-escaped as
+    # "&amp;lt;b&amp;gt;" — single-pass unescape must stop at "&lt;b&gt;"
+    assert _unescape("http://a/?q=&amp;lt;b&amp;gt;") == "http://a/?q=&lt;b&gt;"
+    assert _unescape("&amp;amp;") == "&amp;"
+
+
+def test_compaction_watermark_crash_no_duplicates(spark):
+    """Crash after segment swap but before round-dir sweep: the watermark
+    makes lingering round dirs invisible; resume finishes the sweep."""
+    import shutil as sh
+
+    from crawler_spark.crawl.store import PAGES_FILE_SCHEMA, CrawlStore
+
+    store, _, _, root = _crawled_store(spark, max_rounds=3)
+    before = sorted(map(tuple, store.read_pages().collect()))
+    last = store.committed_rounds()[-1]
+    # simulate the crash: snapshot round dirs, compact, restore the dirs
+    pdir = os.path.join(root, "pages")
+    backup = os.path.join(root, "_backup")
+    sh.copytree(pdir, backup)
+    store.compact("pages", PAGES_FILE_SCHEMA, upto_round=last)
+    for name in os.listdir(backup):
+        if name.startswith("round="):
+            sh.copytree(os.path.join(backup, name), os.path.join(pdir, name))
+    # lingering round dirs + segment: reads must NOT double-count
+    assert sorted(map(tuple, store.read_pages().collect())) == before
+    # resume sweeps the leftovers
+    store2 = CrawlStore(spark, root)
+    store2.resume_round()
+    assert not any(d.startswith("round=") for d in os.listdir(pdir))
+    assert sorted(map(tuple, store2.read_pages().collect())) == before
+
+
+def test_compaction_lower_watermark_clamped(spark):
+    """A second compact with a LOWER upto_round must not lose the rows
+    that only exist in the segment (watermark is clamped up)."""
+    from crawler_spark.crawl.store import PAGES_FILE_SCHEMA
+
+    store, _, _, _ = _crawled_store(spark, max_rounds=4)
+    rounds = store.committed_rounds()
+    before = sorted(map(tuple, store.read_pages().collect()))
+    store.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[-1])
+    store.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[0])
+    assert sorted(map(tuple, store.read_pages().collect())) == before
+
+
+def test_compact_discoveries_schema_without_round(spark):
+    from crawler_spark.crawl.store import DISC_SCHEMA
+
+    store, _, _, _ = _crawled_store(spark, max_rounds=3)
+    before = sorted(map(tuple, store.read_discoveries().collect()))
+    n = store.compact("discoveries", DISC_SCHEMA,
+                      upto_round=store.committed_rounds()[-1])
+    assert n == len(before)
+    assert sorted(map(tuple, store.read_discoveries().collect())) == before
