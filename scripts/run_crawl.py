@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl engine.
+
+The production invocation shape (north rule: "runs via spark-submit
+--py-files at 10^10-URL-frontier scale"):
+
+    zip -r crawler_spark.zip crawler_spark
+    spark-submit --master <cluster> --py-files crawler_spark.zip \\
+        scripts/run_crawl.py \\
+        --corpus /data/corpus_parquet --seeds seeds.txt \\
+        --store /data/crawl_store --max-rounds 100 \\
+        --budget '*=5000' --budget 'hot.example.com=20000' \\
+        --robots-dir /data/robots_bodies --resume \\
+        --write-partitions 0
+
+On a cluster ``--write-partitions 0`` keeps natural partitioning; the
+session settings come from spark-submit (this script only applies SQL
+conf via get_spark's passthrough behavior when a session already
+exists). Locally it runs as ``python scripts/run_crawl.py ...`` too.
+
+Prints one JSON line of crawl stats on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_budgets(items: list[str]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for item in items:
+        host, _, k = item.partition("=")
+        if not k.isdigit():
+            raise SystemExit(f"--budget expects host=N, got: {item!r}")
+        out[host] = int(k)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", required=True,
+                    help="parquet dir of the Common-Crawl-style pages table")
+    ap.add_argument("--seeds", required=True,
+                    help="text file, one seed URL per line (# comments ok)")
+    ap.add_argument("--store", required=True, help="crawl store root")
+    ap.add_argument("--max-rounds", type=int, default=100)
+    ap.add_argument("--budget", action="append", default=[],
+                    metavar="HOST=N",
+                    help="per-host URLs/round; host '*' is the default")
+    ap.add_argument("--robots-dir", default=None,
+                    help="optional parquet dir of fetched (host, body) "
+                         "robots.txt pages")
+    ap.add_argument("--limit-to", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--bloom-buckets", type=int, default=64)
+    ap.add_argument("--bloom-bits", type=int, default=1 << 20)
+    ap.add_argument("--write-partitions", type=int, default=8,
+                    help="files per round table; 0 = natural partitioning")
+    args = ap.parse_args()
+
+    from crawler_spark import CrawlConfig, CrawlStore, get_spark, run_crawl
+
+    spark = get_spark("crawler-spark-submit")
+
+    with open(args.seeds) as f:
+        seeds = [ln.strip() for ln in f
+                 if ln.strip() and not ln.startswith("#")]
+
+    robots: list[tuple[str, str, bool]] = []
+    if args.robots_dir:
+        from crawler_spark.functions.robots import rules_from_bodies
+
+        robots = [
+            (r.host, r.rule, bool(r.allow))
+            for r in rules_from_bodies(
+                spark.read.parquet(args.robots_dir)
+            ).collect()
+        ]
+
+    cfg = CrawlConfig(
+        budgets=parse_budgets(args.budget),
+        robots=robots,
+        limit_to=args.limit_to,
+        max_rounds=args.max_rounds,
+    )
+    stats = run_crawl(
+        spark,
+        spark.read.parquet(args.corpus),
+        seeds,
+        cfg,
+        args.store,
+        bloom_buckets=args.bloom_buckets,
+        bloom_bits=args.bloom_bits,
+        resume=args.resume,
+        write_partitions=args.write_partitions or None,
+    )
+    store = CrawlStore(spark, args.store)
+    print(json.dumps({
+        "rounds": stats.rounds,
+        "pages": stats.pages,
+        "links": stats.links,
+        "discoveries": stats.discoveries,
+        "committed_rounds": store.committed_rounds(),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
