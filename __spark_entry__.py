@@ -381,6 +381,15 @@ def q_doc_quality(spark, sf):
     )
 
 
+def q_doc_gopher_flags(spark, sf):
+    """Gopher-rule quality filter (words/word-len/symbol/ellipsis/alpha
+    bounds) — the standard public web-text curation heuristics."""
+    from crawler_spark.operators.quality import gopher_quality_flags
+
+    d = _read(spark, sf, "documents")
+    return gopher_quality_flags(d, min_words=10)
+
+
 def q_doc_lang_dist(spark, sf):
     d = _read(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -726,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
+        "doc_gopher_flags": q_doc_gopher_flags,
         "doc_lang_dist": q_doc_lang_dist,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -992,6 +1002,56 @@ def oracle_sql() -> dict[str, str]:
                                THEN 1.0 ELSE 0.5 END), 6) AS DOUBLE)
                        AS score
             FROM ratios
+        """,
+        "doc_gopher_flags": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(text), '\S+'))
+                       END AS n_words,
+                       length(regexp_replace(trim(text), '\s+', '', 'g'))
+                           AS n_nonspace,
+                       len(regexp_extract_all(text, '#|\.\.\.'))
+                           + len(regexp_extract_all(text, '…')) AS n_sym,
+                       string_split(text, chr(10)) AS lines,
+                       regexp_extract_all(trim(text), '\S+') AS words
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_words,
+                       n_nonspace * 1.0 / greatest(n_words, 1)
+                           AS mean_word_len,
+                       n_sym * 1.0 / greatest(n_words, 1)
+                           AS symbol_word_ratio,
+                       len(list_filter(lines,
+                           x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+                           * 1.0 / greatest(len(lines), 1)
+                           AS ellipsis_line_ratio,
+                       len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           * 1.0 / greatest(n_words, 1)
+                           AS alpha_word_ratio
+                FROM base
+            )
+            SELECT doc_id, n_words,
+                   CAST(round(mean_word_len, 6) AS DOUBLE) AS mean_word_len,
+                   CAST(round(symbol_word_ratio, 6) AS DOUBLE)
+                       AS symbol_word_ratio,
+                   CAST(round(ellipsis_line_ratio, 6) AS DOUBLE)
+                       AS ellipsis_line_ratio,
+                   CAST(round(alpha_word_ratio, 6) AS DOUBLE)
+                       AS alpha_word_ratio,
+                   n_words >= 10 AND n_words <= 100000 AS ok_words,
+                   mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                       AS ok_mean_word_len,
+                   symbol_word_ratio <= 0.1 AS ok_symbols,
+                   ellipsis_line_ratio <= 0.3 AS ok_ellipsis,
+                   alpha_word_ratio >= 0.8 AS ok_alpha,
+                   (n_words >= 10 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_word_ratio <= 0.1
+                   AND ellipsis_line_ratio <= 0.3
+                   AND alpha_word_ratio >= 0.8 AS keep
+            FROM r
         """,
         "doc_lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -142,6 +142,81 @@ def language_id(
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style repetition/format quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 — public heuristics that
+    became the standard web-text curation filter).
+
+    Implemented subset (all JVM-side column algebra, SQL-expressible):
+      - word count in [min_words, max_words];
+      - mean word length in [min_mean_word_len, max_mean_word_len];
+      - '#'/ellipsis symbol-to-word ratio ≤ max_symbol_word_ratio;
+      - fraction of lines starting with a bullet or ending in '…'
+        bounded (here: ellipsis-terminated line ratio);
+      - ≥ min_alpha_word_ratio of words contain at least one alphabetic
+        character.
+
+    Returns one row per doc with each rule's value, its pass flag, and
+    ``keep`` = AND of all flags.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    mean_wlen = F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.")) + F.regexp_count(
+        c, F.lit("…")
+    )
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    ellipsis_ratio = n_ellipsis_lines / F.greatest(n_lines, F.lit(1))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).cast("double").alias("mean_word_len"),
+        F.round(symbol_ratio, 6).cast("double").alias("symbol_word_ratio"),
+        F.round(ellipsis_ratio, 6).cast("double").alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).cast("double").alias("alpha_word_ratio"),
+    )
+    flags = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_ellipsis": F.col("ellipsis_line_ratio")
+        <= max_ellipsis_line_ratio,
+        "ok_alpha": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (winnowing)
 # ---------------------------------------------------------------------------

@@ -381,3 +381,26 @@ def test_lsh_mega_bucket_guard(spark):
     assert capped == 0
     # cap above it: unaffected
     assert lsh_candidate_pairs(sigs, max_bucket_size=50).count() == 435
+
+
+def test_gopher_flags_rules(spark):
+    from crawler_spark.operators.quality import gopher_quality_flags
+
+    long_ok = " ".join(["word"] * 60)
+    df = spark.createDataFrame(
+        [
+            (1, long_ok),                           # passes everything
+            (2, "too short"),                       # ok_words fails
+            (3, " ".join(["###"] * 60)),            # symbols + alpha fail
+            (4, "\n".join([f"line {i} trails..." for i in range(10)])
+                + "\n" + long_ok),                  # ellipsis ratio fails
+            (5, ""),                                # empty: words fail
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].keep
+    assert not got[2].ok_words and not got[2].keep
+    assert not got[3].ok_symbols and not got[3].ok_alpha
+    assert not got[4].ok_ellipsis
+    assert got[5].n_words == 0 and not got[5].keep
