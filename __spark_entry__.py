@@ -591,22 +591,45 @@ def q_lsh_near_dup_pairs(spark, sf):
                               n_bands=8)
 
 
+def _media_from_documents(spark, sf):
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
 def q_multimodal_features(spark, sf):
-    """Binary-payload plumbing: metadata + stubbed decode (mapInPandas)."""
+    """Binary-payload plumbing: metadata + stubbed decode (mapInPandas).
+
+    Features are emitted as a JSON string (scalar column) so the result is
+    sortable/hashable by the correctness harness; the stub decoder itself
+    is not SQL-reproducible (sha256-seeded RNG), so this stays rows-only —
+    the SQL-checkable half is ``multimodal_meta``."""
     from crawler_spark.operators.multimodal import (
         attach_media_meta,
         decode_features,
         stub_decoder,
     )
 
-    d = _read(spark, sf, "documents").where(F.col("doc_id") < 100)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
+    media = _media_from_documents(spark, sf)
     meta = attach_media_meta(media)
     feats = decode_features(media, decoder=stub_decoder, dim=8)
-    return meta.drop("payload").join(feats, "media_id")
+    return meta.drop("payload").join(feats, "media_id").select(
+        "media_id", "media_kind", "n_bytes", "content_md5",
+        F.size("features").alias("n_features"),
+        F.to_json(F.col("features")).alias("features_json"),
+    )
+
+
+def q_multimodal_meta(spark, sf):
+    """Typed metadata over opaque binary payloads — JVM-side only, DuckDB
+    verifies byte length + content md5 over the same utf-8 payloads."""
+    from crawler_spark.operators.multimodal import attach_media_meta
+
+    return attach_media_meta(_media_from_documents(spark, sf)).select(
+        "media_id", "media_kind", "n_bytes", "content_md5"
+    )
 
 
 def _events_as_link_stream(spark, sf, tmp):
@@ -699,6 +722,9 @@ def q_robots_rules(spark, sf):
 
 
 def q_doc_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprint sketch (Schleimer et al. 2003) — exploded
+    (doc_id, gram_pos, fp_hash) rows, fully relational, md5-prefix gram
+    hash shared with the DuckDB oracle."""
     from crawler_spark.operators.quality import fingerprints
 
     d = _read(spark, sf, "documents")
@@ -741,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "multimodal_meta": q_multimodal_meta,
         # rows-only (kernel / crawl / sketch operators)
         "crawl_bfs": q_crawl_bfs,
         "extract_text": q_extract_text,
@@ -1141,5 +1168,57 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine DESC, e.vec_id
                 LIMIT 10
             )
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, 'image' AS media_kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents WHERE doc_id < 100
+        """,
+        "doc_winnow_fingerprints": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+                FROM documents
+            ), gramlists AS (
+                SELECT doc_id,
+                   CASE WHEN len(l) = 0 THEN []::VARCHAR[]
+                        WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                        ELSE list_transform(range(1, len(l) - 3),
+                                 i -> array_to_string(l[i:i+4], ' '))
+                   END AS gs
+                FROM toks
+            ), g AS (
+                SELECT doc_id,
+                       unnest(range(0, len(gs))) AS pos,
+                       unnest(gs) AS gram
+                FROM gramlists
+            ), h AS (
+                SELECT doc_id, pos,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           i -> (strpos('0123456789abcdef',
+                                        substr(md5(gram), i, 1)) - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - i)))))
+                            AS BIGINT) AS h
+                FROM g
+            ), win AS (
+                SELECT doc_id, pos AS i,
+                       count(*) OVER (PARTITION BY doc_id) AS m,
+                       min(struct_pack(h := h, pos := pos)) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS pick
+                FROM h
+            ), picks AS (
+                SELECT doc_id, i, pick.h AS fp_hash, pick.pos AS gram_pos
+                FROM win WHERE i <= greatest(m - 4, 0)
+            )
+            SELECT doc_id, gram_pos, fp_hash FROM (
+                SELECT doc_id, gram_pos, fp_hash,
+                       lag(gram_pos) OVER (
+                           PARTITION BY doc_id ORDER BY i) AS prev
+                FROM picks
+            ) WHERE prev IS NULL OR prev <> gram_pos
         """,
     }

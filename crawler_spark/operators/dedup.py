@@ -39,27 +39,60 @@ from crawler_spark.functions.textops import tokenize
 # ---------------------------------------------------------------------------
 
 
+def _content_key_cols(text_col: str) -> list:
+    """Shuffle key for exact dedup: (xxhash64, md5, length) of the text.
+
+    Equality of the triple ⟺ byte-equality of the text for any realistic
+    corpus (a simultaneous 64-bit + 128-bit collision at equal length is
+    ~2^-192 — content-addressed storage ships on weaker guarantees), so
+    the dedup exchange carries three scalar columns instead of the
+    documents themselves: at 100 TB nothing but (key, id) crosses the
+    wire, and identical-text skew hits a 24-byte key, not megabyte rows.
+    """
+    return [
+        F.xxhash64(F.col(text_col)).alias("_ck_h"),
+        F.md5(F.col(text_col)).alias("_ck_fp"),
+        F.length(F.col(text_col)).alias("_ck_ln"),
+    ]
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, canon_id, is_dup): canon = min id among byte-identical texts."""
-    w = Window.partitionBy(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        F.min(id_col).over(w).alias("canon_id"),
-    ).withColumn("is_dup", F.col(id_col) != F.col("canon_id"))
+    """(id, canon_id, is_dup): canon = min id among byte-identical texts.
+
+    Plan: project to (content key, id) BEFORE the window — the hash
+    exchange moves only the 24-byte key + id; text never shuffles (plan
+    asserted in tests/test_plans.py).
+    """
+    w = Window.partitionBy("_ck_h", "_ck_fp", "_ck_ln")
+    return (
+        df.select(F.col(id_col), *_content_key_cols(text_col))
+        .select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("canon_id"),
+        )
+        .withColumn("is_dup", F.col(id_col) != F.col("canon_id"))
+    )
 
 
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Survivors only (first id per identical text)."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
+    """Survivors only (first id per identical text).
+
+    Ranks on the slim (content key, id) projection, then joins the
+    surviving ids back on ``id_col`` — the full rows shuffle once on the
+    uniformly-distributed id instead of on raw text (where every
+    duplicate clique lands in a single task)."""
+    w = Window.partitionBy("_ck_h", "_ck_fp", "_ck_ln").orderBy(id_col)
+    survivors = (
+        df.select(F.col(id_col), *_content_key_cols(text_col))
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(id_col)
     )
+    return df.join(survivors, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +245,10 @@ def _simhash_udf(texts: pd.Series) -> pd.Series:
             [hash_token(tok) for tok in toks], dtype=np.uint64
         )
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
+        # int64 BEFORE the subtraction: a uint64 ARRAY keeps its dtype
+        # against a python int (unlike scalars) and negative vote counts
+        # would underflow to huge positives, setting nearly every bit
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
         sig = np.uint64(0)
         for i in np.nonzero(votes > 0)[0]:
             sig |= np.uint64(1) << np.uint64(i)
@@ -240,6 +276,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ d via pigeonhole banding.
 
@@ -249,9 +286,34 @@ def simhash_near_dups(
     chunks, then exact verification with JVM-side ``bit_count(xor)``.
     Chunk count scales with ``max_hamming`` (recall guarantee holds for
     any d ≤ 63); more chunks ⇒ shorter chunks ⇒ more candidates.
+
+    ``max_bucket_size`` guards the chunk join the same way
+    ``lsh_candidate_pairs`` guards band buckets: a clique of identical or
+    near-identical docs shares every chunk value, making the within-bucket
+    join quadratic in the clique. Buckets above the cap are skipped — run
+    ``dedup_exact`` first so identical-doc cliques never reach this
+    operator (that is exact dedup's job); for genuinely near docs the pair
+    usually survives via another, smaller chunk bucket. ``None`` disables.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
+    sigs = simhash_signatures(df, id_col, text_col)
+    if max_hamming == 0:
+        # one 64-bit "chunk" would need an unrepresentable (1<<64)-1 mask;
+        # hamming 0 is simply signature equality — a plain self-join
+        a, b = sigs.alias("a"), sigs.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.simhash") == F.col("b.simhash"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
     n_chunks = max_hamming + 1
     base_w, extra = divmod(64, n_chunks)
     bounds = []
@@ -260,7 +322,6 @@ def simhash_near_dups(
         w = base_w + (1 if c < extra else 0)
         bounds.append((off, w))
         off += w
-    sigs = simhash_signatures(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(
@@ -275,6 +336,13 @@ def simhash_near_dups(
     ex = sigs.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
         id_col, "simhash", "c.chunk", "c.val"
     )
+    if max_bucket_size is not None:
+        w_b = Window.partitionBy("chunk", "val")
+        ex = (
+            ex.withColumn("_bsz", F.count("*").over(w_b))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
@@ -310,12 +378,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 10000,
 ) -> DataFrame:
     """Exact jaccard over distinct word n-grams, sub-quadratic via the
     inverted index: pairs sharing ≥1 gram → |A∩B| by count, |A∪B| from
-    per-doc gram counts. Returns (id_a, id_b, jaccard ≥ threshold)."""
+    per-doc gram counts. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    ``max_doc_freq`` caps the posting list: a shingle present in ``f``
+    docs emits f² candidate pairs, so one boilerplate shingle shared by a
+    million docs is a 10^12-pair explosion. Shingles with document
+    frequency > the cap are dropped from the inverted-index join only —
+    union sizes still count every shingle, so the score is a LOWER bound
+    (intersection misses dropped shingles, union is exact): no false
+    near-dups, and a pair whose overlap is mostly ultra-common boilerplate
+    was below any useful threshold anyway. The same guard as
+    ``lsh_candidate_pairs``' mega-bucket cap. ``None`` disables.
+    """
     grams = word_shingles(df, id_col, text_col, n)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    if max_doc_freq is not None:
+        # window count over shingle: one shuffle (the join shuffles on
+        # shingle anyway), no second aggregation scan of the gram lineage
+        w_df = Window.partitionBy("shingle")
+        grams = (
+            grams.withColumn("_df", F.count("*").over(w_df))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
         a.join(

@@ -4,21 +4,17 @@ Language ID (n-gram/function-word heuristic), quality scoring
 (length/punctuation/stopword ratios), token counting (whitespace + a
 BPE-ish regex), and document fingerprinting (rolling-hash winnowing).
 
-Everything except the winnowing fingerprint is pure JVM-side column
-algebra (``split``/``regexp_count``/``length``) so it runs inside
-whole-stage codegen and is expressible in ANSI SQL for the DuckDB oracle.
-The fingerprint needs a rolling window min — an Arrow-batched pandas UDF.
+Everything here — including the winnowing fingerprint — is pure JVM-side
+column algebra (``split``/``regexp_count``/``length``/frame-bounded
+windows) so it runs inside whole-stage codegen and is expressible in ANSI
+SQL for the DuckDB oracle.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from crawler_spark.operators.dedup import hash_token
 
 # small function-word profiles for the language-ID heuristic (public,
 # high-frequency words; the synthetic corpora only exercise determinism)
@@ -222,21 +218,39 @@ def gopher_quality_flags(
 # ---------------------------------------------------------------------------
 
 
-def _winnow(tokens: list[str], k: int, window: int) -> list[int]:
-    """Winnowing (Schleimer/Wilkerson/Aiken 2003): k-gram rolling hashes,
-    min per sliding window, deduped consecutive picks."""
+def gram_hash(gram: Column) -> Column:
+    """Deterministic 60-bit k-gram hash: first 15 hex chars of md5.
+
+    md5 is the one hash both Spark and DuckDB evaluate identically, so the
+    whole winnowing fingerprint is oracle-checkable; 15 hex chars = 60 bits
+    fit a signed long on both engines.
+    """
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def winnow_reference(tokens: list[str], k: int, window: int) -> list[tuple[int, int]]:
+    """Serial spec of the winnowing sketch (Schleimer/Wilkerson/Aiken 2003,
+    first-occurrence argmin, consecutive-pick dedup) — used by tests to
+    verify the distributed plan. Returns [(gram_pos, fp_hash)]."""
+    import hashlib
+
+    def h(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    if not tokens:
+        return []
     if len(tokens) < k:
-        return [hash_token(" ".join(tokens))] if tokens else []
-    hs = [hash_token(" ".join(tokens[i : i + k])) for i in range(len(tokens) - k + 1)]
-    if len(hs) <= window:
-        return [min(hs)]
-    picks: list[int] = []
+        grams = [" ".join(tokens)]
+    else:
+        grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [h(g) for g in grams]
+    picks: list[tuple[int, int]] = []
     last = -1
-    for i in range(len(hs) - window + 1):
+    for i in range(max(len(hs) - window, 0) + 1):
         w = hs[i : i + window]
         j = i + int(np.argmin(w))
         if j != last:
-            picks.append(hs[j])
+            picks.append((j, hs[j]))
             last = j
     return picks
 
@@ -248,16 +262,56 @@ def fingerprints(
     k: int = 5,
     window: int = 4,
 ) -> DataFrame:
-    """(id, fingerprint array<long>) winnowed rolling-hash sketch."""
+    """Winnowed rolling-hash sketch → (id, gram_pos, fp_hash) rows.
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            out.append(
-                [int(np.int64(np.uint64(h))) for h in _winnow(toks, k, window)]
+    Fully relational — no UDF: k-grams are built with ``transform`` over
+    the token array, hashed with :func:`gram_hash`, and the sliding-window
+    argmin is a frame-bounded ``min(struct(hash, pos))`` window (first
+    occurrence of the minimum wins, matching the classic algorithm), with
+    consecutive duplicate picks removed by a ``lag`` comparison. One
+    shuffle (by ``id_col``) serves all three windows. The exploded row
+    shape (one pick per row) is both the Spark-native layout for
+    downstream overlap joins and sortable by the correctness harness.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(toks)
+    grams = (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
             )
-        return pd.Series(out)
+        )
+    )
+    g = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(id_col, "pos", gram_hash(F.col("gram")).alias("h"))
 
-    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))
+    w_all = Window.partitionBy(id_col)
+    w_frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    win = g.select(
+        F.col(id_col),
+        F.col("pos").alias("i"),
+        F.count("*").over(w_all).alias("m"),
+        F.min(F.struct("h", "pos")).over(w_frame).alias("pick"),
+    ).where(F.col("i") <= F.greatest(F.col("m") - window, F.lit(0)))
+
+    w_seq = Window.partitionBy(id_col).orderBy("i")
+    return (
+        win.select(
+            F.col(id_col),
+            F.col("i"),
+            F.col("pick.pos").alias("gram_pos"),
+            F.col("pick.h").alias("fp_hash"),
+        )
+        .withColumn("_prev", F.lag("gram_pos").over(w_seq))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("gram_pos")))
+        .select(id_col, "gram_pos", "fp_hash")
+    )

@@ -98,6 +98,25 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
     return len(set(ids))
 
 
+def exchange_payload_columns(df: DataFrame) -> list[set[str]]:
+    """Per-Exchange set of column names that cross the shuffle.
+
+    The witness for "wide payloads never shuffle" contracts (e.g. exact
+    dedup must exchange content hashes, not document text): the formatted
+    plan's Exchange blocks list their full input attribute set."""
+    plan = formatted_plan(df)
+    out: list[set[str]] = []
+    for block in re.split(r"\n\(", plan):
+        if not re.match(r"\d+\) Exchange", block):
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        if m:
+            out.append(
+                {c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()}
+            )
+    return out
+
+
 def partial_aggregation_present(df: DataFrame) -> bool:
     """True when the plan does map-side partial aggregation before the
     exchange (HashAggregate(... partial...) under the shuffle)."""

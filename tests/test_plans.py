@@ -83,3 +83,17 @@ def test_crawl_budget_topk_no_cartesian(spark):
 
     df = em.q_politeness_topk(spark, SF)
     assert not has_cartesian(df)
+
+
+def test_exact_dedup_never_shuffles_text(spark):
+    """The exact-dedup exchange must carry (content key, id), never the
+    document bytes — at 100 TB a text-keyed shuffle moves the corpus."""
+    from crawler_spark.operators.dedup import exact_duplicates
+    from crawler_spark.plans.inspect import exchange_payload_columns
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = exact_duplicates(docs)
+    payloads = exchange_payload_columns(df)
+    assert payloads, "expected at least one exchange in the dedup plan"
+    for cols in payloads:
+        assert "text" not in cols, cols

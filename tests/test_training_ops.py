@@ -89,10 +89,10 @@ def test_minhash_no_pair_for_distinct_docs(spark):
 
 def test_simhash_near_dups(spark, docs):
     # deterministic 60-token doc whose 1-word variant has hamming 3
-    # (scanned offline: seed 0 → hamming 3, 3 of 4 chunks equal)
+    # (scanned offline: seed 2 → hamming 3, 3 of 4 chunks equal)
     import random
 
-    rng = random.Random(0)
+    rng = random.Random(2)
     vocab = [f"word{i}" for i in range(500)]
     words = [rng.choice(vocab) for _ in range(60)]
     variant = list(words)
@@ -114,6 +114,56 @@ def test_simhash_near_dups(spark, docs):
     )
     s = {r.doc_id: r.simhash for r in sig.collect()}
     assert s[9002] == s[9004]
+
+
+def test_simhash_hamming_zero_is_equality_join(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same words in this doc entirely"),
+            (2, "same words in this doc entirely"),
+            (3, "completely different other content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dups(df, max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_simhash_mega_clique_guard_bounds_join(spark):
+    """An identical-doc clique bigger than the bucket cap must be skipped
+    by the chunk join (quadratic blowup guard), yielding zero pairs —
+    exact dedup, run first, owns identical docs."""
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, "the exact same boilerplate text in every single row")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    assert simhash_near_dups(df, max_hamming=3, max_bucket_size=100).count() == 0
+    # and with the guard disabled a small clique still pairs fully
+    small = df.where("doc_id < 10")
+    assert simhash_near_dups(small, max_hamming=3,
+                             max_bucket_size=None).count() == 45
+
+
+def test_ngram_jaccard_df_cap_bounds_posting_lists(spark):
+    """A boilerplate shingle shared by every doc must not explode the
+    inverted-index join: with the df cap it contributes no candidate
+    pairs, and scores for surviving pairs are a lower bound."""
+    boiler = "click here to accept all cookies"
+    rows = [(i, f"{boiler} unique{i} one{i} two{i} three{i}")
+            for i in range(500)]
+    # two genuinely similar docs on top of the boilerplate corpus
+    rows += [(9001, "alpha beta gamma delta epsilon zeta"),
+             (9002, "alpha beta gamma delta epsilon zeta eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, n=3, threshold=0.3,
+                                          max_doc_freq=50).collect()}
+    # the 500 boilerplate docs share only capped shingles → no pairs
+    assert all(a == 9001 for a, _ in pairs)
+    assert (9001, 9002) in pairs
 
 
 def test_ngram_jaccard_exact(spark):
@@ -228,11 +278,41 @@ def test_fingerprints_stable_and_shift_tolerant(spark):
         ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+    rows = fingerprints(df).collect()
+    got: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.gram_pos)):
+        got.setdefault(r.doc_id, []).append(r.fp_hash)
     assert got[1] == got[2]  # deterministic
     # winnowing: shifted doc shares most picks
     shared = set(got[1]) & set(got[3])
     assert len(shared) >= len(set(got[1])) // 2
+
+
+def test_fingerprints_match_serial_reference(spark):
+    from crawler_spark.operators.quality import winnow_reference
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "tiny",
+        "",
+        "a b c d e",
+        "x y z w v u t s r q p o n m",
+        "dup dup dup dup dup dup dup dup",  # identical grams: lots of ties
+        "  leading and   trailing whitespace   mix \n newline tok ",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.gram_pos, r.fp_hash)
+        for r in fingerprints(df, k=5, window=4).collect()
+    }
+    want = {
+        (i, pos, h)
+        for i, t in enumerate(texts)
+        for pos, h in winnow_reference(t.lower().split(), 5, 4)
+    }
+    assert got == want
 
 
 # -- multimodal -------------------------------------------------------------
