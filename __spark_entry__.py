@@ -632,6 +632,120 @@ def q_multimodal_meta(spark, sf):
     )
 
 
+# -- images tier (reference collectImages / combineImages / classify) -------
+
+
+def q_extract_images(spark, sf):
+    """collectImages (learn.ts:104-138): <img> extraction + canonicalized
+    src + parents()-depth over the mini-web (Arrow-batched kernel);
+    golden-tested against the serial extractor in tests/test_images.py."""
+    from crawler_spark.analytics.images import page_images
+    from crawler_spark.fixtures.webgen import generate
+
+    w = generate(seed=13, n_pages=60)
+    pdf = w.pages[w.pages.html.notnull()][["url", "html"]]
+    df = spark.createDataFrame(pdf, "url string, html binary")
+    return page_images(df).orderBy("page_url", "img_pos")
+
+
+def _synthetic_images(spark, sf):
+    """Deterministic flat images table derived from documents — the
+    oracle-checkable stand-in for extracted <img> rows (the extraction
+    kernel itself is golden-tested; HTML parsing is not SQL)."""
+    d = _read(spark, sf, "documents")
+    n = F.col("doc_id") % 5
+    imgs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.lit("http://img.docs.test/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            i.cast("string"),
+            F.lit(".png"),
+        ),
+    )
+    return (
+        d.where(n > 0)
+        .select(
+            F.concat(F.lit("http://docs.test/"),
+                     F.col("doc_id").cast("string")).alias("page_url"),
+            F.explode(imgs).alias("img_url"),
+        )
+    )
+
+
+_SYNTH_IMAGES_SQL = """
+    SELECT 'http://docs.test/' || doc_id AS page_url,
+           'http://img.docs.test/' || doc_id || '/' || i || '.png' AS img_url
+    FROM documents, unnest(range(1, doc_id % 5 + 1)) AS t(i)
+    WHERE doc_id % 5 > 0
+"""
+
+
+def q_image_counts(spark, sf):
+    """A3/A11 for the images table: per-page image counts."""
+    from crawler_spark.analytics.images import image_counts
+
+    return image_counts(_synthetic_images(spark, sf))
+
+
+def q_combine_images(spark, sf):
+    """combineImages (reconfigure.ts:247-285): group flat image rows back
+    to one row per page (count + sorted joined urls)."""
+    from crawler_spark.analytics.images import combine_images
+
+    return combine_images(_synthetic_images(spark, sf))
+
+
+def q_classify_images(spark, sf):
+    """O4 plumbing (classify.ts:70-111 mobilenet top-3): mini-web <img>
+    rows → stub-decoded features → linear-head top-3 categories. Models
+    are injectable stubs (no image libs in this sandbox); the distributed
+    path — extraction, Arrow batches, matmul scoring, per-item top-k —
+    is real."""
+    from crawler_spark.analytics.images import page_images
+    from crawler_spark.fixtures.webgen import generate
+    from crawler_spark.operators.classify import classify_features
+    from crawler_spark.operators.multimodal import decode_features, stub_decoder
+
+    w = generate(seed=13, n_pages=60)
+    pdf = w.pages[w.pages.html.notnull()][["url", "html"]]
+    df = spark.createDataFrame(pdf, "url string, html binary")
+    media = page_images(df).select(
+        F.xxhash64("page_url", "img_url").alias("media_id"),
+        F.encode("img_url", "utf-8").alias("payload"),
+    )
+    feats = decode_features(media, decoder=stub_decoder, dim=16)
+    labels = ["animal", "vehicle", "landscape", "person", "text", "food"]
+    return classify_features(feats, labels, k=3)
+
+
+def q_doc_categories(spark, sf):
+    """categoriesFromText (classify.ts:39-68, learn.ts:509-537): top-5
+    categories per doc. Default deterministic token-overlap scorer —
+    relational, oracle-checked; a real zero-shot model injects via
+    ``scorer=``."""
+    from crawler_spark.operators.classify import categorize_text
+
+    d = _read(spark, sf, "documents")
+    labels = [
+        "join hash merge",
+        "scan filter table",
+        "stream window batch",
+        "customer order data",
+    ]
+    return categorize_text(d, labels, k=5)
+
+
+def q_split_terms(spark, sf):
+    """splitTerms (learn.ts:428-464): the terms map exploded to flat
+    (page, term, score) token rows — our terms table is already exploded,
+    so this is the direct projection of the per-doc TF operator."""
+    return q_doc_term_frequency(spark, sf).select(
+        F.col("doc_id").alias("page"), "term", "score"
+    )
+
+
 def _events_as_link_stream(spark, sf, tmp):
     """Derive a discoveries stream dir from the events table (deterministic
     url per event; ~12% duplicate urls via modulus)."""
@@ -768,7 +882,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "multimodal_meta": q_multimodal_meta,
+        "image_counts": q_image_counts,
+        "combine_images": q_combine_images,
+        "doc_categories": q_doc_categories,
+        "split_terms": q_split_terms,
         # rows-only (kernel / crawl / sketch operators)
+        "extract_images": q_extract_images,
+        "classify_images": q_classify_images,
         "crawl_bfs": q_crawl_bfs,
         "extract_text": q_extract_text,
         "extract_links": q_extract_links,
@@ -1174,6 +1294,58 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_md5
             FROM documents WHERE doc_id < 100
+        """,
+        "image_counts": f"""
+            WITH imgs AS ({_SYNTH_IMAGES_SQL})
+            SELECT page_url, count(*) AS n_images FROM imgs GROUP BY 1
+        """,
+        "combine_images": f"""
+            WITH imgs AS ({_SYNTH_IMAGES_SQL})
+            SELECT page_url, count(*) AS n_images,
+                   string_agg(img_url, '|' ORDER BY img_url) AS imgs
+            FROM imgs GROUP BY 1
+        """,
+        "doc_categories": r"""
+            WITH labels(category, ltoks) AS (VALUES
+                ('join hash merge', ['join','hash','merge']),
+                ('scan filter table', ['scan','filter','table']),
+                ('stream window batch', ['stream','window','batch']),
+                ('customer order data', ['customer','order','data'])
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, category,
+                       len(list_filter(l, t -> list_contains(ltoks, t)))
+                           * 1.0 / greatest(len(l), 1) AS score
+                FROM toks CROSS JOIN labels
+            )
+            SELECT doc_id, category,
+                   CAST(round(score, 6) AS DOUBLE) AS score,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT doc_id, category, score,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, category
+                       ) AS rank
+                FROM scored WHERE score > 0
+            ) WHERE rank <= 5
+        """,
+        "split_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), c AS (
+                SELECT doc_id, term, count(*) AS cnt FROM toks
+                WHERE length(term) > 0 GROUP BY 1, 2
+            )
+            SELECT doc_id AS page, term,
+                   CAST(round(cnt * 1.0 /
+                        max(cnt) OVER (PARTITION BY doc_id), 6) AS DOUBLE)
+                       AS score
+            FROM c
         """,
         "doc_winnow_fingerprints": r"""
             WITH toks AS (

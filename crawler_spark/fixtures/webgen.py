@@ -137,6 +137,14 @@ def _build_html(
     body.append("<div class='links'>" + "\n".join(link_tags) + "</div>")
     if rng.random() < 0.2:
         body.append(f'<img src="/img/{rng.randrange(99)}.png" alt="{_words(rng, 2)}">')
+    if rng.random() < 0.12:
+        # nested img (deeper parents() count) + cross-host absolute src
+        body.append(
+            f'<div><span><img src="http://cdn.test/pic/{rng.randrange(50)}.jpg" '
+            f'alt="{_words(rng, 1)}"></span></div>'
+        )
+    if rng.random() < 0.08:
+        body.append('<img alt="no src, dropped by the filter">')
     body.append("<footer>footer boilerplate text</footer>")
     inner = "\n".join(body)
     return (

@@ -199,6 +199,46 @@ def extract_text_blocks(html: str) -> list[str]:
         return []
 
 
+def extract_images_from(
+    html: str, base_url: str
+) -> list[tuple[str, str, int, int]]:
+    """``<img>`` tags in document order → (img_url, alt, depth, img_pos).
+
+    Mirrors the reference's ``processImagesInHtml`` (``learn.ts:67-102``):
+    keep imgs whose ``src`` is present AND canonicalizes to a truthy URL
+    (``normalizeUrl(src, pageUrl)``), emit the canonical url, ``alt`` (or
+    ``''``), and ``depth`` = ``$(img).parents().length`` — the number of
+    ancestor elements (html=0 deep, body child=2, …). ``img_pos`` is the
+    0-based index among kept imgs (our document-order tiebreak, same
+    convention as ``extract_links_from``).
+    """
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001
+        return []
+    out: list[tuple[str, str, int, int]] = []
+    pos = 0
+
+    def walk(node: _Node, depth: int) -> None:
+        nonlocal pos
+        for child in node.children:
+            if not isinstance(child, _Node):
+                continue
+            if child.tag == "img":
+                src = child.attrs.get("src")
+                if src:
+                    canon = normalize_url(src, base_url)
+                    if canon:
+                        out.append(
+                            (canon, child.attrs.get("alt", ""), depth, pos)
+                        )
+                        pos += 1
+            walk(child, depth + 1)
+
+    walk(root, 0)
+    return out
+
+
 def extract_links_from(html: str, base_url: str) -> list[tuple[str, str, int]]:
     """Anchors in document order → (canon_url, host, link_pos).
 
@@ -266,4 +306,26 @@ def extract_links_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
 def extract_text_udf(htmls: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_text_blocks(_to_str(h)) if h is not None else [] for h in htmls]
+    )
+
+
+IMAGE_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("img_url", T.StringType()),
+            T.StructField("alt", T.StringType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("img_pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(IMAGE_STRUCT)
+def extract_images_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_images_from(_to_str(h), b or "") if h is not None else []
+            for h, b in zip(htmls, base_urls)
+        ]
     )
