@@ -61,21 +61,63 @@ class CrawlStats:
     per_round: list[dict] = field(default_factory=list)
 
 
-def _robots_filter_udf(config: CrawlConfig):
-    """Vectorized robots allow/deny over (host, url) with broadcast rules."""
-    rules = list(config.robots)
+def _robots_filter_udf(spark: SparkSession, config: CrawlConfig):
+    """Vectorized robots allow/deny over (host, url): rules pre-grouped
+    into a per-host dict, broadcast once, evaluated per host GROUP with
+    vectorized prefix matches.
+
+    Replaces an O(|all rules| × |links|) per-row scan: each URL now only
+    sees its own host's rules (plus ``*`` wildcards), and each rule is
+    one vectorized ``str.startswith`` over the host's URL block — the
+    per-round cost is Σ_host |rules(host)| × |links(host)|, flat in total
+    rule count. Semantics identical to the serial spec
+    ``CrawlConfig.robots_allowed`` (longest prefix wins, allow wins
+    ties, default allow), asserted by a property test and the crawl
+    goldens."""
+    by_host: dict[str, list[tuple[str, bool]]] = {}
+    wild: list[tuple[str, bool]] = []
+    for rhost, rule, allow in config.robots:
+        if rhost == "*":
+            wild.append((rule, bool(allow)))
+        else:
+            by_host.setdefault(rhost, []).append((rule, bool(allow)))
+    bc = spark.sparkContext.broadcast((by_host, wild))
 
     @F.pandas_udf("boolean")
     def robots_ok(hosts: pd.Series, urls: pd.Series) -> pd.Series:
-        from crawler_spark.oracle.crawloracle import _url_path
+        import numpy as np
 
-        cfg = CrawlConfig(robots=rules)
-        return pd.Series(
-            [
-                cfg.robots_allowed(h or "", _url_path(u or ""))
-                for h, u in zip(hosts, urls)
-            ]
+        host_rules, wild_rules = bc.value
+        s = urls.fillna("")
+        # vectorized _url_path: strip scheme://host, cut the query;
+        # empty/protocol-less → "/"
+        has_proto = s.str.contains("://", regex=False)
+        path = (
+            s.str.replace(r"^.*?://[^/]*", "", n=1, regex=True)
+            .str.split("?", n=1)
+            .str[0]
         )
+        path = path.where(has_proto & (path != ""), "/")
+        out = np.ones(len(s), dtype=bool)  # default allow
+        for host, idx in hosts.fillna("").groupby(
+            hosts.fillna("")
+        ).groups.items():
+            rules = host_rules.get(host, []) + wild_rules
+            if not rules:
+                continue
+            p = path.loc[idx]
+            best_len = np.full(len(p), -1)
+            best_allow = np.ones(len(p), dtype=bool)
+            for rule, allow in rules:
+                m = p.str.startswith(rule).to_numpy()
+                ln = len(rule)
+                upd = m & (
+                    (ln > best_len) | ((ln == best_len) & allow)
+                )
+                best_allow = np.where(upd, allow, best_allow)
+                best_len = np.where(m & (ln > best_len), ln, best_len)
+            out[hosts.index.get_indexer(idx)] = best_allow
+        return pd.Series(out, index=hosts.index)
 
     return robots_ok
 
@@ -124,7 +166,7 @@ def run_crawl(
     ``write_partitions`` caps files per round table — right for local/bench
     scale; pass None on a real cluster for natural partitioning."""
     store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
-    robots_ok = _robots_filter_udf(config)
+    robots_ok = _robots_filter_udf(spark, config)
     budget_df, budget_default = _budget_df(spark, config)
 
     corpus_slim = corpus.select(

@@ -130,3 +130,39 @@ def test_wildcard_allow_dropped_never_overrides_disallow():
     assert rules == [("h", "/ab", False)]
     cfg = CrawlConfig(robots=rules)
     assert not cfg.robots_allowed("h", "/abc")  # RFC: denied; stays denied
+
+
+def test_vectorized_robots_udf_matches_serial_spec(spark):
+    """The driver's grouped/vectorized robots filter must agree with the
+    serial CrawlConfig.robots_allowed spec on randomized rules + URLs."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crawler_spark.crawl.driver import _robots_filter_udf
+    from crawler_spark.oracle.crawloracle import _url_path
+
+    rng = random.Random(7)
+    hosts = [f"h{i}.test" for i in range(6)]
+    prefixes = ["/", "/a/", "/a/b", "/priv/", "/priv/ok", "/x", "/x/y/"]
+    rules = [
+        (rng.choice(hosts + ["*"]), rng.choice(prefixes), rng.random() < 0.5)
+        for _ in range(40)
+    ]
+    cfg = CrawlConfig(robots=rules)
+
+    paths = ["", "/", "/a/b/c", "/priv/ok/z", "/priv/no", "/x/y/z", "/q?k=v"]
+    rows = []
+    for i in range(300):
+        h = rng.choice(hosts + ["unruled.test"])
+        rows.append((h, f"http://{h}{rng.choice(paths)}"))
+    rows.append((None, None))
+    rows.append(("h0.test", "no-proto-at-all"))
+
+    df = spark.createDataFrame(rows, "host string, url string")
+    udf = _robots_filter_udf(spark, cfg)
+    got = df.withColumn("ok", udf("host", "url")).toPandas()
+    for r in got.itertuples(index=False):
+        want = cfg.robots_allowed(r.host or "", _url_path(r.url or ""))
+        assert bool(r.ok) == want, (r.host, r.url, r.ok, want)
