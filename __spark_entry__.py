@@ -764,7 +764,11 @@ def _events_as_link_stream(spark, sf, tmp):
         F.col("ts").alias("disc_ts"),
     )
     d = os.path.join(tmp, "links")
-    links.write.mode("overwrite").parquet(d)
+    # one file in (disc_ts, url) order → deterministic arrival order, so
+    # the stateful budget operator's admissions are oracle-checkable
+    links.orderBy("disc_ts", "url").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
     return d
 
 
@@ -793,7 +797,11 @@ def q_stream_host_budget(spark, sf):
         spark, d, f"{tmp}/out", f"{tmp}/ckpt", budget_per_host=20
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{tmp}/out")
+    return spark.read.parquet(f"{tmp}/out").select(
+        "url", "host",
+        F.unix_timestamp("disc_ts").cast("long").alias("disc_sec"),
+        "admit_seq",
+    )
 
 
 def q_sitemap_urls(spark, sf):
@@ -1346,6 +1354,60 @@ def oracle_sql() -> dict[str, str]:
                         max(cnt) OVER (PARTITION BY doc_id), 6) AS DOUBLE)
                        AS score
             FROM c
+        """,
+        "doc_language_id": r"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(text), '\s+') AS l
+                FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                       len(list_filter(l, x -> x IN ('the','and','of','to',
+                           'in','is','that','for','with','was'))) AS h_en,
+                       len(list_filter(l, x -> x IN ('el','la','de','que',
+                           'y','los','las','por','con','una'))) AS h_es,
+                       len(list_filter(l, x -> x IN ('der','die','das','und',
+                           'ist','nicht','mit','ein','von','zu'))) AS h_de,
+                       len(list_filter(l, x -> x IN ('le','la','les','de',
+                           'des','et','est','une','que','pour'))) AS h_fr,
+                       len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+                       length(text) AS n
+                FROM h
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk * 2 > n - cjk THEN 'zh'
+                        WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                        WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr
+                            THEN 'en'
+                        WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                        WHEN h_de >= h_fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM hits
+        """,
+        "stream_frontier_ingest": """
+            SELECT DISTINCT
+                   'http://u' || (user_id % 50) || '.test/e/'
+                       || (event_id % 3500) AS url,
+                   'u' || (user_id % 50) || '.test' AS host
+            FROM events WHERE event_id < 4000
+        """,
+        "stream_host_budget": """
+            WITH links AS (
+                SELECT 'http://u' || (user_id % 50) || '.test/e/'
+                           || (event_id % 3500) AS url,
+                       'u' || (user_id % 50) || '.test' AS host,
+                       ts AS disc_ts
+                FROM events WHERE event_id < 4000
+            ), ranked AS (
+                SELECT url, host,
+                       CAST(floor(epoch(disc_ts)) AS BIGINT) AS disc_sec,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY disc_ts, url
+                       ) - 1 AS admit_seq
+                FROM links
+            )
+            SELECT url, host, disc_sec, admit_seq
+            FROM ranked WHERE admit_seq < 20
         """,
         "doc_winnow_fingerprints": r"""
             WITH toks AS (

@@ -49,7 +49,15 @@ def streamed_frontier_ingest(
     Dedup state is keyed by url and pruned past the watermark — bounded
     state for an unbounded stream, which is what makes this viable at
     10^10-URL scale (the full-history exact set stays in the batch table;
-    the stream only needs the in-watermark window to be exactly-once)."""
+    the stream only needs the in-watermark window to be exactly-once).
+
+    ``dropDuplicatesWithinWatermark`` is load-bearing: plain
+    ``dropDuplicates(["url"])`` only evicts state when the event-time
+    column is PART of the dedup key, so url-only state would grow without
+    bound. The within-watermark variant keys state by url and expires
+    each entry one watermark delay after its event time — duplicates
+    farther apart than the watermark re-admit (and the batch-side exact
+    seen set catches them), which is the documented trade."""
     src = (
         spark.readStream.schema(DISC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 16)
@@ -57,7 +65,7 @@ def streamed_frontier_ingest(
     )
     deduped = (
         src.withWatermark("disc_ts", watermark)
-        .dropDuplicates(["url"])
+        .dropDuplicatesWithinWatermark(["url"])
     )
     writer = (
         deduped.writeStream.format("parquet")
