@@ -233,8 +233,6 @@ def run_crawl(
         scheduled = scheduled.cache()
         phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
         if n_scheduled == 0:
-            from crawler_spark.operators.topk import drain_persisted
-
             if any(e >= rnd for e in cooldown.values()):
                 # everything eligible is cooling — commit an empty round so
                 # round numbering (and cooldown expiry) stays resumable
@@ -243,10 +241,8 @@ def run_crawl(
                         _empty_links(spark), self_urls, frontier, cooldown,
                         bloom, stats, n_frontier=n_frontier)
                 scheduled.unpersist()
-                drain_persisted()
                 continue
             scheduled.unpersist()
-            drain_persisted()
             break
 
         # -- simulated fetch ----------------------------------------------
@@ -356,14 +352,13 @@ def run_crawl(
             n_frontier=n_frontier, config=config, phase_timings=phase_t,
         )
 
-        # re-read committed state → bounded lineage across rounds
-        from crawler_spark.operators.topk import drain_persisted
-
+        # re-read committed state → bounded lineage across rounds; the
+        # with_global_seq checkpoints free themselves via the
+        # ContextCleaner once these per-round frames are dereferenced
         frontier.unpersist()
         scheduled.unpersist()
         fetched.unpersist()
         links.unpersist()
-        drain_persisted()
         frontier = store.read_snapshot("frontier", rnd, DISC_SCHEMA).cache()
         bloom = BloomSeenSet.load(
             spark, store.table_round_path("bloom", rnd), bloom_buckets,

@@ -156,7 +156,8 @@ class CrawlStore:
 
     def resume_round(self) -> int | None:
         """Last committed round; removes orphans from a crashed round (and
-        recovers a compaction interrupted between its two renames)."""
+        from a compaction interrupted at any point — the watermark file is
+        the single source of truth for which segment generation is live)."""
         rounds = self.committed_rounds()
         last = rounds[-1] if rounds else None
         # clean any table dir for an uncommitted round (crash mid-write)
@@ -164,16 +165,20 @@ class CrawlStore:
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            seg = os.path.join(tdir, "_compacted")
-            if not os.path.isdir(seg) and os.path.isdir(seg + ".old"):
-                os.rename(seg + ".old", seg)  # crashed mid-swap: roll back
-            shutil.rmtree(seg + ".tmp", ignore_errors=True)
-            shutil.rmtree(seg + ".old", ignore_errors=True)
             wm_tmp = self._watermark_path(table) + ".tmp"
             if os.path.exists(wm_tmp):
                 os.remove(wm_tmp)
+            wm, gen = self._compaction_state(table)
+            live = self._segment_dir(table, gen)
+            for name in os.listdir(tdir):
+                # drop every segment dir (any generation, committed or
+                # .tmp) the watermark does not reference — an uncommitted
+                # compaction leaves only unreferenced dirs behind
+                if name.startswith("_compacted-g"):
+                    path = os.path.join(tdir, name)
+                    if path != live:
+                        shutil.rmtree(path, ignore_errors=True)
             # finish an interrupted post-watermark sweep
-            wm = self.compaction_watermark(table)
             if wm >= 0:
                 self._sweep_compacted_rounds(table, wm)
             for name in os.listdir(tdir):
@@ -189,13 +194,23 @@ class CrawlStore:
     def _watermark_path(self, table: str) -> str:
         return os.path.join(self.root, table, "_compacted.json")
 
-    def compaction_watermark(self, table: str) -> int:
-        """Highest round folded into the compacted segment (-1 if none)."""
+    def _segment_dir(self, table: str, generation: int) -> str:
+        return os.path.join(self.root, table, f"_compacted-g{generation}")
+
+    def _compaction_state(self, table: str) -> tuple[int, int]:
+        """(upto_round, generation) of the committed segment; (-1, 0) if
+        none. The watermark JSON is the ONLY source of truth — a segment
+        dir not named by it does not exist as far as readers go."""
         path = self._watermark_path(table)
         if not os.path.exists(path):
-            return -1
+            return -1, 0
         with open(path) as f:
-            return int(json.load(f)["upto_round"])
+            state = json.load(f)
+        return int(state["upto_round"]), int(state["generation"])
+
+    def compaction_watermark(self, table: str) -> int:
+        """Highest round folded into the compacted segment (-1 if none)."""
+        return self._compaction_state(table)[0]
 
     def compact(self, table: str, schema: str, upto_round: int) -> int:
         """Merge round partitions ≤ ``upto_round`` of an append-only table
@@ -203,20 +218,27 @@ class CrawlStore:
 
         At 10^10 scale a long crawl accumulates thousands of small round
         partitions; compaction bounds file count while readers stay
-        correct. Crash safety is watermark-based: readers exclude
-        partitioned rounds ≤ the committed watermark, so a crash after
-        the segment swap but before (or during) round-dir deletion can
-        never produce duplicate rows — leftover dirs are invisible and
-        swept by ``resume_round``. ``upto_round`` below the current
-        watermark is clamped up (compaction never un-compacts — a lower
-        watermark would drop rows that exist only in the segment).
-        Returns the number of rows in the new segment."""
-        upto_round = max(upto_round, self.compaction_watermark(table))
+        correct. Crash safety: the new segment is written under a NEW
+        generation name, and the single commit point is the atomic
+        replace of the watermark JSON ``{upto_round, generation}`` —
+        readers resolve the live segment THROUGH the watermark, so before
+        the replace the new segment simply does not exist to them, and
+        after it the old generation and the round dirs ≤ upto_round are
+        dead regardless of how far cleanup got. ``resume_round`` deletes
+        whatever the watermark doesn't reference; there is no rename
+        window in which two copies of a row are simultaneously visible.
+        ``upto_round`` below the current watermark is clamped up
+        (compaction never un-compacts — a lower watermark would drop rows
+        that exist only in the segment). Returns the number of rows in
+        the new segment."""
+        cur_upto, cur_gen = self._compaction_state(table)
+        upto_round = max(upto_round, cur_upto)
         # schemas of tables whose round lives only in the dir name
         # (e.g. DISC_SCHEMA) need the partition column appended to read
         if "round" not in self.spark.createDataFrame([], schema).columns:
             schema = schema + ", round int"
-        seg = os.path.join(self.root, table, "_compacted")
+        new_gen = cur_gen + 1
+        seg = self._segment_dir(table, new_gen)
         tmp = seg + ".tmp"
         df = self._read_all(table, schema).where(F.col("round") <= upto_round)
         if self.max_write_partitions is not None:
@@ -225,17 +247,17 @@ class CrawlStore:
         n = self._rows_in(
             tmp, [f for f in os.listdir(tmp) if f.endswith(".parquet")]
         )
-        old = seg + ".old"
-        if os.path.isdir(seg):
-            os.rename(seg, old)
-        os.rename(tmp, seg)
-        shutil.rmtree(old, ignore_errors=True)
-        # commit point: once the watermark is visible, the round dirs
-        # below it are dead to readers regardless of deletion progress
+        os.rename(tmp, seg)  # still invisible: watermark names cur_gen
+        # commit point: watermark now names the new generation; the old
+        # segment + round dirs below upto_round are dead to readers
         wtmp = self._watermark_path(table) + ".tmp"
         with open(wtmp, "w") as f:
-            json.dump({"upto_round": upto_round}, f)
+            json.dump({"upto_round": upto_round, "generation": new_gen}, f)
         os.replace(wtmp, self._watermark_path(table))
+        if cur_upto >= 0:
+            shutil.rmtree(
+                self._segment_dir(table, cur_gen), ignore_errors=True
+            )
         self._sweep_compacted_rounds(table, upto_round)
         return n
 
@@ -268,11 +290,13 @@ class CrawlStore:
         ``compact``) carries ``round`` in-file and is unioned in.
         """
         tdir = os.path.join(self.root, table)
-        seg = os.path.join(tdir, "_compacted")
-        watermark = self.compaction_watermark(table)
+        watermark, generation = self._compaction_state(table)
+        seg = self._segment_dir(table, generation)
         parts = []
-        if os.path.isdir(seg) and any(
-            f.endswith(".parquet") for f in os.listdir(seg)
+        if (
+            watermark >= 0
+            and os.path.isdir(seg)
+            and any(f.endswith(".parquet") for f in os.listdir(seg))
         ):
             parts.append(self.spark.read.schema(schema).parquet(seg))
         if os.path.isdir(tdir) and any(

@@ -34,16 +34,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# frames persisted internally by with_global_seq; long-running drivers
-# (the crawl round loop) call drain_persisted() once downstream results
-# are checkpointed to bound cache growth
-_PERSISTED: list[DataFrame] = []
-
-
-def drain_persisted() -> None:
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-
 
 def topk_per_group(
     df: DataFrame,
@@ -103,17 +93,21 @@ def with_global_seq(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # Persist BEFORE reading _pid: the counts job and the final window job
-    # must see the SAME partition-id assignment. Without the persist, the
-    # two jobs re-evaluate the range exchange independently and AQE may
+    # Materialize BEFORE reading _pid: the counts job and the final window
+    # job must see the SAME partition-id assignment. Without it, the two
+    # jobs re-evaluate the range exchange independently and AQE may
     # coalesce them differently (and range-boundary sampling may differ),
-    # silently mis-assigning offsets.
+    # silently mis-assigning offsets. localCheckpoint (lazy — the counts
+    # job below materializes it) freezes the blocks with truncated
+    # lineage, and the blocks are released by the ContextCleaner when the
+    # DataFrame is garbage collected — no hidden persist registry to
+    # drain, safe under concurrent callers. Trade: an evicted block fails
+    # the job instead of silently recomputing into different partitions.
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    _PERSISTED.append(parted)
     # one count per partition — tiny driver round-trip, NOT a data collect
     counts = {
         r["_pid"]: r["cnt"]

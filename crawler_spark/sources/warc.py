@@ -50,15 +50,19 @@ def _record_bytes(url: str, ts, payload: bytes, content_type: str,
     http = (
         f"HTTP/1.1 {status} X\r\nContent-Type: {content_type}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
-    ).encode("ascii") + payload
+    ).encode("utf-8") + payload
     head = (
-        "WARC/1.0\r\n"
+        "WARC/1.1\r\n"
         "WARC-Type: response\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {_fmt_ts(ts)}\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
-    ).encode("ascii")
+        # UTF-8, not ascii: crawl corpora carry IRIs (the canonicalizer
+        # passes non-ASCII hosts/paths through) and WARC/1.1 permits
+        # UTF-8 header values — an ascii encode would throw inside the
+        # executor and fail the whole write task
+    ).encode("utf-8")
     return head + http + _CRLF + _CRLF
 
 
@@ -112,7 +116,13 @@ def _parse_warc_member(buf: bytes, pos: int):
     if head_end < 0:
         return None, -1
     headers: dict[str, str] = {}
-    head = buf[pos:head_end].decode("iso-8859-1")
+    # utf-8 first (what we write, what WARC/1.1 allows), latin-1 fallback
+    # so arbitrary third-party bytes still parse
+    raw_head = buf[pos:head_end]
+    try:
+        head = raw_head.decode("utf-8")
+    except UnicodeDecodeError:
+        head = raw_head.decode("iso-8859-1")
     lines = head.split("\r\n")
     if not lines or not lines[0].startswith("WARC/"):
         return None, -1

@@ -187,3 +187,46 @@ def test_compact_discoveries_schema_without_round(spark):
                       upto_round=store.committed_rounds()[-1])
     assert n == len(before)
     assert sorted(map(tuple, store.read_discoveries().collect())) == before
+
+
+def test_compaction_crash_before_watermark_commit(spark):
+    """Crash AFTER the new segment dir lands but BEFORE the watermark
+    replace (the round-1 review's crash window): the watermark still
+    names the old generation, so the new segment must be invisible to
+    readers, resume must delete it, and a re-run of compact must not
+    bake duplicates."""
+    import json
+
+    from crawler_spark.crawl.store import PAGES_FILE_SCHEMA, CrawlStore
+
+    store, _, _, root = _crawled_store(spark, max_rounds=4)
+    rounds = store.committed_rounds()
+    before = sorted(map(tuple, store.read_pages().collect()))
+
+    # first compaction commits generation 1 over the early rounds
+    store.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[1])
+    assert sorted(map(tuple, store.read_pages().collect())) == before
+
+    # simulate the crashed second compaction: build what compact() would
+    # have renamed into place (a full segment for ALL rounds) WITHOUT
+    # touching the watermark — i.e. crash one line before the commit
+    pdir = os.path.join(root, "pages")
+    df = store._read_all("pages", PAGES_FILE_SCHEMA).coalesce(2)
+    orphan = os.path.join(pdir, "_compacted-g2")
+    df.write.mode("overwrite").parquet(orphan)
+    with open(os.path.join(root, "pages", "_compacted.json")) as f:
+        assert json.load(f)["generation"] == 1  # watermark untouched
+
+    # readers resolve through the watermark: no double-counting
+    assert sorted(map(tuple, store.read_pages().collect())) == before
+
+    # resume deletes the unreferenced generation and keeps reads exact
+    store2 = CrawlStore(spark, root)
+    store2.resume_round()
+    assert not os.path.isdir(orphan)
+    assert sorted(map(tuple, store2.read_pages().collect())) == before
+
+    # and a re-run of the interrupted compaction converges cleanly
+    n = store2.compact("pages", PAGES_FILE_SCHEMA, upto_round=rounds[-1])
+    assert n == len(before)
+    assert sorted(map(tuple, store2.read_pages().collect())) == before

@@ -76,3 +76,33 @@ def test_warc_skips_non_response_records(spark, tmp_path):
     assert rows[0].url == "http://a.test/"
     assert rows[0].status == 404
     assert bytes(rows[0].html) == b"<p>x</p>"
+
+
+def test_warc_roundtrip_non_ascii_url(spark, tmp_path):
+    import pandas as pd
+
+    from crawler_spark.sources.warc import read_warc, write_warc
+
+    rows = pd.DataFrame(
+        {
+            "url": ["http://例え.test/ぱす?q=值", "http://plain.test/a"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01T00:00:00", "2024-01-02T00:00:00"]
+            ),
+            "html": [("<p>中文 content</p>").encode(), b"<p>ok x</p>"],
+            "content_type": ["text/html; charset=utf-8"] * 2,
+            "status": [200, 200],
+        }
+    )
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, content_type string,"
+        " status int",
+    )
+    out = str(tmp_path / "warc")
+    manifest = write_warc(df.coalesce(1), out).collect()
+    assert sum(r.n_records for r in manifest) == 2
+    back = read_warc(spark, out + "/*.warc").toPandas()
+    assert set(back.url) == set(rows.url)
+    got = back.set_index("url").loc["http://例え.test/ぱす?q=值"]
+    assert bytes(got.html).decode() == "<p>中文 content</p>"
