@@ -299,13 +299,23 @@ class CrawlStore:
             and any(f.endswith(".parquet") for f in os.listdir(seg))
         ):
             parts.append(self.spark.read.schema(schema).parquet(seg))
-        if os.path.isdir(tdir) and any(
-            n.startswith("round=") for n in os.listdir(tdir)
-        ):
+        round_dirs = (
+            sorted(
+                os.path.join(tdir, n)
+                for n in os.listdir(tdir)
+                if n.startswith("round=")
+            )
+            if os.path.isdir(tdir)
+            else []
+        )
+        if round_dirs:
+            # concrete dirs, not a "round=*" glob: a single glob path makes
+            # Spark's FileStreamSink probe for streaming metadata and log a
+            # full (harmless but alarming) exception stack per read
             parted = (
                 self.spark.read.schema(schema)
                 .option("basePath", tdir)
-                .parquet(os.path.join(tdir, "round=*"))
+                .parquet(*round_dirs)
             )
             if watermark >= 0:
                 # rounds at/below the watermark live in the segment; any
