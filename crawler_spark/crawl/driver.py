@@ -315,12 +315,18 @@ def run_crawl(
             )
         )
 
-        exact_seen = (
-            store.read_pages().select("url")
-            .unionByName(scheduled.select("url"))
-            .unionByName(frontier_rem.select("url"))
-        )
-        unseen = bloom.filter_unseen(cands, exact_seen)
+        # exact re-check build side: the committed url-only seen log,
+        # PRUNED to the bloom-positive buckets (store.read_seen pushes
+        # `bucket IN` into the parquet scan) — the full pages history
+        # never rescans — plus this round's in-flight urls
+        def _seen_hist(buckets, _sched=scheduled, _rem=frontier_rem):
+            return (
+                store.read_seen(buckets).select("url")
+                .unionByName(_sched.select("url"))
+                .unionByName(_rem.select("url"))
+            )
+
+        unseen = bloom.filter_unseen(cands, seen_for_buckets=_seen_hist)
 
         _t0 = time.perf_counter()
         seq_disc, n_new = with_global_seq(
@@ -448,8 +454,24 @@ def _commit(
     # the others wait.)
     from concurrent.futures import ThreadPoolExecutor
 
+    # url-only seen log for bucket-pruned exact re-checks: one row per
+    # crawled page, keyed and sorted by its bloom bucket so later rounds'
+    # `bucket IN (...)` filters prune at row-group level
+    seen_df = pages_df.select(
+        F.pmod(F.xxhash64("url"), F.lit(bloom.n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        "url",
+    ).sortWithinPartitions("bucket")
+
     lineage: dict[str, list[str]] = {}
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_seen = pool.submit(
+            lambda: _timed(
+                "w_seen",
+                lambda: store.write_round_table("seen", rnd, seen_df),
+            )
+        )
         f_pages = pool.submit(
             lambda: _timed(
                 "w_pages",
@@ -501,6 +523,7 @@ def _commit(
         lineage["links"], n_links = f_links.result()
         lineage["discoveries"], n_disc = f_disc.result()
         lineage["frontier"], _ = f_frontier.result()
+        lineage["seen"], _ = f_seen.result()
         f_bloom.result()
     # cooldown is driver-resident state (a small dict) — pyarrow write,
     # not a Spark job

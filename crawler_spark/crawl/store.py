@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
-    "pages", "links", "discoveries", "frontier", "cooldown", "bloom",
+    "pages", "links", "discoveries", "frontier", "cooldown", "bloom", "seen",
 )
 
 PAGES_SCHEMA = "round int, seq long, url string, host string, status int, type string"
@@ -55,6 +55,9 @@ LINKS_SCHEMA = (
 )
 DISC_SCHEMA = "disc_round int, disc_seq long, url string, host string"
 COOLDOWN_SCHEMA = "host string, expire_round int"
+# url-only seen log, keyed by the bloom bucket (pmod(xxhash64(url), B)) and
+# written sorted by bucket so `bucket IN (...)` prunes at row-group level
+SEEN_SCHEMA = "bucket int, url string"
 PAGE_TEXT_SCHEMA = "round int, url string, text string"
 
 
@@ -338,6 +341,20 @@ class CrawlStore:
 
     def read_pages(self) -> DataFrame:
         return self._read_all("pages", PAGES_SCHEMA)
+
+    def read_seen(self, buckets: list[int] | None = None) -> DataFrame:
+        """(bucket, url) of every committed round's crawled pages.
+
+        ``buckets`` prunes the scan to the given bloom-bucket ids — the
+        filter pushes to the parquet scan, and because each round's seen
+        file is written sorted by bucket, row-group min/max stats skip
+        everything else. This is what keeps the exact-seen re-check's
+        build side proportional to the bloom-POSITIVE buckets instead of
+        the full 10^10-url history."""
+        df = self._read_all("seen", SEEN_SCHEMA + ", round int").drop("round")
+        if buckets is not None:
+            df = df.where(F.col("bucket").isin([int(b) for b in buckets]))
+        return df
 
     def read_links(self) -> DataFrame:
         return self._read_all("links", LINKS_SCHEMA)

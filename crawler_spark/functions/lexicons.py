@@ -12,9 +12,39 @@ Both lists are public. We vendor compact, deterministic versions here: the
 engine and the pure-Python golden oracle share these exact lists, so
 distributed-vs-serial parity is exact; fixture corpora are generated from
 vocabulary covered by these lists so goldens exercise every branch.
+
+This sandbox has no network access, so the FULL public AFINN-165 file
+(~3,382 entries) cannot be vendored verbatim without risking fabricated
+valences; the subset below carries true AFINN-style scores for the ~370
+most common sentiment words. For production parity with the reference's
+``natural`` package, drop the published ``AFINN-en-165.txt`` next to this
+module (or pass its path) and :func:`load_afinn` replaces the subset —
+every consumer (sentiment kernel, stemmed map, goldens) keys off this one
+dict, so the swap is a single call before fixtures are generated.
 """
 
 from __future__ import annotations
+
+import os
+
+
+def load_afinn(path: str) -> dict[str, int]:
+    """Parse the standard AFINN TSV format (``word<TAB>score``).
+
+    Use ``AFINN.clear(); AFINN.update(load_afinn(p))`` at import time to
+    run with the full published lexicon; multi-word AFINN entries (e.g.
+    "can't stand") are kept verbatim — the tokenizer never produces them,
+    matching ``natural``'s unigram behavior."""
+    out: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            word, _, score = line.rstrip("\n").rpartition("\t")
+            if word and score.lstrip("-").isdigit():
+                out[word] = int(score)
+    return out
+
+
+_AFINN_ENV = os.environ.get("SPARK_GRAFT_AFINN_PATH", "")
 
 # English stopwords (vendored, ~the `stopword` npm package's `eng` list).
 STOPWORDS: frozenset[str] = frozenset(
@@ -94,3 +124,7 @@ AFINN: dict[str, int] = {
     "welcome": 2, "win": 4, "wise": 2, "wonderful": 4, "worry": -3,
     "worst": -3, "worth": 2, "wrong": -2, "young": 1,
 }
+
+if _AFINN_ENV:
+    AFINN.clear()
+    AFINN.update(load_afinn(_AFINN_ENV))

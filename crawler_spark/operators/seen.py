@@ -157,19 +157,28 @@ class BloomSeenSet:
 
     # -- probe -------------------------------------------------------------
 
-    def probe(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
+    def probe(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        keep_bucket: bool = False,
+    ) -> DataFrame:
         """Return ``candidates`` + boolean ``maybe_seen``.
 
         ``maybe_seen = False`` rows are guaranteed-unseen (no false
         negatives); ``True`` rows need the exact anti-join re-check.
+        ``keep_bucket=True`` also returns the bloom bucket id — the key
+        for partition-pruned exact re-checks.
         """
         m_bits, k = self.m_bits, self.k_hashes
         with_b = _with_bucket_hash(candidates, url_col, self.n_buckets)
+        in_cols = [f.name for f in candidates.schema.fields]
+        if keep_bucket:
+            in_cols = in_cols + ["bucket"]
         out_schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in candidates.schema.fields
-        ) + ", maybe_seen boolean"
-        in_cols = [f.name for f in candidates.schema.fields]
+        ) + (", bucket int" if keep_bucket else "") + ", maybe_seen boolean"
 
         def probe_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if left.empty:
@@ -192,12 +201,47 @@ class BloomSeenSet:
         )
 
     def filter_unseen(
-        self, candidates: DataFrame, exact_seen: DataFrame, url_col: str = "url"
+        self,
+        candidates: DataFrame,
+        exact_seen: DataFrame | None = None,
+        url_col: str = "url",
+        seen_for_buckets=None,
     ) -> DataFrame:
         """Bloom-prefiltered anti-join: rows of ``candidates`` whose url is
-        NOT in ``exact_seen``. Bloom negatives bypass the join entirely;
-        positives are re-checked exactly."""
-        probed = self.probe(candidates, url_col)
+        NOT in the seen set. Bloom negatives bypass the join entirely;
+        positives are re-checked exactly.
+
+        Two build-side modes:
+
+        - ``exact_seen``: a ready DataFrame of seen urls (full history
+          scan each call — fine when the caller's history is small);
+        - ``seen_for_buckets(buckets) -> DataFrame``: called with the
+          sorted distinct bloom-bucket ids of the POSITIVE candidates, so
+          the callee can prune its seen-table scan to just those buckets
+          (the scale path at 10^10 URLs: the build side shrinks from the
+          full url history to the handful of bucket partitions that
+          contain a bloom positive). The probe output is localCheckpointed
+          so computing the bucket list does not re-run the bloom probe.
+        """
+        if (exact_seen is None) == (seen_for_buckets is None):
+            raise ValueError(
+                "exactly one of exact_seen / seen_for_buckets required"
+            )
+        keep_bucket = seen_for_buckets is not None
+        probed = self.probe(candidates, url_col, keep_bucket=keep_bucket)
+        if keep_bucket:
+            # freeze once: the bucket collect + both branches below reuse
+            # the same probe pass instead of re-running the cogroup UDF
+            probed = probed.localCheckpoint(eager=False)
+            buckets = sorted(
+                r["bucket"]
+                for r in probed.where(F.col("maybe_seen"))
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
+            exact_seen = seen_for_buckets(buckets)
+            probed = probed.drop("bucket")
         fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
         suspect = probed.where(F.col("maybe_seen")).drop("maybe_seen")
         rechecked = suspect.join(

@@ -94,3 +94,12 @@ def test_extract_tags_threshold_and_topk():
     # limit respected
     terms2 = {f"t{i}": 1.0 for i in range(5)} | {f"z{i}": 0.0 for i in range(20)}
     assert len(extract_tags(terms2)) == 3
+
+
+def test_load_afinn_tsv(tmp_path):
+    from crawler_spark.functions.lexicons import load_afinn
+
+    p = tmp_path / "afinn.txt"
+    p.write_text("good\t3\nbad\t-3\ncan't stand\t-3\nbroken-line\nx\t2\n")
+    got = load_afinn(str(p))
+    assert got == {"good": 3, "bad": -3, "can't stand": -3, "x": 2}
