@@ -189,6 +189,7 @@ def run_crawl(
         start_round = 0
         seed_disc = frontier  # committed with round 0
     else:
+        store.backfill_seen(bloom_buckets, last)
         frontier = store.read_snapshot("frontier", last, DISC_SCHEMA)
         n_frontier = int(
             store.read_manifest(last)["metrics"]["frontier_size"]

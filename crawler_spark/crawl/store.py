@@ -175,9 +175,12 @@ class CrawlStore:
             live = self._segment_dir(table, gen)
             for name in os.listdir(tdir):
                 # drop every segment dir (any generation, committed or
-                # .tmp) the watermark does not reference — an uncommitted
-                # compaction leaves only unreferenced dirs behind
-                if name.startswith("_compacted-g"):
+                # .tmp, incl. the legacy un-generationed layout) the
+                # watermark does not reference — an uncommitted compaction
+                # leaves only unreferenced dirs behind
+                if name.startswith("_compacted") and not name.endswith(
+                    ".json"
+                ):
                     path = os.path.join(tdir, name)
                     if path != live:
                         shutil.rmtree(path, ignore_errors=True)
@@ -198,6 +201,10 @@ class CrawlStore:
         return os.path.join(self.root, table, "_compacted.json")
 
     def _segment_dir(self, table: str, generation: int) -> str:
+        # generation 0 is the legacy un-generationed layout — a store
+        # compacted before the generation protocol keeps reading/upgrading
+        if generation == 0:
+            return os.path.join(self.root, table, "_compacted")
         return os.path.join(self.root, table, f"_compacted-g{generation}")
 
     def _compaction_state(self, table: str) -> tuple[int, int]:
@@ -209,7 +216,7 @@ class CrawlStore:
             return -1, 0
         with open(path) as f:
             state = json.load(f)
-        return int(state["upto_round"]), int(state["generation"])
+        return int(state["upto_round"]), int(state.get("generation", 0))
 
     def compaction_watermark(self, table: str) -> int:
         """Highest round folded into the compacted segment (-1 if none)."""
@@ -250,6 +257,10 @@ class CrawlStore:
         n = self._rows_in(
             tmp, [f for f in os.listdir(tmp) if f.endswith(".parquet")]
         )
+        # an orphan from a compact() that failed between rename and
+        # watermark commit is unreferenced by construction — clear it so
+        # a RETRY of the same generation doesn't fail the rename
+        shutil.rmtree(seg, ignore_errors=True)
         os.rename(tmp, seg)  # still invisible: watermark names cur_gen
         # commit point: watermark now names the new generation; the old
         # segment + round dirs below upto_round are dead to readers
@@ -369,6 +380,26 @@ class CrawlStore:
         if not os.path.isdir(path):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(path)
+
+    def backfill_seen(self, n_buckets: int, last_round: int) -> bool:
+        """One-time upgrade path: a store whose rounds were committed
+        before the url-only seen log existed gets the whole pages history
+        folded into ``seen/round=<last_round>`` — resuming such a store
+        must not silently treat crawled urls as unseen."""
+        sdir = os.path.join(self.root, "seen")
+        has_any = os.path.isdir(sdir) and any(
+            n.startswith(("round=", "_compacted")) for n in os.listdir(sdir)
+        )
+        if has_any:
+            return False
+        seen = self.read_pages().select(
+            F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+            "url",
+        ).sortWithinPartitions("bucket")
+        self.write_round_table("seen", last_round, seen)
+        return True
 
     def rebuild_frontier(self, upto_round: int) -> DataFrame:
         """Merge-on-read frontier: discoveries minus crawled pages.

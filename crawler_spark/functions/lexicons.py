@@ -31,10 +31,13 @@ import os
 def load_afinn(path: str) -> dict[str, int]:
     """Parse the standard AFINN TSV format (``word<TAB>score``).
 
-    Use ``AFINN.clear(); AFINN.update(load_afinn(p))`` at import time to
-    run with the full published lexicon; multi-word AFINN entries (e.g.
-    "can't stand") are kept verbatim — the tokenizer never produces them,
-    matching ``natural``'s unigram behavior."""
+    Drop the published file as ``AFINN-en-165.txt`` NEXT TO THIS MODULE
+    to activate it: the file ships inside the package, so driver and
+    every executor resolve the identical lexicon (an env-var/absolute
+    path would be evaluated independently per process and could split
+    the lexicon between driver goldens and executor UDFs). Multi-word
+    AFINN entries (e.g. "can't stand") are kept verbatim — the tokenizer
+    never produces them, matching ``natural``'s unigram behavior."""
     out: dict[str, int] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:
@@ -44,7 +47,7 @@ def load_afinn(path: str) -> dict[str, int]:
     return out
 
 
-_AFINN_ENV = os.environ.get("SPARK_GRAFT_AFINN_PATH", "")
+_AFINN_FILE = os.path.join(os.path.dirname(__file__), "AFINN-en-165.txt")
 
 # English stopwords (vendored, ~the `stopword` npm package's `eng` list).
 STOPWORDS: frozenset[str] = frozenset(
@@ -125,6 +128,6 @@ AFINN: dict[str, int] = {
     "worst": -3, "worth": 2, "wrong": -2, "young": 1,
 }
 
-if _AFINN_ENV:
+if os.path.exists(_AFINN_FILE):
     AFINN.clear()
-    AFINN.update(load_afinn(_AFINN_ENV))
+    AFINN.update(load_afinn(_AFINN_FILE))

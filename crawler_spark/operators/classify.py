@@ -37,6 +37,15 @@ from pyspark.sql import functions as F
 TextScorer = Callable[[pd.Series, list[str]], pd.DataFrame]
 
 
+def _col_type(df: DataFrame, col: str) -> str:
+    """simpleString type of ``col`` — the id column keeps its input type
+    through the mapInPandas schemas (ids are not always longs)."""
+    for f in df.schema.fields:
+        if f.name == col:
+            return f.dataType.simpleString()
+    raise KeyError(col)
+
+
 def categorize_text(
     df: DataFrame,
     labels: list[str],
@@ -78,7 +87,7 @@ def categorize_text(
     else:
         # scorer contract: (texts: pd.Series, labels) -> DataFrame with
         # columns (_row: batch-local 0-based index, category, score)
-        schema = f"{id_col} long, category string, score double"
+        schema = f"{id_col} {_col_type(df, id_col)}, category string, score double"
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -169,5 +178,8 @@ def classify_features(
                 {id_col: ids, "category": cats, "score": scs, "rank": rks}
             )
 
-    schema = f"{id_col} long, category string, score double, rank int"
+    schema = (
+        f"{id_col} {_col_type(feats, id_col)}, category string, "
+        "score double, rank int"
+    )
     return feats.select(id_col, feat_col).mapInPandas(run, schema)

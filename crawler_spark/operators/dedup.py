@@ -276,7 +276,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket_size: int | None = 10000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ d via pigeonhole banding.
 
@@ -293,7 +293,9 @@ def simhash_near_dups(
     join quadratic in the clique. Buckets above the cap are skipped — run
     ``dedup_exact`` first so identical-doc cliques never reach this
     operator (that is exact dedup's job); for genuinely near docs the pair
-    usually survives via another, smaller chunk bucket. ``None`` disables.
+    usually survives via another, smaller chunk bucket. Default ``None``:
+    the un-capped operator keeps its exact recall-≤-d guarantee — opt in
+    (≈10000) at web-corpus scale after running ``dedup_exact``.
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
@@ -378,7 +380,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = 10000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact jaccard over distinct word n-grams, sub-quadratic via the
     inverted index: pairs sharing ≥1 gram → |A∩B| by count, |A∪B| from
@@ -392,7 +394,9 @@ def ngram_jaccard_pairs(
     (intersection misses dropped shingles, union is exact): no false
     near-dups, and a pair whose overlap is mostly ultra-common boilerplate
     was below any useful threshold anyway. The same guard as
-    ``lsh_candidate_pairs``' mega-bucket cap. ``None`` disables.
+    ``lsh_candidate_pairs``' mega-bucket cap. Default ``None``: exact by
+    default (matching this operator's contract and its DuckDB oracle) —
+    opt in (≈10000) at web-corpus scale.
     """
     grams = word_shingles(df, id_col, text_col, n)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
