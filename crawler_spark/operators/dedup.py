@@ -235,24 +235,39 @@ def minhash_dedup(
 
 @F.pandas_udf(T.LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
-    out = []
-    for t in texts:
-        toks = tokenize(t)
-        if not toks:
-            out.append(0)
-            continue
-        hs = np.array(
-            [hash_token(tok) for tok in toks], dtype=np.uint64
+    """64-bit simhash per doc, batch-vectorized.
+
+    Token hashes + bit matrices are computed ONCE per distinct token in
+    the Arrow batch (natural text is zipfian — the per-batch vocabulary
+    is a small fraction of total token occurrences), then each doc's
+    votes are one fancy-indexed row-sum. Output is bit-for-bit identical
+    to per-doc hashing."""
+    docs = [tokenize(t) for t in texts]
+    vocab: dict[str, int] = {}
+    for toks in docs:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    if vocab:
+        hs = np.fromiter(
+            (hash_token(t) for t in vocab), dtype=np.uint64, count=len(vocab)
         )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        # int64 BEFORE the subtraction: a uint64 ARRAY keeps its dtype
-        # against a python int (unlike scalars) and negative vote counts
-        # would underflow to huge positives, setting nearly every bit
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
-        sig = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        out.append(int(sig.astype(np.int64)))
+        # (vocab, 64) bit matrix, small ints for fast row sums
+        bit_mat = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.int32)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(docs), dtype=np.int64)
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue
+        idx = np.fromiter(
+            (vocab[t] for t in toks), dtype=np.intp, count=len(toks)
+        )
+        # int32 sums can't underflow; *2 - n stays signed
+        votes = bit_mat[idx].sum(axis=0) * 2 - len(toks)
+        sig = powers[votes > 0].sum(dtype=np.uint64)
+        out[i] = int(sig.astype(np.int64))
     return pd.Series(out)
 
 
