@@ -160,11 +160,19 @@ def run_crawl(
     bloom_bits: int = 1 << 18,
     resume: bool = False,
     write_partitions: int | None = 8,
+    frontier_snapshot_every: int = 1,
 ) -> CrawlStats:
     """Run (or resume) the crawl to completion; state lives in the store.
 
     ``write_partitions`` caps files per round table — right for local/bench
-    scale; pass None on a real cluster for natural partitioning."""
+    scale; pass None on a real cluster for natural partitioning.
+
+    ``frontier_snapshot_every=N`` writes the frontier snapshot every N
+    rounds; in between, the frontier is merge-on-read (``discoveries ≤ R``
+    anti-join ``pages ≤ R`` via ``store.rebuild_frontier``) — the round
+    loses one write job, at the cost of reading the discovery log. Choose
+    by shape: write-bound short-frontier crawls want a large N; a
+    10^10-row frontier whose discovery log dwarfs it wants N=1."""
     store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
     robots_ok = _robots_filter_udf(spark, config)
     budget_df, budget_default = _budget_df(spark, config)
@@ -189,8 +197,13 @@ def run_crawl(
         start_round = 0
         seed_disc = frontier  # committed with round 0
     else:
+        import os as _os
+
         store.backfill_seen(bloom_buckets, last)
-        frontier = store.read_snapshot("frontier", last, DISC_SCHEMA)
+        if _os.path.isdir(store.table_round_path("frontier", last)):
+            frontier = store.read_snapshot("frontier", last, DISC_SCHEMA)
+        else:  # between snapshots: merge-on-read from the logs
+            frontier = store.rebuild_frontier(last)
         n_frontier = int(
             store.read_manifest(last)["metrics"]["frontier_size"]
         )
@@ -353,10 +366,12 @@ def run_crawl(
         # frontier size tracked arithmetically: previous size minus the
         # scheduled rows plus this round's new discoveries — no count job
         n_frontier = n_frontier - n_scheduled + n_new
+        snap = (rnd % max(1, frontier_snapshot_every)) == 0
         _commit(
             store, rnd, spark, pages_df, links.drop("seq"), disc_to_commit,
             next_frontier, cooldown, bloom, stats,
             n_frontier=n_frontier, config=config, phase_timings=phase_t,
+            write_frontier=snap,
         )
 
         # re-read committed state → bounded lineage across rounds; the
@@ -366,7 +381,11 @@ def run_crawl(
         scheduled.unpersist()
         fetched.unpersist()
         links.unpersist()
-        frontier = store.read_snapshot("frontier", rnd, DISC_SCHEMA).cache()
+        if snap:
+            frontier = store.read_snapshot("frontier", rnd, DISC_SCHEMA)
+        else:
+            frontier = store.rebuild_frontier(rnd)
+        frontier = frontier.cache()
         bloom = BloomSeenSet.load(
             spark, store.table_round_path("bloom", rnd), bloom_buckets,
             bloom_bits,
@@ -436,6 +455,7 @@ def _commit(
     n_frontier: int,
     config: CrawlConfig | None = None,
     phase_timings: dict[str, float] | None = None,
+    write_frontier: bool = True,
 ) -> None:
     import time as _time
 
@@ -491,11 +511,17 @@ def _commit(
                 lambda: store.write_round_table("discoveries", rnd, disc_df),
             )
         )
-        f_frontier = pool.submit(
-            lambda: _timed(
-                "w_frontier",
-                lambda: store.write_round_table("frontier", rnd, frontier_df),
+        f_frontier = (
+            pool.submit(
+                lambda: _timed(
+                    "w_frontier",
+                    lambda: store.write_round_table(
+                        "frontier", rnd, frontier_df
+                    ),
+                )
             )
+            if write_frontier
+            else None
         )
         f_bloom = pool.submit(
             lambda: _timed(
@@ -523,7 +549,10 @@ def _commit(
                 cooldown_events.append((h, expire))
         lineage["links"], n_links = f_links.result()
         lineage["discoveries"], n_disc = f_disc.result()
-        lineage["frontier"], _ = f_frontier.result()
+        if f_frontier is not None:
+            lineage["frontier"], _ = f_frontier.result()
+        else:
+            lineage["frontier"] = []  # merge-on-read round, no snapshot
         lineage["seen"], _ = f_seen.result()
         f_bloom.result()
     # cooldown is driver-resident state (a small dict) — pyarrow write,

@@ -95,3 +95,28 @@ def test_merge_on_read_frontier_equals_snapshot(spark, web, tmp_path):
     assert sorted(map(tuple, snap[key].itertuples(index=False))) == sorted(
         map(tuple, mor[key].itertuples(index=False))
     )
+
+
+def test_frontier_snapshot_interval_equal_and_resumable(spark, web, tmp_path):
+    """frontier_snapshot_every=3: identical crawl result, and resuming
+    from a round WITHOUT a frontier snapshot rebuilds it from the logs."""
+    corpus = _to_spark_corpus(spark, web.pages)
+    seeds = web.seeds.url.tolist()
+
+    root_a = str(tmp_path / "every1")
+    run_crawl(spark, corpus, seeds, _cfg(web), root_a, bloom_buckets=4,
+              bloom_bits=1 << 15)
+    store_a = CrawlStore(spark, root_a)
+
+    root_b = str(tmp_path / "every3")
+    run_crawl(spark, corpus, seeds, _cfg(web, max_rounds=5), root_b,
+              bloom_buckets=4, bloom_bits=1 << 15,
+              frontier_snapshot_every=3)
+    store_b = CrawlStore(spark, root_b)
+    # round 4 committed without a frontier snapshot (only rounds 0, 3)
+    assert not os.path.isdir(store_b.table_round_path("frontier", 4))
+    assert store_b.read_manifest(4)["lineage"]["frontier"] == []
+
+    run_crawl(spark, corpus, seeds, _cfg(web), root_b, bloom_buckets=4,
+              bloom_bits=1 << 15, resume=True, frontier_snapshot_every=3)
+    assert _final_state(store_b) == _final_state(store_a)
