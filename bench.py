@@ -59,6 +59,11 @@ HEADLINE = [
     "embedding_cosine_pairs",
     "ivf_ann",
     "doc_language_id",
+    # round-2 additions
+    "doc_winnow_fingerprints",
+    "doc_repetition",
+    "doc_categories",
+    "combine_images",
 ]
 
 
@@ -210,17 +215,27 @@ def main() -> None:
         # cores busy (JVM producer + python worker), so demand is 2p cores;
         # 2*16=32 fits this box exactly, while local[32] would demand 64
         # cores and measure machine saturation, not engine scaling.
+        # Each level runs `reps` times and reports the BEST run: the
+        # sandbox shares its host (observed run-to-run wall spread >25%),
+        # and min-wall is the standard noise-rejecting estimator for a
+        # fixed deterministic workload.
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-        r_lo = _run_sub("--pipeline-only", lo)
-        r_hi = _run_sub("--pipeline-only", hi)
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        runs_lo = [_run_sub("--pipeline-only", lo) for _ in range(reps)]
+        runs_hi = [_run_sub("--pipeline-only", hi) for _ in range(reps)]
+        r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
+        r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
         eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3),
             "unit": "ratio",
-            "low": {"cpus": lo, **r_lo},
-            "high": {"cpus": hi, **r_hi},
+            "reps": reps,
+            "low": {"cpus": lo, **r_lo,
+                    "all_pages_per_sec": [r["pages_per_sec"] for r in runs_lo]},
+            "high": {"cpus": hi, **r_hi,
+                     "all_pages_per_sec": [r["pages_per_sec"] for r in runs_hi]},
             "sf": _sf_of(SF_DIR),
         }))
         return
