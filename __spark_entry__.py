@@ -390,6 +390,54 @@ def q_doc_gopher_flags(spark, sf):
     return gopher_quality_flags(d, min_words=10)
 
 
+def _docs_with_pii(spark, sf):
+    """Documents with deterministic synthetic PII appended to every third
+    doc — identical derivation in the DuckDB oracle, so redaction output
+    is byte-checked."""
+    d = _read(spark, sf, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact a"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" from 10.0."), (did % 200).cast("string"), F.lit(".7"),
+        F.lit(" call +1 (555) 010-"),
+        (1000 + did % 9000).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(did % 3 == 0, pii).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_doc_pii_redaction(spark, sf):
+    """PII scrub: email/IPv4/phone spans → typed placeholders + removal
+    counts, pure regexp column algebra (operators.scrub)."""
+    from crawler_spark.operators.scrub import redact_pii
+
+    return redact_pii(_docs_with_pii(spark, sf))
+
+
+def q_doc_decontaminate(spark, sf):
+    """Benchmark decontamination: flag docs sharing any 8-gram with a
+    benchmark set (here: every 50th doc stands in for the eval set)."""
+    from crawler_spark.operators.scrub import contamination_flags, doc_ngrams
+
+    d = _read(spark, sf, "documents")
+    bench = doc_ngrams(d.where(F.col("doc_id") % 50 == 0), n=8).select(
+        "ngram"
+    ).distinct()
+    return contamination_flags(d, bench, n=8)
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher repetition rules: duplicate-line fraction + top-bigram
+    dominance (Rae et al. 2021 §A1.1) — pure hash-agg column algebra."""
+    from crawler_spark.operators.quality import gopher_repetition_flags
+
+    d = _read(spark, sf, "documents")
+    return gopher_repetition_flags(d)
+
+
 def q_doc_lang_dist(spark, sf):
     d = _read(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -424,6 +472,20 @@ def q_embedding_cosine_pairs(spark, sf):
     return cosine_pairs_exact(e, threshold=0.35).select(
         "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
     )
+
+
+def q_dedup_clusters(spark, sf):
+    """Duplicate-cluster resolution: near-dup PAIRS (embedding cosine ≥
+    0.35, the oracle-checked exact pair set) → transitive closure →
+    (node, canon_id, is_dup) via iterative min-label propagation with
+    pointer jumping. The oracle computes the same components with a
+    recursive CTE."""
+    from crawler_spark.operators.dedup import dedup_clusters
+    from crawler_spark.operators.similarity import cosine_pairs_exact
+
+    e = _read(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    pairs = cosine_pairs_exact(e, threshold=0.35)
+    return dedup_clusters(pairs)
 
 
 def q_knn_bruteforce(spark, sf):
@@ -884,9 +946,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_gopher_flags": q_doc_gopher_flags,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_redaction": q_doc_pii_redaction,
+        "doc_decontaminate": q_doc_decontaminate,
         "doc_lang_dist": q_doc_lang_dist,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "multimodal_meta": q_multimodal_meta,
@@ -1211,6 +1277,114 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
         """,
+        "doc_pii_redaction": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           text || ' contact a' || doc_id || '@example.com'
+                           || ' from 10.0.' || (doc_id % 200) || '.7'
+                           || ' call +1 (555) 010-'
+                           || (1000 + doc_id % 9000)
+                       ELSE text END AS text
+                FROM documents
+            ), steps AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS after_email
+                FROM injected
+            ), steps2 AS (
+                SELECT doc_id, text, after_email,
+                       regexp_replace(after_email,
+                           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')
+                           AS after_ip
+                FROM steps
+            )
+            SELECT doc_id,
+                   regexp_replace(after_ip, '\+?\d[\d\s().-]{7,}\d',
+                                  '[PHONE]', 'g') AS clean_text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(after_email,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(after_ip,
+                       '\+?\d[\d\s().-]{7,}\d')) AS n_phones
+            FROM steps2
+        """,
+        "doc_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(l) < 8 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(l) - 6),
+                                       i -> array_to_string(l[i:i+7], ' '))
+                              END) AS ngram
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT ngram FROM grams WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT g.doc_id, count(*) AS n_hits
+                FROM grams g JOIN bench USING (ngram)
+                GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "doc_repetition": r"""
+            WITH lines AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS ls
+                FROM documents
+            ), dup AS (
+                SELECT doc_id,
+                       CASE WHEN len(ls) > 0 THEN
+                           round((len(ls) - len(list_distinct(ls))) * 1.0
+                                 / len(ls), 6)
+                       ELSE 0.0 END AS dup_line_ratio
+                FROM lines
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i+1]) END)
+                           AS bigram
+                FROM toks
+            ), cnts AS (
+                SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total
+                FROM cnts GROUP BY 1
+            ), vals AS (
+                SELECT dup.doc_id,
+                       CAST(dup.dup_line_ratio AS DOUBLE) AS dup_line_ratio,
+                       CAST(round(coalesce(agg.top_cnt * 1.0 / agg.total,
+                                           0), 6) AS DOUBLE)
+                           AS top_bigram_ratio
+                FROM dup LEFT JOIN agg USING (doc_id)
+            )
+            SELECT doc_id, dup_line_ratio, top_bigram_ratio,
+                   dup_line_ratio <= 0.30 AS ok_dup_lines,
+                   top_bigram_ratio <= 0.18 AS ok_top_bigram,
+                   dup_line_ratio <= 0.30 AND top_bigram_ratio <= 0.18
+                       AS keep
+            FROM vals
+        """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
@@ -1255,6 +1429,30 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])
                   ) >= 0.35
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 200 AND b.vec_id < 200
+                  AND list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])
+                      ) >= 0.35
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON reach.node = e.dst
+            )
+            SELECT node, min(r) AS canon_id,
+                   node <> min(r) AS is_dup
+            FROM reach GROUP BY node
         """,
         "knn_join": """
             WITH q AS (

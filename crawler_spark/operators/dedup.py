@@ -385,6 +385,101 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, comp): comp = min node id in the node's connected component.
+
+    The canonical-assignment step after any near-dup pair generator
+    (minhash/simhash/embedding-LSH emit PAIRS; keeping one doc per
+    duplicate CLUSTER needs the transitive closure). Iterative
+    min-label propagation with pointer jumping:
+
+      1. neighbor step — each node takes the min label among itself and
+         its direct neighbors (one shuffle on the symmetric edge list);
+      2. pointer-jump step — each node re-reads the label OF its current
+         label (path halving), collapsing chains in O(log n) rounds
+         instead of O(diameter).
+
+    Each iteration is localCheckpointed — iterative Spark plans otherwise
+    grow lineage exponentially — and the loop stops when a round changes
+    no label (one small count per round). Near-dup clusters have tiny
+    diameters, so this typically converges in 2-4 rounds.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        # 1. min over direct neighborhood
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # 2. pointer jump: comp <- comp(comp)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        jumped = (
+            stepped.join(parent, stepped.comp == parent.p_node, "left")
+            .select(
+                "node",
+                F.coalesce("p_comp", "comp").alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(node, canon_id, is_dup) over the pair graph's components — the
+    cluster-level twin of ``exact_duplicates`` (nodes in no pair are not
+    emitted; they are trivially canonical)."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.select(
+        F.col("node"),
+        F.col("comp").alias("canon_id"),
+        (F.col("node") != F.col("comp")).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram jaccard (inverted-index join)
 # ---------------------------------------------------------------------------
 

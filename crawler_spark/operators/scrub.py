@@ -1,0 +1,100 @@
+"""Corpus scrubbing: PII redaction + benchmark decontamination.
+
+Two curation stages every large-scale training-data pipeline runs after
+quality filtering and dedup:
+
+- ``redact_pii``: replace emails / IPv4 addresses / phone-number spans
+  with typed placeholder tokens and count what was removed. Pure JVM
+  ``regexp_replace``/``regexp_count`` chains — whole-stage codegen, no
+  UDF — using a regex subset (char classes, bounded repeats,
+  non-capturing groups, ``\\b``) that Java regex and RE2 evaluate
+  identically, so the DuckDB oracle checks the exact output bytes.
+- ``contamination_flags``: flag documents whose text contains any n-gram
+  from a benchmark/eval set (the standard n-gram-overlap decontamination
+  check, e.g. GPT-3 appendix C / PaLM-style 8-gram overlap). The
+  benchmark n-gram set is dimension-sized by construction → broadcast
+  hash join against each doc's distinct n-grams; per-doc hit counts come
+  from one partial-aggregated groupBy.
+
+Replacement order matters and is part of the contract: emails first
+(their local parts may contain digits), then IPv4 (dotted quads would
+otherwise be eaten by the phone span), then phone spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, clean_text, n_emails, n_ips, n_phones)."""
+    c = F.col(text_col)
+    after_email = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "[IP]")
+    clean = F.regexp_replace(after_ip, PHONE_RE, "[PHONE]")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+def doc_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams per doc: (id, ngram) — JVM-side slide."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), m - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("ngram")).distinct()
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    bench_col: str = "ngram",
+) -> DataFrame:
+    """(id, n_hits, contaminated) — docs sharing ≥1 n-gram with the
+    benchmark set. ``benchmark`` is a one-column DataFrame of n-grams
+    (dimension-sized: broadcast)."""
+    grams = doc_ngrams(df, id_col, text_col, n)
+    hits = (
+        grams.join(
+            F.broadcast(benchmark.select(F.col(bench_col).alias("ngram"))),
+            "ngram",
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -484,3 +484,91 @@ def test_gopher_flags_rules(spark):
     assert not got[3].ok_symbols and not got[3].ok_alpha
     assert not got[4].ok_ellipsis
     assert got[5].n_words == 0 and not got[5].keep
+
+
+def test_gopher_repetition_flags(spark):
+    from crawler_spark.operators.quality import gopher_repetition_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "line one\nline two\nline one\nline one\n"),   # 2/4 dup lines
+            (2, "buy now buy now buy now buy now buy now"),    # one bigram rules
+            (3, "a normal doc with varied words and no repeats at all"),
+            (4, ""),
+            (5, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition_flags(df).collect()}
+    assert got[1].dup_line_ratio == pytest.approx(0.5)
+    assert not got[1].ok_dup_lines
+    # doc 2 bigrams: [buy now]x5 + [now buy]x4 → top 5/9
+    assert got[2].top_bigram_ratio == pytest.approx(5 / 9, abs=1e-6)
+    assert not got[2].ok_top_bigram and not got[2].keep
+    assert got[3].keep
+    assert got[4].dup_line_ratio == 0.0 and got[4].top_bigram_ratio == 0.0
+    assert got[5].top_bigram_ratio == 0.0 and got[5].keep
+
+
+def test_connected_components_chains_and_islands(spark):
+    from crawler_spark.operators.dedup import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # a 5-chain (needs jumps)
+         (11, 10), (20, 21), (8, 7)],         # islands, unordered ids
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 20: 20, 21: 20, 7: 7, 8: 7}
+    clusters = {r.node: (r.canon_id, r.is_dup)
+                for r in dedup_clusters(pairs).collect()}
+    assert clusters[5] == (1, True) and clusters[1] == (1, False)
+
+
+def test_redact_pii(spark):
+    from crawler_spark.operators.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +1 (555) 010-4242 today"),
+            (4, "clean text with no identifiers at all"),
+            (5, "a@b.io then 8.8.8.8 then +44 20 7946 0958 end"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].clean_text == "mail [EMAIL] now"
+    assert got[1].n_emails == 1
+    assert got[2].clean_text == "server at [IP] and [IP] up"
+    assert got[2].n_ips == 2 and got[2].n_phones == 0
+    assert got[3].clean_text == "call [PHONE] today"
+    assert got[4].clean_text == "clean text with no identifiers at all"
+    assert got[5].clean_text == "[EMAIL] then [IP] then [PHONE] end"
+    assert (got[5].n_emails, got[5].n_ips, got[5].n_phones) == (1, 1, 1)
+
+
+def test_contamination_flags(spark):
+    from crawler_spark.operators.scrub import contamination_flags
+
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words {bench_text} suffix words here"),  # contains it
+            (2, "totally unrelated content with many other words in place"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy",),
+         ("quick brown fox jumps over the lazy dog",)],
+        "ngram string",
+    )
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in contamination_flags(docs, bench, n=8).collect()}
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
