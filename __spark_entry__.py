@@ -229,6 +229,33 @@ def q_round_windows(spark, sf):
     )
 
 
+def q_session_windows(spark, sf):
+    """Sessionization: per-user event sessions with a 30-minute
+    inactivity gap via Spark's native session_window (the same operator
+    powers the streaming path); oracle = gaps-and-islands SQL. Session
+    end = last event + gap (Spark's contract), exported as floored epoch
+    seconds on both engines."""
+    e = _read(spark, sf, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("long").alias("sess_start"),
+            F.unix_timestamp("w.end").cast("long").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_first_event_dedup(spark, sf):
     """D1: dedupe keep-first-occurrence (text.ts:30-38 shape)."""
     e = _read(spark, sf, "events")
@@ -937,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_counts": q_link_counts,
         "tags_topk_events": q_tags_topk_events,
         "round_windows": q_round_windows,
+        "session_windows": q_session_windows,
         "first_event_dedup": q_first_event_dedup,
         "doc_term_frequency": q_doc_term_frequency,
         "doc_tfidf": q_doc_tfidf,
@@ -1099,6 +1127,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                        AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts
+                            ) > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), islands AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sess_id
+                FROM marked
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+                   CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+                       AS sess_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS sum_value
+            FROM islands GROUP BY user_id, sess_id
         """,
         "first_event_dedup": """
             SELECT user_id, event_type, event_id

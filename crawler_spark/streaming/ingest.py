@@ -110,6 +110,44 @@ def round_metrics_stream(
     return writer.start()
 
 
+def host_session_stream(
+    spark: SparkSession,
+    links_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Per-host SESSION windows over the discovery stream: bursts of
+    discoveries separated by ≥ ``gap`` of silence become one session row
+    (host, sess_start, sess_end, n_discovered). The native
+    ``session_window`` operator keeps per-(host, open-session) state and
+    the watermark closes/evicts sessions — the streaming twin of the
+    batch ``session_windows`` query (same operator, same semantics)."""
+    src = spark.readStream.schema(DISC_STREAM_SCHEMA).parquet(links_dir)
+    agg = (
+        src.withWatermark("disc_ts", watermark)
+        .groupBy("host", F.session_window("disc_ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_discovered"))
+        .select(
+            "host",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_discovered",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 BUDGET_OUT_SCHEMA = "url string, host string, disc_ts timestamp, admit_seq long"
 BUDGET_STATE_SCHEMA = "emitted long"
 

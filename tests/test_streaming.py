@@ -116,3 +116,39 @@ def test_host_budget_state_survives_batches(spark, tmp_path):
     assert len(rows) == 5
     assert sorted(r.admit_seq for r in rows) == [0, 1, 2, 3, 4]
     assert all(r.host == "h.test" for r in rows)
+
+
+def test_host_session_stream_matches_batch_sessions(spark, tmp_path):
+    from crawler_spark.streaming.ingest import host_session_stream
+
+    rows = [
+        # burst 1 on a.test: 3 events within 10 min
+        ("http://a.test/1", "a.test", TS0),
+        ("http://a.test/2", "a.test", TS0 + dt.timedelta(minutes=5)),
+        ("http://a.test/3", "a.test", TS0 + dt.timedelta(minutes=10)),
+        # 45-min silence → new session
+        ("http://a.test/4", "a.test", TS0 + dt.timedelta(minutes=55)),
+        # b.test single-event session
+        ("http://b.test/1", "b.test", TS0 + dt.timedelta(minutes=2)),
+        # far-future sentinel pushes the watermark past all sessions so
+        # append mode emits them in the availableNow drain
+        ("http://z.test/1", "z.test", TS0 + dt.timedelta(days=2)),
+    ]
+    d = _links_dir(spark, tmp_path, [rows])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = host_session_stream(spark, d, out, ckpt, gap="30 minutes",
+                            watermark="1 hour")
+    q.awaitTermination()
+    got = {
+        (r.host, r.sess_start, r.sess_end): r.n_discovered
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("a.test", TS0, TS0 + dt.timedelta(minutes=40))] == 3
+    assert got[
+        ("a.test", TS0 + dt.timedelta(minutes=55),
+         TS0 + dt.timedelta(minutes=85))
+    ] == 1
+    assert got[
+        ("b.test", TS0 + dt.timedelta(minutes=2),
+         TS0 + dt.timedelta(minutes=32))
+    ] == 1
