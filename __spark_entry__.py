@@ -229,6 +229,68 @@ def q_round_windows(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """As-of join (operators.temporal): each probe (user_id, event ts +
+    7 min for every 97th event) matched to the user's latest event ≤ the
+    probe time. Oracle: DuckDB's native ASOF JOIN. Events are deduped to
+    one row per (user, ts) first — ambiguous as-of ties are a spec bug."""
+    from crawler_spark.operators.temporal import asof_join
+
+    e = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ev = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    probes = e.where(F.col("event_id") % 97 == 0).select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("ts"),
+    )
+    out = asof_join(probes, ev, "user_id", "ts", ["event_id", "value"])
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("probe_sec"),
+        "event_id",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+        F.unix_timestamp("matched_ts").cast("long").alias("matched_sec"),
+    )
+
+
+def q_range_join(spark, sf):
+    """Bounded range join (operators.temporal): same-user event pairs
+    within 5 minutes, via the interval-bucketing rewrite (two equi hash
+    joins, never a per-user cartesian). Gated to user_id < 50; the
+    oracle is the plain inequality join."""
+    from crawler_spark.operators.temporal import range_join_buckets
+
+    e = _read(spark, sf, "events").where(F.col("user_id") < 50)
+    l = e.select("user_id", "ts", F.col("event_id").alias("l_event"))
+    r = e.select("user_id", "ts", F.col("event_id").alias("r_event"))
+    out = range_join_buckets(
+        l, r, "user_id", "ts", 300, ["l_event"], ["r_event"]
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("l_ts").cast("long").alias("l_sec"),
+        F.unix_timestamp("r_ts").cast("long").alias("r_sec"),
+        "l_event", "r_event",
+    )
+
+
+def q_doc_stratified_sample(spark, sf):
+    """Deterministic stratified sampling: per-language rates via the
+    engine-portable md5-prefix hash (same trick as the winnow gram hash)
+    — reproducible on any engine, no RNG, no seed drift across retries."""
+    from crawler_spark.operators.scrub import stratified_sample
+
+    d = _read(spark, sf, "documents")
+    return stratified_sample(
+        d, "doc_id", strata_col="lang",
+        rates={"en": 50, "es": 25}, default_rate=10, salt="r2",
+    ).select("doc_id", "lang")
+
+
 def q_session_windows(spark, sf):
     """Sessionization: per-user event sessions with a 30-minute
     inactivity gap via Spark's native session_window (the same operator
@@ -965,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_topk_events": q_tags_topk_events,
         "round_windows": q_round_windows,
         "session_windows": q_session_windows,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "first_event_dedup": q_first_event_dedup,
         "doc_term_frequency": q_doc_term_frequency,
         "doc_tfidf": q_doc_tfidf,
@@ -1127,6 +1192,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
                        AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH ev AS (
+                SELECT user_id, ts, event_id, value FROM (
+                    SELECT user_id, ts, event_id, value,
+                           row_number() OVER (
+                               PARTITION BY user_id, ts
+                               ORDER BY event_id DESC
+                           ) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT user_id, ts + INTERVAL 7 MINUTE AS ts
+                FROM events WHERE event_id % 97 = 0
+            )
+            SELECT p.user_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT) AS probe_sec,
+                   e.event_id,
+                   CAST(round(e.value, 6) AS DOUBLE) AS value,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS matched_sec
+            FROM probes p
+            ASOF LEFT JOIN ev e
+              ON p.user_id = e.user_id AND e.ts <= p.ts
+        """,
+        "range_join": """
+            SELECT a.user_id,
+                   CAST(floor(epoch(a.ts)) AS BIGINT) AS l_sec,
+                   CAST(floor(epoch(b.ts)) AS BIGINT) AS r_sec,
+                   a.event_id AS l_event, b.event_id AS r_event
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch(b.ts) - epoch(a.ts) > 0
+             AND epoch(b.ts) - epoch(a.ts) <= 300
+            WHERE a.user_id < 50 AND b.user_id < 50
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(list_sum(list_transform(range(1, 16),
+                      i -> (strpos('0123456789abcdef',
+                                   substr(md5(doc_id || 'r2'), i, 1))
+                            - 1)::BIGINT
+                           * (1::BIGINT << (4*(15 - i))))) AS BIGINT) % 100
+                  < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
+                         ELSE 10 END
         """,
         "session_windows": """
             WITH marked AS (

@@ -48,6 +48,46 @@ def redact_pii(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff
+    ``hash(id, salt) % 100 < rate(stratum)``.
+
+    The hash is the engine-portable md5-prefix (first 15 hex chars as an
+    integer — identical in Spark and DuckDB), so the sample is a pure
+    function of (id, salt): reproducible across runs, engines, retries
+    and partitionings — the property corpus subsampling needs so a
+    re-run of a 100 TB job selects the SAME documents. Rates are integer
+    percents; change ``salt`` to draw an independent sample.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16, 10,
+    ).cast("long") % 100
+    rate = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        rate = (
+            F.when(cond, F.lit(r))
+            if rate is None
+            else rate.when(cond, F.lit(r))
+        )
+    rate = (
+        rate.otherwise(F.lit(default_rate))
+        if rate is not None
+        else F.lit(default_rate)
+    )
+    return df.where(h < rate)
+
+
 def doc_ngrams(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
 ) -> DataFrame:

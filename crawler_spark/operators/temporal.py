@@ -1,0 +1,129 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+Spark has no native ASOF or interval join (DuckDB/kdb/Timescale do);
+both are expressible scalably with DataFrame primitives:
+
+- ``asof_join``: for every probe row, the latest right-side row with
+  ``ts <= probe_ts`` per key. The naive formulation is an inequality
+  join (quadratic per key); the scalable plan is the UNION trick — tag
+  both sides, sort within key by (ts, side), and carry the right side's
+  values forward with ``last(..., ignorenulls=True)`` over a running
+  frame. ONE shuffle + one windowed sort pass, linear in rows per key;
+  no key's cost depends on the cross product.
+- ``range_join_buckets``: pairs of rows within a bounded time distance.
+  A raw ``a.ts < b.ts AND b.ts - a.ts <= span`` theta-join degenerates
+  to per-key cartesian; bucketing each row into ``span``-sized epochs
+  and equi-joining on (key, bucket) plus (key, bucket+1) turns it into
+  two hash joins whose candidates are exactly the rows within one
+  bucket width — the standard interval-bucketing rewrite (what
+  Databricks' range-join optimization does under the hood) — then the
+  exact predicate filters residuals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Each probe row + the value columns of the latest event ≤ its ts.
+
+    ``events`` must be unique per (key, ts) — pre-aggregate ties first
+    (ambiguous as-of matches are a spec bug, not an engine choice).
+    ``tolerance_seconds`` drops matches older than the tolerance (null
+    values instead), mirroring pandas ``merge_asof(tolerance=...)``.
+    """
+    p = probes.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_probe"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c)
+          for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_ev_ts"),
+    )
+    e = events.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_probe"),
+        *[F.col(c) for c in value_cols],
+        F.col(ts).alias("_ev_ts"),
+    )
+    # events sort before probes at equal ts → "≤" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = p.unionByName(e).select(
+        F.col(key), F.col(ts), F.col("_probe"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_ev_ts", ignorenulls=True).over(w).alias("_ev_ts"),
+    )
+    out = filled.where(F.col("_probe") == 1).drop("_probe")
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("_ev_ts").isNull()
+            | (
+                F.unix_timestamp(ts) - F.unix_timestamp("_ev_ts")
+                > tolerance_seconds
+            )
+        )
+        out = out.select(
+            key, ts,
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+              for c in value_cols],
+            "_ev_ts",
+        )
+    return out.withColumnRenamed("_ev_ts", "matched_ts")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    span_seconds: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Pairs (l, r) with same key and ``0 < r.ts − l.ts ≤ span_seconds``.
+
+    Two equi hash joins on (key, epoch bucket) — candidates bounded by
+    bucket width — then the exact window predicate.
+    """
+    bkt: Column = F.floor(F.unix_timestamp(F.col(ts)) / span_seconds)
+    l = left.select(
+        F.col(key), F.col(ts).alias("_lts"), bkt.alias("_bkt"),
+        *[F.col(c) for c in left_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_rkey"), F.col(ts).alias("_rts"),
+        bkt.alias("_rbkt"), *[F.col(c) for c in right_cols],
+    )
+    pairs = None
+    for shift in (0, 1):
+        cand = l.join(
+            r,
+            (F.col(key) == F.col("_rkey"))
+            & (F.col("_bkt") + shift == F.col("_rbkt")),
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    # microsecond-exact predicate: truncated unix_timestamp seconds would
+    # admit pairs up to a second beyond the span. TIMESTAMP_NTZ has no
+    # direct double cast — route through timestamp_ltz (the DIFFERENCE is
+    # timezone-invariant).
+    def _secs(c: str) -> Column:
+        return F.col(c).cast("timestamp_ltz").cast("double")
+
+    delta = _secs("_rts") - _secs("_lts")
+    return (
+        pairs.where((delta > 0) & (delta <= span_seconds))
+        .select(
+            key, F.col("_lts").alias("l_ts"), F.col("_rts").alias("r_ts"),
+            *left_cols, *right_cols,
+        )
+    )
