@@ -527,6 +527,21 @@ def q_doc_repetition(spark, sf):
     return gopher_repetition_flags(d)
 
 
+def q_doc_length_stats(spark, sf):
+    """Per-language corpus length distribution: exact interpolated
+    percentiles (p50/p90/p99) + mean — the dataset-card stats a curation
+    pipeline reports per shard. Both engines use linear interpolation."""
+    d = _read(spark, sf, "documents")
+    ln = F.length("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ln), 6).cast("double").alias("mean_len"),
+        F.round(F.percentile(ln, F.lit(0.5)), 6).cast("double").alias("p50"),
+        F.round(F.percentile(ln, F.lit(0.9)), 6).cast("double").alias("p90"),
+        F.round(F.percentile(ln, F.lit(0.99)), 6).cast("double").alias("p99"),
+    )
+
+
 def q_doc_lang_dist(spark, sf):
     d = _read(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -1043,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_lang_dist": q_doc_lang_dist,
+        "doc_length_stats": q_doc_length_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1441,6 +1457,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_dist": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "doc_length_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(round(avg(length(text)), 6) AS DOUBLE) AS mean_len,
+                   CAST(round(quantile_cont(length(text), 0.5), 6) AS DOUBLE)
+                       AS p50,
+                   CAST(round(quantile_cont(length(text), 0.9), 6) AS DOUBLE)
+                       AS p90,
+                   CAST(round(quantile_cont(length(text), 0.99), 6) AS DOUBLE)
+                       AS p99
+            FROM documents GROUP BY lang
         """,
         "doc_pii_redaction": r"""
             WITH injected AS (

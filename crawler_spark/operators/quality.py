@@ -213,6 +213,84 @@ def gopher_quality_flags(
     return out.withColumn("keep", keep)
 
 
+def gopher_repetition_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_ratio: float = 0.30,
+    max_top_bigram_ratio: float = 0.18,
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, second family):
+    documents dominated by repeated lines or one repeated n-gram are
+    boilerplate/spam. Implemented JVM-side (SQL-expressible):
+
+      - ``dup_line_ratio``: fraction of non-empty lines that are exact
+        duplicates of an earlier line;
+      - ``top_bigram_ratio``: fraction of the doc's word-bigram
+        occurrences taken by its single most frequent bigram.
+
+    Returns per-doc values + pass flags + ``keep``. The per-doc group-by
+    shapes (line counts, bigram counts) stay inside one hash aggregation
+    each; nothing is quadratic in document size.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_ratio = F.when(n_lines > 0,
+                            (n_lines - n_distinct_lines) / n_lines
+                            ).otherwise(F.lit(0.0))
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n2 = F.size(toks) - F.lit(1)
+    bigrams = F.when(n2 <= 0, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n2, F.lit(1))),
+            F.slice(toks, 2, F.greatest(n2, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round(dup_line_ratio, 6).cast("double").alias("dup_line_ratio"),
+        F.explode_outer(bigrams).alias("bigram"),
+    )
+    counts = base.groupBy(id_col, "dup_line_ratio", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = counts.groupBy(id_col, "dup_line_ratio").agg(
+        F.max(F.when(F.col("bigram").isNotNull(), F.col("cnt"))
+              .otherwise(F.lit(None))).alias("top_cnt"),
+        F.sum(F.when(F.col("bigram").isNotNull(), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("total_cnt"),
+    )
+    top_ratio = F.when(
+        F.col("total_cnt") > 0, F.col("top_cnt") / F.col("total_cnt")
+    ).otherwise(F.lit(0.0))
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("dup_line_ratio"),
+        F.round(top_ratio, 6).cast("double").alias("top_bigram_ratio"),
+    )
+    return (
+        out.withColumn(
+            "ok_dup_lines", F.col("dup_line_ratio") <= max_dup_line_ratio
+        )
+        .withColumn(
+            "ok_top_bigram",
+            F.col("top_bigram_ratio") <= max_top_bigram_ratio,
+        )
+        .withColumn(
+            "keep", F.col("ok_dup_lines") & F.col("ok_top_bigram")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (winnowing)
 # ---------------------------------------------------------------------------
@@ -288,18 +366,25 @@ def fingerprints(
             )
         )
     )
-    g = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    ).select(id_col, "pos", gram_hash(F.col("gram")).alias("h"))
+    # materialize the gram array once, then size + explode reference the
+    # same column (size pre-explode saves a count window downstream)
+    g = (
+        df.select(F.col(id_col), grams.alias("_grams"))
+        .select(
+            F.col(id_col),
+            F.size("_grams").alias("m"),
+            F.posexplode("_grams").alias("pos", "gram"),
+        )
+        .select(id_col, "m", "pos", gram_hash(F.col("gram")).alias("h"))
+    )
 
-    w_all = Window.partitionBy(id_col)
     w_frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     )
     win = g.select(
         F.col(id_col),
         F.col("pos").alias("i"),
-        F.count("*").over(w_all).alias("m"),
+        F.col("m"),
         F.min(F.struct("h", "pos")).over(w_frame).alias("pick"),
     ).where(F.col("i") <= F.greatest(F.col("m") - window, F.lit(0)))
 
