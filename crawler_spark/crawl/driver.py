@@ -249,11 +249,24 @@ def run_crawl(
         if n_scheduled == 0:
             if any(e >= rnd for e in cooldown.values()):
                 # everything eligible is cooling — commit an empty round so
-                # round numbering (and cooldown expiry) stays resumable
-                self_urls = spark.createDataFrame([], DISC_SCHEMA)
+                # round numbering (and cooldown expiry) stays resumable.
+                # Pending seed discoveries commit HERE (otherwise a crash
+                # during a cooldown stretch would leave them out of the
+                # discovery log and the rebuild-from-logs frontier path
+                # would lose them); the unchanged frontier honors the
+                # snapshot interval.
+                disc_empty = (
+                    seed_disc
+                    if seed_disc is not None
+                    else spark.createDataFrame([], DISC_SCHEMA)
+                )
+                seed_disc = None
                 _commit(store, rnd, spark, _empty_pages(spark),
-                        _empty_links(spark), self_urls, frontier, cooldown,
-                        bloom, stats, n_frontier=n_frontier)
+                        _empty_links(spark), disc_empty, frontier, cooldown,
+                        bloom, stats, n_frontier=n_frontier,
+                        write_frontier=(
+                            (rnd % max(1, frontier_snapshot_every)) == 0
+                        ))
                 scheduled.unpersist()
                 continue
             scheduled.unpersist()

@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.textcols import sliding_grams, word_tokens
+
 # small function-word profiles for the language-ID heuristic (public,
 # high-frequency words; the synthetic corpora only exercise determinism)
 _LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -244,17 +246,7 @@ def gopher_repetition_flags(
                             (n_lines - n_distinct_lines) / n_lines
                             ).otherwise(F.lit(0.0))
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
-    )
-    n2 = F.size(toks) - F.lit(1)
-    bigrams = F.when(n2 <= 0, F.array().cast("array<string>")).otherwise(
-        F.zip_with(
-            F.slice(toks, 1, F.greatest(n2, F.lit(1))),
-            F.slice(toks, 2, F.greatest(n2, F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    )
+    bigrams = sliding_grams(word_tokens(c), 2)
     base = df.select(
         F.col(id_col),
         F.round(dup_line_ratio, 6).cast("double").alias("dup_line_ratio"),
@@ -351,20 +343,12 @@ def fingerprints(
     shape (one pick per row) is both the Spark-native layout for
     downstream overlap joins and sortable by the correctness harness.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    toks = word_tokens(text_col)
     n = F.size(toks)
     grams = (
         F.when(n == 0, F.array().cast("array<string>"))
-        .when(n < k, F.array(F.array_join(toks, " ")))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-            )
-        )
+        .when(n < k, F.array(F.array_join(toks, " ")))  # short doc: 1 gram
+        .otherwise(sliding_grams(toks, k))
     )
     # materialize the gram array once, then size + explode reference the
     # same column (size pre-explode saves a count window downstream)

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.textcols import sliding_grams, word_tokens
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
@@ -92,17 +94,7 @@ def doc_ngrams(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
 ) -> DataFrame:
     """Distinct word n-grams per doc: (id, ngram) — JVM-side slide."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
-    m = F.size(toks) - F.lit(n - 1)
-    grams = F.when(m <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), m - F.lit(1)),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
+    grams = sliding_grams(word_tokens(text_col), n)
     return (
         df.select(F.col(id_col), F.explode(grams).alias("ngram")).distinct()
     )

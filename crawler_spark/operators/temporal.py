@@ -41,16 +41,21 @@ def asof_join(
     ``tolerance_seconds`` drops matches older than the tolerance (null
     values instead), mirroring pandas ``merge_asof(tolerance=...)``.
     """
+    # the matched event travels as ONE struct — filling each value column
+    # independently with last(ignorenulls) would stitch columns from
+    # DIFFERENT events whenever a matched event carries a null value
+    ev_struct = F.struct(
+        F.col(ts).alias("_ev_ts"), *[F.col(c) for c in value_cols]
+    )
     p = probes.select(
         F.col(key), F.col(ts), F.lit(1).alias("_probe"),
-        *[F.lit(None).cast(events.schema[c].dataType).alias(c)
-          for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_ev_ts"),
+        F.lit(None).cast(
+            events.select(ev_struct.alias("_ev")).schema["_ev"].dataType
+        ).alias("_ev"),
     )
     e = events.select(
         F.col(key), F.col(ts), F.lit(0).alias("_probe"),
-        *[F.col(c) for c in value_cols],
-        F.col(ts).alias("_ev_ts"),
+        ev_struct.alias("_ev"),
     )
     # events sort before probes at equal ts → "≤" semantics
     w = (
@@ -58,27 +63,32 @@ def asof_join(
         .orderBy(ts, "_probe")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = p.unionByName(e).select(
-        F.col(key), F.col(ts), F.col("_probe"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.last("_ev_ts", ignorenulls=True).over(w).alias("_ev_ts"),
+    filled = (
+        p.unionByName(e)
+        .select(
+            F.col(key), F.col(ts), F.col("_probe"),
+            F.last("_ev", ignorenulls=True).over(w).alias("_ev"),
+        )
+        .where(F.col("_probe") == 1)
     )
-    out = filled.where(F.col("_probe") == 1).drop("_probe")
     if tolerance_seconds is not None:
-        stale = (
-            F.col("_ev_ts").isNull()
-            | (
-                F.unix_timestamp(ts) - F.unix_timestamp("_ev_ts")
-                > tolerance_seconds
-            )
+        # microsecond-exact staleness (unix_timestamp truncates seconds);
+        # a stale match is no match: event columns AND matched_ts null out
+        age = (
+            F.col(ts).cast("timestamp_ltz").cast("double")
+            - F.col("_ev._ev_ts").cast("timestamp_ltz").cast("double")
         )
-        out = out.select(
-            key, ts,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
-              for c in value_cols],
-            "_ev_ts",
+        filled = filled.withColumn(
+            "_ev",
+            F.when(age > tolerance_seconds, F.lit(None)).otherwise(
+                F.col("_ev")
+            ),
         )
-    return out.withColumnRenamed("_ev_ts", "matched_ts")
+    return filled.select(
+        key, ts,
+        *[F.col(f"_ev.{c}").alias(c) for c in value_cols],
+        F.col("_ev._ev_ts").alias("matched_ts"),
+    )
 
 
 def range_join_buckets(

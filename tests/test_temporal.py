@@ -115,3 +115,38 @@ def test_stratified_sample_deterministic_and_rated(spark):
     c = stratified_sample(df, "doc_id", "lang", {"en": 40}, default_rate=5,
                           salt="t")
     assert sorted(r.doc_id for r in c.collect()) != ra
+
+
+def test_asof_join_null_value_column_stays_atomic(spark):
+    """The matched event must be carried as one unit: an event with a
+    null value column must NOT inherit an older event's value."""
+    events = spark.createDataFrame(
+        [("u1", _ts(0), 100, 7.0), ("u1", _ts(10), 101, None)],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    probes = spark.createDataFrame(
+        [("u1", _ts(20))], "user_id string, ts timestamp"
+    )
+    r = asof_join(probes, events, "user_id", "ts",
+                  ["event_id", "value"]).collect()[0]
+    assert (r.event_id, r.value) == (101, None)
+    assert r.matched_ts == _ts(10)
+
+
+def test_asof_join_tolerance_nulls_matched_ts(spark):
+    events = spark.createDataFrame(
+        [("u1", _ts(0), 100)], "user_id string, ts timestamp, event_id long"
+    )
+    probes = spark.createDataFrame(
+        [("u1", _ts(20))], "user_id string, ts timestamp"
+    )
+    r = asof_join(probes, events, "user_id", "ts", ["event_id"],
+                  tolerance_seconds=60).collect()[0]
+    assert r.event_id is None and r.matched_ts is None
+    # sub-second precision: 60.5 s old fails a 60 s tolerance
+    probes2 = spark.createDataFrame(
+        [("u1", _ts(1, 0.5))], "user_id string, ts timestamp"
+    )
+    r2 = asof_join(probes2, events, "user_id", "ts", ["event_id"],
+                   tolerance_seconds=60).collect()[0]
+    assert r2.event_id is None
