@@ -518,6 +518,34 @@ def q_doc_decontaminate(spark, sf):
     return contamination_flags(d, bench, n=8)
 
 
+def q_corpus_curation(spark, sf):
+    """The composed curation pipeline as ONE declarative plan — Gopher
+    quality gate → exact dedup survivors → deterministic 50% sample →
+    per-doc token stats — exactly how the operators chain in a real
+    100 TB pass; Catalyst fuses the stages (no materialization between
+    them), and the DuckDB oracle runs the same composition."""
+    from crawler_spark.operators.dedup import dedup_exact
+    from crawler_spark.operators.quality import (
+        gopher_quality_flags,
+        token_counts,
+    )
+    from crawler_spark.operators.scrub import stratified_sample
+
+    d = _read(spark, sf, "documents")
+    kept_ids = gopher_quality_flags(d, min_words=10).where("keep").select(
+        "doc_id"
+    )
+    kept = d.join(kept_ids, "doc_id", "left_semi")
+    unique = dedup_exact(kept)
+    sampled = stratified_sample(
+        unique, "doc_id", strata_col="lang", rates={}, default_rate=50,
+        salt="cur",
+    )
+    return token_counts(sampled).join(
+        sampled.select("doc_id", "lang"), "doc_id"
+    )
+
+
 def q_doc_repetition(spark, sf):
     """Gopher repetition rules: duplicate-line fraction + top-bigram
     dominance (Rae et al. 2021 §A1.1) — pure hash-agg column algebra."""
@@ -1055,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_repetition": q_doc_repetition,
+        "corpus_curation": q_corpus_curation,
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_lang_dist": q_doc_lang_dist,
@@ -1468,6 +1497,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(quantile_cont(length(text), 0.99), 6) AS DOUBLE)
                        AS p99
             FROM documents GROUP BY lang
+        """,
+        "corpus_curation": r"""
+            WITH gopher AS (
+                SELECT doc_id, text, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(text), '\S+'))
+                       END AS n_words,
+                       length(regexp_replace(trim(text), '\s+', '', 'g'))
+                           AS n_nonspace,
+                       len(regexp_extract_all(text, '#|\.\.\.'))
+                           + len(regexp_extract_all(text, '…')) AS n_sym,
+                       string_split(text, chr(10)) AS lines,
+                       regexp_extract_all(trim(text), '\S+') AS words
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, text, lang FROM gopher
+                WHERE n_words BETWEEN 10 AND 100000
+                  AND n_nonspace * 1.0 / greatest(n_words, 1)
+                      BETWEEN 3.0 AND 10.0
+                  AND n_sym * 1.0 / greatest(n_words, 1) <= 0.1
+                  AND len(list_filter(lines,
+                          x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+                      * 1.0 / greatest(len(lines), 1) <= 0.3
+                  AND len(list_filter(words,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                      * 1.0 / greatest(n_words, 1) >= 0.8
+            ), unique_docs AS (
+                SELECT doc_id, text, lang FROM (
+                    SELECT doc_id, text, lang,
+                           row_number() OVER (
+                               PARTITION BY text ORDER BY doc_id
+                           ) AS rn
+                    FROM kept
+                ) WHERE rn = 1
+            ), sampled AS (
+                SELECT * FROM unique_docs
+                WHERE CAST(list_sum(list_transform(range(1, 16),
+                          i -> (strpos('0123456789abcdef',
+                                       substr(md5(doc_id || 'cur'), i, 1))
+                                - 1)::BIGINT
+                               * (1::BIGINT << (4*(15 - i)))))
+                          AS BIGINT) % 100 < 50
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+                   length(text) AS n_chars,
+                   lang
+            FROM sampled
         """,
         "doc_pii_redaction": r"""
             WITH injected AS (
