@@ -606,6 +606,22 @@ def q_embedding_cosine_pairs(spark, sf):
     )
 
 
+def q_minhash_portable(spark, sf):
+    """MinHash+LSH with the engine-portable hash family: the full
+    pipeline (shingles → 64 min-hashes → banding → bucket join →
+    signature-agreement estimate) value-checked against a DuckDB oracle
+    running the identical math. The production path keeps xxhash64
+    (rows-only ``minhash_near_dups``); this proves the LSH logic."""
+    from crawler_spark.operators.dedup import minhash_dedup
+
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+    pairs = minhash_dedup(d, threshold=0.4, portable=True)
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("est_jaccard", 6).cast("double").alias("est_jaccard"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster resolution: near-dup PAIRS (embedding cosine ≥
     0.35, the oracle-checked exact pair set) → transitive closure →
@@ -1090,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_portable": q_minhash_portable,
         "dedup_clusters": q_dedup_clusters,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -1700,6 +1717,53 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])
                   ) >= 0.35
+        """,
+        "minhash_portable": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                FROM documents WHERE doc_id < 300
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(l) - 1),
+                                       i -> array_to_string(l[i:i+2], ' '))
+                              END) AS shingle
+                FROM toks
+            ), sh AS (
+                SELECT doc_id, shingle FROM shingles
+                WHERE length(shingle) > 0
+            ), hx AS (
+                SELECT doc_id, t.i,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                    substr(md5(t.i || '|' || shingle), j, 1))
+                                 - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM sh CROSS JOIN range(0, 64) AS t(i)
+            ), sigs AS (
+                SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band,
+                       string_agg(mh, '|' ORDER BY i) AS bkey
+                FROM sigs GROUP BY 1, 2
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+            ), agree AS (
+                SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                           AS n_agree
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(round(n_agree / 64.0, 6) AS DOUBLE) AS est_jaccard
+            FROM agree WHERE n_agree / 64.0 >= 0.4
         """,
         "dedup_clusters": """
             WITH RECURSIVE pairs AS (

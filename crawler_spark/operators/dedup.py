@@ -106,10 +106,15 @@ def word_shingles(
     """Distinct word k-shingles per doc: (id, shingle). JVM-side:
     lower/split/slide via ``transform`` over token index range."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(0), n - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    n = F.size(toks) - F.lit(k - 1)
+    # the n < 1 guard is load-bearing: Spark's sequence(0, -1) DESCENDS
+    # ([0, -1]) instead of being empty, and the resulting slice(toks, 0,
+    # k) throws at runtime — any real corpus has sub-k-token docs
+    sh = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
     )
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -119,13 +124,28 @@ def word_shingles(
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, sig array<long>): n_hashes min-aggregations in ONE groupBy."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    """(id, sig array<long>): n_hashes min-aggregations in ONE groupBy.
+
+    ``portable=True`` swaps the per-family hash from JVM ``xxhash64``
+    (fast; Spark-only) to the md5-prefix hash both Spark and DuckDB
+    evaluate identically — slower, but it makes the whole minhash-LSH
+    pipeline value-checkable by the SQL oracle."""
+    def h(i: int):
+        if portable:
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        return F.xxhash64(F.lit(i), F.col("shingle"))
+
+    aggs = [F.min(h(i)).alias(f"h{i}") for i in range(n_hashes)]
     sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
     return (
         shingles.groupBy(id_col)
@@ -140,6 +160,7 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 10000,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs sharing ≥1 LSH band bucket, with
     ``est_jaccard`` = signature agreement fraction.
@@ -154,13 +175,20 @@ def lsh_candidate_pairs(
     identical) duplicates the loss is rare: such pairs co-occur in
     several independent bands. Standard production LSH trade."""
     n_hashes = n_bands * rows_per_band
+
+    def bkey(b: int):
+        cols = [F.col("sig")[b * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if portable:
+            # join-key as a plain string of the band's values — the
+            # SQL-reproducible form (xxhash64 is Spark-only)
+            return F.concat_ws("|", *cols)
+        return F.xxhash64(*cols).cast("string")
+
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bhash"),
+                F.lit(b).alias("band"), bkey(b).alias("bhash")
             )
             for b in range(n_bands)
         ]
@@ -216,15 +244,21 @@ def minhash_dedup(
     rows_per_band: int = 4,
     threshold: float = 0.7,
     max_bucket_size: int | None = 10000,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pairs with est_jaccard ≥ threshold.
 
     Run ``dedup_exact`` first — see the mega-bucket caveat on
-    ``lsh_candidate_pairs`` (``max_bucket_size`` passes through)."""
+    ``lsh_candidate_pairs`` (``max_bucket_size`` passes through);
+    ``portable=True`` uses the SQL-reproducible hash family (oracle
+    checkable, slower)."""
     sh = word_shingles(df, id_col, text_col, k)
-    sigs = minhash_signatures(sh, id_col, n_bands * rows_per_band)
+    sigs = minhash_signatures(
+        sh, id_col, n_bands * rows_per_band, portable=portable
+    )
     return lsh_candidate_pairs(
-        sigs, id_col, n_bands, rows_per_band, max_bucket_size
+        sigs, id_col, n_bands, rows_per_band, max_bucket_size,
+        portable=portable,
     ).where(F.col("est_jaccard") >= threshold)
 
 

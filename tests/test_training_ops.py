@@ -572,3 +572,20 @@ def test_contamination_flags(spark):
     assert got[1] == (2, True)
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_word_shingles_short_docs_no_crash(spark):
+    from crawler_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.shingle) for r in word_shingles(df, k=3).collect()}
+    # sub-k docs emit nothing; 4-token doc emits its two trigrams
+    assert got == {(4, "a b c"), (4, "b c d")}
+    # and the full near-dup pipelines tolerate them
+    from crawler_spark.operators.dedup import minhash_dedup, ngram_jaccard_pairs
+
+    assert minhash_dedup(df, threshold=0.9).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.9).count() == 0
