@@ -1012,6 +1012,25 @@ def q_stream_host_budget(spark, sf):
     )
 
 
+def q_cuckoo_seen(spark, sf):
+    """Cuckoo-filter seen set (the deletable bloom twin, north-rule
+    "bloom/cuckoo"): add 2k urls, delete every third, probe a superset —
+    deterministic hashing makes the surviving membership set stable."""
+    from crawler_spark.operators.cuckoo import CuckooSeenSet
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('http://c', id % 11, '.test/u/', id) AS url"
+        )
+
+    cf = CuckooSeenSet.empty(spark, n_buckets=8, m_entries=1 << 12)
+    cf = cf.add(urls(0, 2000)).delete(
+        urls(0, 2000).where("url LIKE '%0' OR url LIKE '%3'")
+    )
+    probed = cf.probe(urls(0, 2500))
+    return probed.where("maybe_seen").select("url")
+
+
 def q_sitemap_urls(spark, sf):
     """Sitemap ingest: urlset + sitemapindex + plain-text bodies →
     canonicalized frontier candidates (distributed parse)."""
@@ -1132,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_language_id": q_doc_language_id,
         "robots_rules": q_robots_rules,
+        "cuckoo_seen": q_cuckoo_seen,
         "sitemap_urls": q_sitemap_urls,
         "stream_frontier_ingest": q_stream_frontier_ingest,
         "stream_host_budget": q_stream_host_budget,
