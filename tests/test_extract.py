@@ -101,3 +101,31 @@ def test_extract_links_resolution_and_order():
 def test_extract_links_empty():
     assert extract_links_from("", "http://x.example/") == []
     assert extract_links_from("<body>no anchors</body>", "http://x.example/") == []
+
+
+def test_kernels_survive_random_tag_soup():
+    """The extraction kernels must never raise on arbitrary byte soup —
+    real crawls feed them truncated, mis-nested, entity-broken HTML."""
+    import random
+
+    from crawler_spark.functions.html import (
+        extract_images_from,
+        extract_links_from,
+        extract_text_blocks,
+    )
+
+    rng = random.Random(99)
+    frags = [
+        "<div>", "</div>", "<p>", "</p>", "<a href='", "'>", "</a>",
+        "<img src=", "plain text ", "&amp;", "&bogus;", "<", ">", "=",
+        "\"", "'", "<!-- ", " -->", "<script>", "</header>", "<b",
+        "http://x.test/", "../rel", "\x00", "é", "日本語 ", "<p", "/>",
+    ]
+    for _ in range(300):
+        soup = "".join(rng.choice(frags) for _ in range(rng.randrange(0, 60)))
+        blocks = extract_text_blocks(soup)
+        links = extract_links_from(soup, "http://base.test/a/b")
+        imgs = extract_images_from(soup, "http://base.test/a/b")
+        assert all(isinstance(b, str) for b in blocks)
+        assert all(isinstance(u, str) and pos >= 0 for u, _h, pos in links)
+        assert all(isinstance(u, str) for u, _a, _d, _p in imgs)
