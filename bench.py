@@ -64,7 +64,21 @@ HEADLINE = [
     "doc_repetition",
     "doc_categories",
     "combine_images",
+    # round-3 additions: the production winnow hash path (xxhash64) next
+    # to the oracle-portable md5 one, and the zero-shuffle portable simhash
+    "doc_winnow_production",
+    "simhash_portable",
 ]
+
+# timed twice, min reported (+ both in "query_runs"): the heavy queries
+# whose round-over-round deltas would otherwise be host-noise artifacts
+# (shared host, >25% observed wall spread)
+HEAVY = {
+    "minhash_near_dups",
+    "doc_winnow_fingerprints",
+    "doc_winnow_production",
+    "doc_repetition",
+}
 
 
 def _sf_of(path: str) -> float:
@@ -86,18 +100,24 @@ def _spark(cpus: int):
     return get_spark("bench", master=f"local[{cpus}]")
 
 
-def _bench_queries(spark) -> dict[str, float]:
+def _bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        times = []
+        for _ in range(2 if name in HEAVY else 1):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = min(times)
+        if len(times) > 1:
+            runs[name] = times
+    return out, runs
 
 
 def _bench_crawl(spark, replicate: int = 8) -> dict:
@@ -227,10 +247,17 @@ def main() -> None:
         r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
         r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
         eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+
+        def med(rs):
+            v = sorted(r["pages_per_sec"] for r in rs)
+            return round((v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2, 2)
+
+        eff_med = (med(runs_hi) / med(runs_lo)) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3),
             "unit": "ratio",
+            "median_value": round(eff_med, 3),
             "reps": reps,
             "low": {"cpus": lo, **r_lo,
                     "all_pages_per_sec": [r["pages_per_sec"] for r in runs_lo]},
@@ -254,21 +281,27 @@ def main() -> None:
             "l_returnflag"
         ).count().write.mode("overwrite").format("noop").save()
 
-        queries = _bench_queries(spark)
+        queries, query_runs = _bench_queries(spark)
         # best-of-2: the shared host shows >25% wall spread on identical
         # crawls; the headline number should reflect the engine, not the
-        # neighbor (both runs are reported)
+        # neighbor. Both runs AND the median are reported so downstream
+        # comparisons are not anchored to the optimistic tail.
         crawl_runs = [_bench_crawl(spark) for _ in range(2)]
         crawl = max(crawl_runs, key=lambda r: r["pages_per_sec"])
+        rates = sorted(r["pages_per_sec"] for r in crawl_runs)
         crawl["all_pages_per_sec"] = [
             r["pages_per_sec"] for r in crawl_runs
         ]
+        crawl["median_pages_per_sec"] = round(
+            (rates[(len(rates) - 1) // 2] + rates[len(rates) // 2]) / 2, 2
+        )
         total = round(sum(queries.values()) + crawl["sec"], 3)
         print(json.dumps({
             "metric": "headline_suite_sec",
             "value": total,
             "unit": "sec",
             "queries": queries,
+            "query_runs": query_runs,
             "sf": _sf_of(SF_DIR),
             "cpus": CPUS,
             "crawl": crawl,

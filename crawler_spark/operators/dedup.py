@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crawler_spark.functions.textcols import word_tokens
 from crawler_spark.functions.textops import tokenize
 
 # ---------------------------------------------------------------------------
@@ -318,6 +319,51 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     return df.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_portable_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """SQL-portable simhash: md5-prefix token hash, 60-bit signature, pure
+    per-row column algebra — zero shuffle, no UDF.
+
+    The production operator is :func:`simhash_signatures` (FNV-1a,
+    batch-vectorized pandas UDF). This variant exists so the simhash
+    *algorithm* — per-bit majority vote over token hashes — is
+    value-checkable against an independent engine (the DuckDB oracle runs
+    the identical md5-prefix votes), the same dual-path pattern as
+    ``minhash_signatures(portable=True)``. Tokens are the relational
+    ``word_tokens`` (lower/split/filter-empties) so both engines tokenize
+    identically; token multiplicity weights votes, as in the UDF path.
+    """
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col), hs.alias("_hs"), F.size(toks).alias("_n")
+    )
+
+    def vote(b: int):
+        ones = F.size(
+            F.filter(
+                F.col("_hs"),
+                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+                == F.lit(1),
+            )
+        )
+        return ones * 2 - F.col("_n")
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sig = sig + F.when(
+            vote(b) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return base.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(

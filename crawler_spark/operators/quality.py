@@ -231,9 +231,15 @@ def gopher_repetition_flags(
       - ``top_bigram_ratio``: fraction of the doc's word-bigram
         occurrences taken by its single most frequent bigram.
 
-    Returns per-doc values + pass flags + ``keep``. The per-doc group-by
-    shapes (line counts, bigram counts) stay inside one hash aggregation
-    each; nothing is quadratic in document size.
+    Returns per-doc values + pass flags + ``keep``. ZERO shuffle: both
+    ratios are per-row array algebra (the same pattern ``dup_line_ratio``
+    always used). The top-bigram count is the longest run in the
+    ``sort_array``-ed bigram array, found in one ``aggregate`` pass —
+    n log n per doc, inside whole-stage codegen. The earlier
+    explode → groupBy² formulation exchanged a corpus-sized gram table
+    twice; at 100 TB that shuffle IS the operator's cost, and nothing
+    about the semantics needs cross-row state (plan-asserted shuffle-free
+    in tests/test_plans.py).
     """
     c = F.col(text_col)
     lines = F.filter(
@@ -246,27 +252,37 @@ def gopher_repetition_flags(
                             (n_lines - n_distinct_lines) / n_lines
                             ).otherwise(F.lit(0.0))
 
-    bigrams = sliding_grams(word_tokens(c), 2)
-    base = df.select(
+    # top-bigram occurrence count = longest equal-run in the sorted bigram
+    # array; carry (prev, current run, best run) through one fold
+    sorted_bg = F.sort_array(sliding_grams(word_tokens(c), 2))
+    top_cnt = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(
+                acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)
+            ).otherwise(acc["run"] + 1).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)
+                ).otherwise(acc["run"] + 1),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    total_cnt = F.size(sorted_bg)
+    top_ratio = F.when(
+        total_cnt > 0, top_cnt / total_cnt
+    ).otherwise(F.lit(0.0))
+    out = df.select(
         F.col(id_col),
         F.round(dup_line_ratio, 6).cast("double").alias("dup_line_ratio"),
-        F.explode_outer(bigrams).alias("bigram"),
-    )
-    counts = base.groupBy(id_col, "dup_line_ratio", "bigram").agg(
-        F.count("*").alias("cnt")
-    )
-    per_doc = counts.groupBy(id_col, "dup_line_ratio").agg(
-        F.max(F.when(F.col("bigram").isNotNull(), F.col("cnt"))
-              .otherwise(F.lit(None))).alias("top_cnt"),
-        F.sum(F.when(F.col("bigram").isNotNull(), F.col("cnt"))
-              .otherwise(F.lit(0))).alias("total_cnt"),
-    )
-    top_ratio = F.when(
-        F.col("total_cnt") > 0, F.col("top_cnt") / F.col("total_cnt")
-    ).otherwise(F.lit(0.0))
-    out = per_doc.select(
-        F.col(id_col),
-        F.col("dup_line_ratio"),
         F.round(top_ratio, 6).cast("double").alias("top_bigram_ratio"),
     )
     return (
@@ -331,17 +347,26 @@ def fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowed rolling-hash sketch → (id, gram_pos, fp_hash) rows.
 
     Fully relational — no UDF: k-grams are built with ``transform`` over
-    the token array, hashed with :func:`gram_hash`, and the sliding-window
-    argmin is a frame-bounded ``min(struct(hash, pos))`` window (first
-    occurrence of the minimum wins, matching the classic algorithm), with
-    consecutive duplicate picks removed by a ``lag`` comparison. One
-    shuffle (by ``id_col``) serves all three windows. The exploded row
-    shape (one pick per row) is both the Spark-native layout for
-    downstream overlap joins and sortable by the correctness harness.
+    the token array, hashed per-gram, and the sliding-window argmin is a
+    frame-bounded ``min(struct(hash, pos))`` window (first occurrence of
+    the minimum wins, matching the classic algorithm), with consecutive
+    duplicate picks removed by a ``lag`` comparison. One shuffle (by
+    ``id_col``) serves all three windows. The exploded row shape (one pick
+    per row) is both the Spark-native layout for downstream overlap joins
+    and sortable by the correctness harness.
+
+    ``portable`` selects the gram hash, the same dual-path contract as
+    ``minhash_signatures``: ``False`` (production default) uses JVM
+    ``xxhash64`` — one codegen'd call per gram; ``True`` uses the
+    md5-prefix :func:`gram_hash` both Spark and DuckDB evaluate
+    identically (oracle-checkable, ~3-5× slower: md5 + base-16→10 string
+    conversion per gram). Either hash yields a valid winnowing sketch —
+    the picks differ, the sketch guarantees don't.
     """
     toks = word_tokens(text_col)
     n = F.size(toks)
@@ -359,7 +384,11 @@ def fingerprints(
             F.size("_grams").alias("m"),
             F.posexplode("_grams").alias("pos", "gram"),
         )
-        .select(id_col, "m", "pos", gram_hash(F.col("gram")).alias("h"))
+        .select(
+            id_col, "m", "pos",
+            (gram_hash(F.col("gram")) if portable
+             else F.xxhash64(F.col("gram"))).alias("h"),
+        )
     )
 
     w_frame = (

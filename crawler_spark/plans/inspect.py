@@ -117,6 +117,31 @@ def exchange_payload_columns(df: DataFrame) -> list[set[str]]:
     return out
 
 
+def exchange_partition_keys(df: DataFrame) -> list[set[str]]:
+    """Per-Exchange set of partitioning-key column names.
+
+    Distinct from :func:`exchange_payload_columns`: a full-row shuffle
+    keyed by a uniform id is fine at scale (rows must move to be joined),
+    but a shuffle KEYED by document text hashes megabyte strings and
+    serializes every duplicate clique onto one task. This extracts the
+    ``hashpartitioning(...)``/``rangepartitioning(...)`` key lists."""
+    plan = simple_plan(df) + formatted_plan(df)
+    out: list[set[str]] = []
+    for m in re.finditer(r"(?:hash|range)partitioning\(([^)]*)\)", plan):
+        cols = {
+            c.strip().split("#")[0].split(" ")[0]
+            for c in m.group(1).split(",")
+            if c.strip() and not c.strip().isdigit()
+        }
+        out.append(cols)
+    return out
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange operators in the physical plan."""
+    return len(re.findall(r"\n\(\d+\) Exchange", formatted_plan(df)))
+
+
 def partial_aggregation_present(df: DataFrame) -> bool:
     """True when the plan does map-side partial aggregation before the
     exchange (HashAggregate(... partial...) under the shuffle)."""

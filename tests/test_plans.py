@@ -85,6 +85,33 @@ def test_crawl_budget_topk_no_cartesian(spark):
     assert not has_cartesian(df)
 
 
+def test_repetition_flags_zero_shuffle(spark):
+    """Gopher repetition rules are per-row array algebra: the plan must
+    contain NO exchange (the old explode → groupBy² shape moved a
+    corpus-sized gram table twice)."""
+    from crawler_spark.operators.quality import gopher_repetition_flags
+    from crawler_spark.plans.inspect import exchange_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = gopher_repetition_flags(docs)
+    assert exchange_count(df) == 0
+
+
+def test_corpus_curation_plan(spark):
+    """The flagship composed pipeline must never shuffle KEYED by text
+    (id/content-key exchanges only — full rows may move keyed by the
+    uniform doc_id) and must not degrade to a cartesian product."""
+    import __spark_entry__ as em
+    from crawler_spark.plans.inspect import exchange_partition_keys
+
+    df = em.q_corpus_curation(spark, SF)
+    assert not has_cartesian(df)
+    keys = exchange_partition_keys(df)
+    assert keys, "expected exchanges in the curation plan"
+    for cols in keys:
+        assert "text" not in cols, cols
+
+
 def test_exact_dedup_never_shuffles_text(spark):
     """The exact-dedup exchange must carry (content key, id), never the
     document bytes — at 100 TB a text-keyed shuffle moves the corpus."""

@@ -305,7 +305,7 @@ def test_fingerprints_match_serial_reference(spark):
     )
     got = {
         (r.doc_id, r.gram_pos, r.fp_hash)
-        for r in fingerprints(df, k=5, window=4).collect()
+        for r in fingerprints(df, k=5, window=4, portable=True).collect()
     }
     want = {
         (i, pos, h)
