@@ -739,6 +739,21 @@ def q_minhash_near_dups(spark, sf):
     return minhash_dedup(d, threshold=0.4)
 
 
+def q_corpus_near_dedup(spark, sf):
+    """The GUARDED near-dup chain end-to-end (exact dedup → capped-bucket
+    minhash-LSH → connected components → survivors) — the configuration a
+    100 TB pass runs, demonstrated as one composed plan. Rows-only: the
+    recursive closure over an LSH pair graph has value coverage via
+    `dedup_clusters` + `minhash_portable`; this entry proves the guarded
+    composition itself executes bounded."""
+    from crawler_spark.operators.dedup import near_dup_curation
+
+    d = _read(spark, sf, "documents")
+    return near_dup_curation(d, threshold=0.4, max_bucket_size=10000).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_simhash_sigs(spark, sf):
     from crawler_spark.operators.dedup import simhash_signatures
 
@@ -1184,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "cuckoo_seen": q_cuckoo_seen,
         "doc_winnow_production": q_doc_winnow_production,
+        "corpus_near_dedup": q_corpus_near_dedup,
     }
 
 

@@ -150,6 +150,29 @@ def seed_discoveries(
     return spark.createDataFrame(list(rows.values()), DISC_SCHEMA)
 
 
+def _seen_filter_empty(
+    spark, seen_filter: str, buckets: int, bloom_bits: int, cuckoo_entries: int
+):
+    if seen_filter == "cuckoo":
+        from crawler_spark.operators.cuckoo import CuckooSeenSet
+
+        return CuckooSeenSet.empty(spark, buckets, cuckoo_entries)
+    if seen_filter != "bloom":
+        raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
+    return BloomSeenSet.empty(spark, buckets, bloom_bits)
+
+
+def _seen_filter_load(
+    spark, path: str, seen_filter: str, buckets: int, bloom_bits: int,
+    cuckoo_entries: int,
+):
+    if seen_filter == "cuckoo":
+        from crawler_spark.operators.cuckoo import CuckooSeenSet
+
+        return CuckooSeenSet.load(spark, path, buckets, cuckoo_entries)
+    return BloomSeenSet.load(spark, path, buckets, bloom_bits)
+
+
 def run_crawl(
     spark: SparkSession,
     corpus: DataFrame,
@@ -161,6 +184,8 @@ def run_crawl(
     resume: bool = False,
     write_partitions: int | None = 8,
     frontier_snapshot_every: int = 1,
+    seen_filter: str = "bloom",
+    cuckoo_entries: int = 1 << 16,
 ) -> CrawlStats:
     """Run (or resume) the crawl to completion; state lives in the store.
 
@@ -172,7 +197,18 @@ def run_crawl(
     anti-join ``pages ≤ R`` via ``store.rebuild_frontier``) — the round
     loses one write job, at the cost of reading the discovery log. Choose
     by shape: write-bound short-frontier crawls want a large N; a
-    10^10-row frontier whose discovery log dwarfs it wants N=1."""
+    10^10-row frontier whose discovery log dwarfs it wants N=1.
+
+    ``seen_filter`` picks the approximate URL-seen layer (the north
+    rule's "bloom/cuckoo" pair): ``"bloom"`` (default — smaller per key,
+    embarrassingly-parallel OR adds, append-only) or ``"cuckoo"``
+    (``operators.cuckoo.CuckooSeenSet`` — same bucketed layout and probe
+    contract, plus DELETE, which is what makes :func:`retract_urls`
+    recrawl campaigns scale; ``cuckoo_entries`` × 4 slots per bucket).
+    Both filters drive the identical crawl (goldens assert it): the exact
+    seen-log re-check is the correctness authority, the filter only
+    bounds how much of it each round reads. Resume with the same
+    ``seen_filter`` the store was written with."""
     store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
     robots_ok = _robots_filter_udf(spark, config)
     budget_df, budget_default = _budget_df(spark, config)
@@ -192,7 +228,9 @@ def run_crawl(
     if last is None:
         frontier = seed_discoveries(spark, seeds, config)
         n_frontier = frontier.count()
-        bloom = BloomSeenSet.empty(spark, bloom_buckets, bloom_bits)
+        bloom = _seen_filter_empty(
+            spark, seen_filter, bloom_buckets, bloom_bits, cuckoo_entries
+        )
         bloom = bloom.add(frontier.select("url"))
         start_round = 0
         seed_disc = frontier  # committed with round 0
@@ -200,19 +238,45 @@ def run_crawl(
         import os as _os
 
         store.backfill_seen(bloom_buckets, last)
-        if _os.path.isdir(store.table_round_path("frontier", last)):
+        if store.has_retractions():
+            # retracted urls resurface via their original discovery rows
+            # only on the merge-on-read path (the frontier snapshot
+            # predates the retraction); their count invalidates the
+            # manifest's frontier_size, so pay one count job here —
+            # retraction resumes are campaign events, not per-round cost
+            frontier = store.rebuild_frontier(last)
+            n_frontier = frontier.count()
+        elif _os.path.isdir(store.table_round_path("frontier", last)):
             frontier = store.read_snapshot("frontier", last, DISC_SCHEMA)
+            n_frontier = int(
+                store.read_manifest(last)["metrics"]["frontier_size"]
+            )
         else:  # between snapshots: merge-on-read from the logs
             frontier = store.rebuild_frontier(last)
-        n_frontier = int(
-            store.read_manifest(last)["metrics"]["frontier_size"]
-        )
+            n_frontier = int(
+                store.read_manifest(last)["metrics"]["frontier_size"]
+            )
         cd = store.read_snapshot("cooldown", last, COOLDOWN_SCHEMA).collect()
         cooldown = {r["host"]: r["expire_round"] for r in cd}
-        bloom = BloomSeenSet.load(
-            spark, store.table_round_path("bloom", last), bloom_buckets,
-            bloom_bits,
+        bloom = _seen_filter_load(
+            spark, store.table_round_path("bloom", last), seen_filter,
+            bloom_buckets, bloom_bits, cuckoo_entries,
         )
+        if store.has_retractions():
+            # restore the filter invariant (filter ⊇ discovered ∪ seen):
+            # a retracted url that resurfaced in the frontier is
+            # DISCOVERED again, so its fingerprint must be present —
+            # otherwise a link to it during its own recrawl round is a
+            # filter negative, bypasses the exact re-check entirely, and
+            # duplicates the discovery (crawling it twice). Cuckoo delete
+            # + this re-add nets out for resurfaced urls; the deletion
+            # sticks for retracted urls with no discovery record.
+            bloom = bloom.add(
+                frontier.join(
+                    F.broadcast(store.read_retractions().select("url")),
+                    "url", "left_semi",
+                ).select("url")
+            )
         start_round = last + 1
         seed_disc = None
 
@@ -399,12 +463,52 @@ def run_crawl(
         else:
             frontier = store.rebuild_frontier(rnd)
         frontier = frontier.cache()
-        bloom = BloomSeenSet.load(
-            spark, store.table_round_path("bloom", rnd), bloom_buckets,
-            bloom_bits,
+        bloom = _seen_filter_load(
+            spark, store.table_round_path("bloom", rnd), seen_filter,
+            bloom_buckets, bloom_bits, cuckoo_entries,
         )
 
     return stats
+
+
+def retract_urls(
+    spark: SparkSession,
+    store_root: str,
+    urls: list[str],
+    seen_filter: str = "bloom",
+    bloom_buckets: int = 16,
+    cuckoo_entries: int = 1 << 16,
+) -> int:
+    """Mark crawled ``urls`` for RECRAWL (``CrawlStore.retract``): the next
+    ``run_crawl(..., resume=True)`` resurfaces them in the frontier via
+    their original discovery records and fetches them one more time.
+
+    Works under either seen filter — the exact seen-log re-check is the
+    authority — but with ``seen_filter="cuckoo"`` the fingerprints are
+    also DELETED from the latest filter snapshot (the operation bloom
+    cannot do), so a mass recrawl campaign does not leave every retracted
+    url a permanent approximate-filter positive paying the exact-join
+    path on every future discovery. Returns the retraction watermark
+    round (-1 when nothing was ever committed)."""
+    store = CrawlStore(spark, store_root)
+    upto = store.retract(urls)
+    if seen_filter == "cuckoo" and upto >= 0:
+        from crawler_spark.operators.cuckoo import CuckooSeenSet
+
+        path = store.table_round_path("bloom", upto)
+        cf = CuckooSeenSet.load(spark, path, bloom_buckets, cuckoo_entries)
+        cf = cf.delete(
+            spark.createDataFrame([(u,) for u in urls], "url string")
+        )
+        # materialize + cut lineage BEFORE overwriting the snapshot the
+        # tables were loaded from (an overwrite of a lazily-read source
+        # would truncate its own input)
+        cf = CuckooSeenSet(
+            cf.tables.localCheckpoint(eager=True),
+            cf.n_buckets, cf.m_entries, cf.slots_per_entry,
+        )
+        cf.checkpoint(path)
+    return upto
 
 
 def _empty_pages(spark):

@@ -172,7 +172,10 @@ class CrawlStore:
             if os.path.exists(wm_tmp):
                 os.remove(wm_tmp)
             wm, gen = self._compaction_state(table)
-            live = self._segment_dir(table, gen)
+            # no watermark ⇒ no segment is live: an orphan '_compacted'
+            # dir from a compaction that crashed before its watermark
+            # commit must be cleaned, not treated as generation 0
+            live = self._segment_dir(table, gen) if wm >= 0 else None
             for name in os.listdir(tdir):
                 # drop every segment dir (any generation, committed or
                 # .tmp, incl. the legacy un-generationed layout) the
@@ -353,6 +356,78 @@ class CrawlStore:
     def read_pages(self) -> DataFrame:
         return self._read_all("pages", PAGES_SCHEMA)
 
+    # -- retraction (recrawl) -------------------------------------------------
+
+    def _retractions_dir(self) -> str:
+        return os.path.join(self.root, "retractions")
+
+    def retract(self, urls: list[str]) -> int:
+        """Mark crawled urls for RECRAWL: their seen-log rows (and pages
+        rows, for frontier rebuilding) from rounds ≤ the current last
+        committed round stop counting as "seen", so the urls resurface in
+        the merge-on-read frontier via their original discovery records
+        and get fetched again on the next resumed run. Once recrawled,
+        the NEW pages row (round > the retraction watermark) makes them
+        seen again — retraction is one extra crawl, not a permanent hole.
+
+        The exact seen re-check is the authority, so this works under
+        either seen filter; with ``seen_filter="cuckoo"`` the driver-level
+        ``retract_urls`` additionally deletes the filter fingerprints so a
+        mass recrawl campaign does not leave every retracted url a
+        permanent approximate-filter positive (bloom cannot delete — each
+        retracted url would pay the exact-join path forever).
+
+        Appends a (url, upto_round) parquet to ``retractions/`` — tiny,
+        driver-side, broadcast at read time. Returns upto_round."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rounds = self.committed_rounds()
+        upto = rounds[-1] if rounds else -1
+        rdir = self._retractions_dir()
+        os.makedirs(rdir, exist_ok=True)
+        n = len([f for f in os.listdir(rdir) if f.endswith(".parquet")])
+        pq.write_table(
+            pa.table(
+                {"url": list(dict.fromkeys(urls)),
+                 "upto_round": [upto] * len(dict.fromkeys(urls))},
+                schema=pa.schema(
+                    [("url", pa.string()), ("upto_round", pa.int32())]
+                ),
+            ),
+            os.path.join(rdir, f"retract-{n:05d}.parquet"),
+        )
+        return upto
+
+    def has_retractions(self) -> bool:
+        rdir = self._retractions_dir()
+        return os.path.isdir(rdir) and any(
+            f.endswith(".parquet") for f in os.listdir(rdir)
+        )
+
+    def read_retractions(self) -> DataFrame:
+        """(url, upto_round) with upto_round = max over re-retractions."""
+        rdir = self._retractions_dir()
+        return (
+            self.spark.read.schema("url string, upto_round int")
+            .parquet(rdir)
+            .groupBy("url")
+            .agg(F.max("upto_round").alias("upto_round"))
+        )
+
+    def _minus_retracted(self, df: DataFrame) -> DataFrame:
+        """Drop rows whose url is retracted AND whose round is at/below
+        the retraction watermark (later recrawl rows stay seen)."""
+        if not self.has_retractions():
+            return df
+        ret = self.read_retractions()
+        return df.join(
+            F.broadcast(ret),
+            (df["url"] == ret["url"])
+            & (df["round"] <= ret["upto_round"]),
+            "left_anti",
+        )
+
     def read_seen(self, buckets: list[int] | None = None) -> DataFrame:
         """(bucket, url) of every committed round's crawled pages.
 
@@ -362,10 +437,10 @@ class CrawlStore:
         everything else. This is what keeps the exact-seen re-check's
         build side proportional to the bloom-POSITIVE buckets instead of
         the full 10^10-url history."""
-        df = self._read_all("seen", SEEN_SCHEMA + ", round int").drop("round")
+        df = self._read_all("seen", SEEN_SCHEMA + ", round int")
         if buckets is not None:
             df = df.where(F.col("bucket").isin([int(b) for b in buckets]))
-        return df
+        return self._minus_retracted(df).drop("round")
 
     def read_links(self) -> DataFrame:
         return self._read_all("links", LINKS_SCHEMA)
@@ -409,7 +484,9 @@ class CrawlStore:
         each round.
         """
         disc = self.read_discoveries()
-        pages = self.read_pages().where(F.col("round") <= upto_round)
+        pages = self._minus_retracted(
+            self.read_pages().where(F.col("round") <= upto_round)
+        )
         return disc.join(pages.select("url"), "url", "left_anti").select(
             "disc_round", "disc_seq", "url", "host"
         )

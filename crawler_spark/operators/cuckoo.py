@@ -113,9 +113,11 @@ class CuckooSeenSet:
         # locals only — the UDF closure must not capture self (it holds a
         # DataFrame and cannot serialize to the executors)
         m, spe = self.m_entries, self.slots_per_entry
-        hashes = _with_bucket_hash(df, url_col, self.n_buckets).select(
-            "bucket", "_h"
-        )
+        # dedupe the batch: a retried/duplicated input row must not insert
+        # (or delete) the same fingerprint twice — one mutation per url
+        hashes = _with_bucket_hash(
+            df.select(url_col).distinct(), url_col, self.n_buckets
+        ).select("bucket", "_h")
 
         def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if left.empty:
@@ -182,6 +184,20 @@ class CuckooSeenSet:
         )
 
     def add(self, df: DataFrame, url_col: str = "url") -> "CuckooSeenSet":
+        """Insert one fingerprint per distinct url in ``df``.
+
+        ADD-ONCE CONTRACT (the mirror of ``delete``'s delete-what-was-
+        added contract): the batch is deduped internally, but adding a
+        url in TWO separate batches stores two fingerprint copies —
+        deliberately, per Fan et al. §3.2: duplicate copies are what make
+        a later ``delete`` of one insertion leave the other's membership
+        intact (a check-before-insert "skip if present" would let a
+        colliding key's delete erase this key's membership — a false
+        negative). Callers maintaining set semantics must add only
+        urls they have not added before (the crawl driver adds only
+        filter-verified-unseen discoveries, so it satisfies this by
+        construction); ``n_items`` counts insertions, not distinct keys.
+        """
         return self._mutate(df, url_col, delete=False)
 
     def delete(self, df: DataFrame, url_col: str = "url") -> "CuckooSeenSet":
@@ -194,15 +210,25 @@ class CuckooSeenSet:
 
     # -- probe -------------------------------------------------------------
 
-    def probe(self, candidates: DataFrame, url_col: str = "url") -> DataFrame:
+    def probe(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url",
+        keep_bucket: bool = False,
+    ) -> DataFrame:
         """candidates + ``maybe_seen`` (no false negatives for added-and-
-        not-deleted keys; FP ≈ 2·slots/2^16 per table load factor)."""
+        not-deleted keys; FP ≈ 2·slots/2^16 per table load factor).
+        ``keep_bucket=True`` also returns the filter bucket id — the key
+        for partition-pruned exact re-checks (same contract as
+        ``BloomSeenSet.probe``)."""
         m, spe = self.m_entries, self.slots_per_entry
         in_cols = [f.name for f in candidates.schema.fields]
+        if keep_bucket:
+            in_cols = in_cols + ["bucket"]
         out_schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in candidates.schema.fields
-        ) + ", maybe_seen boolean"
+        ) + (", bucket int" if keep_bucket else "") + ", maybe_seen boolean"
 
         def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             out = left[in_cols].copy()
@@ -227,6 +253,22 @@ class CuckooSeenSet:
             with_b.groupBy("bucket")
             .cogroup(self.tables.groupBy("bucket"))
             .applyInPandas(run, out_schema)
+        )
+
+    def filter_unseen(
+        self,
+        candidates: DataFrame,
+        exact_seen: DataFrame | None = None,
+        url_col: str = "url",
+        seen_for_buckets=None,
+    ) -> DataFrame:
+        """Cuckoo-prefiltered anti-join — the drop-in twin of
+        ``BloomSeenSet.filter_unseen`` (see ``seen.filter_unseen_via``),
+        which is what lets the crawl driver swap filters."""
+        from crawler_spark.operators.seen import filter_unseen_via
+
+        return filter_unseen_via(
+            self, candidates, exact_seen, url_col, seen_for_buckets
         )
 
     # -- persistence -------------------------------------------------------

@@ -559,6 +559,46 @@ def dedup_clusters(
     )
 
 
+def near_dup_curation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 10000,
+    portable: bool = False,
+) -> DataFrame:
+    """The guarded end-to-end near-dup removal chain, composed in the
+    order the individual operators' contracts require:
+
+      ``dedup_exact`` (byte-identical cliques die here, so no identical-doc
+      mega-bucket ever reaches the LSH join) → ``minhash_dedup`` with the
+      mega-bucket guard ON (banding buckets above ``max_bucket_size`` are
+      skipped — safe now precisely because exact dedup ran first) →
+      ``dedup_clusters`` (transitive closure of the pair graph) → survivors
+      (one doc per cluster, min-id canonical).
+
+    This is the configuration a 100 TB curation pass runs: every stage is
+    bounded — no quadratic blow-up on boilerplate cliques — and the whole
+    chain is one Catalyst plan (no materialization between stages). The
+    unguarded defaults on the individual operators exist for their exact
+    contracts + oracles; this composition is the scale path.
+    """
+    unique = dedup_exact(df, id_col, text_col)
+    pairs = minhash_dedup(
+        unique, id_col, text_col, k, n_bands, rows_per_band,
+        threshold, max_bucket_size, portable,
+    )
+    dup_ids = (
+        dedup_clusters(pairs)
+        .where(F.col("is_dup"))
+        .select(F.col("node").alias(id_col))
+    )
+    return unique.join(dup_ids, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram jaccard (inverted-index join)
 # ---------------------------------------------------------------------------

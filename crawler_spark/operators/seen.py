@@ -84,6 +84,60 @@ def _with_bucket_hash(df: DataFrame, url_col: str, n_buckets: int) -> DataFrame:
     )
 
 
+def filter_unseen_via(
+    seen_set,
+    candidates: DataFrame,
+    exact_seen: DataFrame | None = None,
+    url_col: str = "url",
+    seen_for_buckets=None,
+) -> DataFrame:
+    """Approximate-filter-prefiltered anti-join, shared by the bloom and
+    cuckoo seen sets (both expose ``probe(candidates, url_col,
+    keep_bucket)`` with a no-false-negative ``maybe_seen``): rows of
+    ``candidates`` whose url is NOT in the seen set. Filter negatives
+    bypass the join entirely; positives are re-checked exactly.
+
+    Two build-side modes:
+
+    - ``exact_seen``: a ready DataFrame of seen urls (full history
+      scan each call — fine when the caller's history is small);
+    - ``seen_for_buckets(buckets) -> DataFrame``: called with the
+      sorted distinct filter-bucket ids of the POSITIVE candidates, so
+      the callee can prune its seen-table scan to just those buckets
+      (the scale path at 10^10 URLs: the build side shrinks from the
+      full url history to the handful of bucket partitions that
+      contain a filter positive). The probe output is localCheckpointed
+      so computing the bucket list does not re-run the probe.
+    """
+    if (exact_seen is None) == (seen_for_buckets is None):
+        raise ValueError(
+            "exactly one of exact_seen / seen_for_buckets required"
+        )
+    keep_bucket = seen_for_buckets is not None
+    probed = seen_set.probe(candidates, url_col, keep_bucket=keep_bucket)
+    if keep_bucket:
+        # freeze once: the bucket collect + both branches below reuse
+        # the same probe pass instead of re-running the cogroup UDF
+        probed = probed.localCheckpoint(eager=False)
+        buckets = sorted(
+            r["bucket"]
+            for r in probed.where(F.col("maybe_seen"))
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        exact_seen = seen_for_buckets(buckets)
+        probed = probed.drop("bucket")
+    fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+    suspect = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+    rechecked = suspect.join(
+        exact_seen.select(F.col(url_col).alias("__seen_url")),
+        suspect[url_col] == F.col("__seen_url"),
+        "left_anti",
+    )
+    return fresh.unionByName(rechecked)
+
+
 class BloomSeenSet:
     """Handle over a bloom DataFrame; immutable — ops return new handles."""
 
@@ -207,49 +261,10 @@ class BloomSeenSet:
         url_col: str = "url",
         seen_for_buckets=None,
     ) -> DataFrame:
-        """Bloom-prefiltered anti-join: rows of ``candidates`` whose url is
-        NOT in the seen set. Bloom negatives bypass the join entirely;
-        positives are re-checked exactly.
-
-        Two build-side modes:
-
-        - ``exact_seen``: a ready DataFrame of seen urls (full history
-          scan each call — fine when the caller's history is small);
-        - ``seen_for_buckets(buckets) -> DataFrame``: called with the
-          sorted distinct bloom-bucket ids of the POSITIVE candidates, so
-          the callee can prune its seen-table scan to just those buckets
-          (the scale path at 10^10 URLs: the build side shrinks from the
-          full url history to the handful of bucket partitions that
-          contain a bloom positive). The probe output is localCheckpointed
-          so computing the bucket list does not re-run the bloom probe.
-        """
-        if (exact_seen is None) == (seen_for_buckets is None):
-            raise ValueError(
-                "exactly one of exact_seen / seen_for_buckets required"
-            )
-        keep_bucket = seen_for_buckets is not None
-        probed = self.probe(candidates, url_col, keep_bucket=keep_bucket)
-        if keep_bucket:
-            # freeze once: the bucket collect + both branches below reuse
-            # the same probe pass instead of re-running the cogroup UDF
-            probed = probed.localCheckpoint(eager=False)
-            buckets = sorted(
-                r["bucket"]
-                for r in probed.where(F.col("maybe_seen"))
-                .select("bucket")
-                .distinct()
-                .collect()
-            )
-            exact_seen = seen_for_buckets(buckets)
-            probed = probed.drop("bucket")
-        fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
-        suspect = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-        rechecked = suspect.join(
-            exact_seen.select(F.col(url_col).alias("__seen_url")),
-            suspect[url_col] == F.col("__seen_url"),
-            "left_anti",
+        """Bloom-prefiltered anti-join — see :func:`filter_unseen_via`."""
+        return filter_unseen_via(
+            self, candidates, exact_seen, url_col, seen_for_buckets
         )
-        return fresh.unionByName(rechecked)
 
     # -- persistence -------------------------------------------------------
 

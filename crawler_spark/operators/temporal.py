@@ -36,26 +36,45 @@ def asof_join(
 ) -> DataFrame:
     """Each probe row + the value columns of the latest event ≤ its ts.
 
+    Probe payload columns (anything besides ``key``/``ts``) pass through
+    unchanged, riding the union as one struct — output is
+    ``(key, ts, *probe_payload, *value_cols, matched_ts)``. A payload
+    column sharing a name with a value column is rejected (the output
+    would be ambiguous).
+
     ``events`` must be unique per (key, ts) — pre-aggregate ties first
     (ambiguous as-of matches are a spec bug, not an engine choice).
     ``tolerance_seconds`` drops matches older than the tolerance (null
     values instead), mirroring pandas ``merge_asof(tolerance=...)``.
     """
+    probe_extra = [c for c in probes.columns if c not in (key, ts)]
+    clash = set(probe_extra) & (set(value_cols) | {"matched_ts"})
+    if clash:
+        raise ValueError(
+            f"probe payload columns collide with output columns: {sorted(clash)}"
+        )
     # the matched event travels as ONE struct — filling each value column
     # independently with last(ignorenulls) would stitch columns from
     # DIFFERENT events whenever a matched event carries a null value
     ev_struct = F.struct(
         F.col(ts).alias("_ev_ts"), *[F.col(c) for c in value_cols]
     )
+    pv_struct = F.struct(
+        *[F.col(c) for c in probe_extra]
+    ) if probe_extra else F.struct(F.lit(0).alias("_nop"))
     p = probes.select(
         F.col(key), F.col(ts), F.lit(1).alias("_probe"),
         F.lit(None).cast(
             events.select(ev_struct.alias("_ev")).schema["_ev"].dataType
         ).alias("_ev"),
+        pv_struct.alias("_pv"),
     )
     e = events.select(
         F.col(key), F.col(ts), F.lit(0).alias("_probe"),
         ev_struct.alias("_ev"),
+        F.lit(None).cast(
+            probes.select(pv_struct.alias("_pv")).schema["_pv"].dataType
+        ).alias("_pv"),
     )
     # events sort before probes at equal ts → "≤" semantics
     w = (
@@ -66,7 +85,7 @@ def asof_join(
     filled = (
         p.unionByName(e)
         .select(
-            F.col(key), F.col(ts), F.col("_probe"),
+            F.col(key), F.col(ts), F.col("_probe"), F.col("_pv"),
             F.last("_ev", ignorenulls=True).over(w).alias("_ev"),
         )
         .where(F.col("_probe") == 1)
@@ -86,6 +105,7 @@ def asof_join(
         )
     return filled.select(
         key, ts,
+        *[F.col(f"_pv.{c}").alias(c) for c in probe_extra],
         *[F.col(f"_ev.{c}").alias(c) for c in value_cols],
         F.col("_ev._ev_ts").alias("matched_ts"),
     )

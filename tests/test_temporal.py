@@ -46,6 +46,32 @@ def test_asof_join_semantics(spark):
     assert got[("u3", _ts(50))] == (None, None)
 
 
+def test_asof_join_probe_payload_passes_through(spark):
+    """Probe columns beyond (key, ts) must survive into the output
+    unchanged; a payload name colliding with a value column raises."""
+    import pytest as _pytest
+
+    events = spark.createDataFrame(
+        [("u1", _ts(0), 100)],
+        "user_id string, ts timestamp, event_id long",
+    )
+    probes = spark.createDataFrame(
+        [("u1", _ts(5), "req-a", 7), ("u1", _ts(9), "req-b", 8)],
+        "user_id string, ts timestamp, req_id string, attempt int",
+    )
+    rows = {
+        r.req_id: (r.attempt, r.event_id)
+        for r in asof_join(
+            probes, events, "user_id", "ts", ["event_id"]
+        ).collect()
+    }
+    assert rows == {"req-a": (7, 100), "req-b": (8, 100)}
+
+    clashing = probes.withColumnRenamed("req_id", "event_id")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(clashing, events, "user_id", "ts", ["event_id"])
+
+
 def test_asof_join_tolerance(spark):
     events = spark.createDataFrame(
         [("u1", _ts(0), 100)], "user_id string, ts timestamp, event_id long"

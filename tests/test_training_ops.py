@@ -147,6 +147,42 @@ def test_simhash_mega_clique_guard_bounds_join(spark):
                              max_bucket_size=None).count() == 45
 
 
+def test_guarded_near_dup_curation_bounded_mega_clique(spark):
+    """The COMPOSED guarded chain (dedup_exact → capped-bucket minhash →
+    dedup_clusters → survivors) must complete bounded on a 20k-doc
+    boilerplate-template family — whose shared shingles put thousands of
+    docs into single LSH band buckets (a ~10^9-pair join unguarded) —
+    while still collapsing a byte-identical clique (exact dedup's job)
+    and a genuine rare-vocabulary near-dup pair (small buckets survive
+    the cap)."""
+    from crawler_spark.operators.dedup import near_dup_curation
+
+    n = 20000
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank today with boilerplate navigation footer text")
+    template = spark.range(n).selectExpr(
+        "id AS doc_id", f"concat('{base} user ', id) AS text"
+    )
+    pair = spark.createDataFrame(
+        [(n + 1, "zanzibar quokka meringue acrobatics filament twelve "
+                 "umbrellas dancing gleefully through october onward"),
+         (n + 2, "zanzibar quokka meringue acrobatics filament twelve "
+                 "umbrellas dancing gleefully through october backward")],
+        "doc_id long, text string",
+    )
+    clique = spark.range(n + 10, n + 40).selectExpr(
+        "id AS doc_id",
+        "'identical identical boilerplate clique text body' AS text",
+    )
+    docs = template.unionByName(pair).unionByName(clique)
+    out = near_dup_curation(docs, threshold=0.5, max_bucket_size=100)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # byte-identical clique → exactly its min id survives
+    assert {i for i in ids if n + 10 <= i < n + 40} == {n + 10}
+    # rare-vocab near-dup pair → min id survives, twin collapsed
+    assert n + 1 in ids and n + 2 not in ids
+
+
 def test_ngram_jaccard_df_cap_bounds_posting_lists(spark):
     """A boilerplate shingle shared by every doc must not explode the
     inverted-index join: with the df cap it contributes no candidate
