@@ -32,6 +32,26 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _read_wide(
+    spark: SparkSession, sf_dir: str, table: str, key: str = "doc_id"
+) -> DataFrame:
+    """Read + spread for per-row-HEAVY operators (tokenize/hash/sort the
+    whole text of every row). The testdata ships each table as ONE small
+    parquet file, which scans as a single partition — so a zero-shuffle
+    operator runs its entire per-row compute on one core while 31 idle.
+    On a real cluster the table arrives in many files/row-groups and this
+    is a no-op (the guard below); locally it hash-spreads on the uniform
+    key so the scan stage parallelizes. This is the same lesson as the
+    crawl corpus repartition in bench.py — partition count is part of the
+    plan, and a plan that serializes 100 TB of per-row work onto the scan
+    parallelism of a single file is wrong at every scale."""
+    df = _read(spark, sf_dir, table)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -284,7 +304,7 @@ def q_doc_stratified_sample(spark, sf):
     — reproducible on any engine, no RNG, no seed drift across retries."""
     from crawler_spark.operators.scrub import stratified_sample
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return stratified_sample(
         d, "doc_id", strata_col="lang",
         rates={"en": 50, "es": 25}, default_rate=10, salt="r2",
@@ -334,7 +354,7 @@ def q_first_event_dedup(spark, sf):
 
 def q_doc_term_frequency(spark, sf):
     """A7: per-doc flat-token TF, max-normalized (calcTermFrequencies)."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).where(F.length("term") > 0)
@@ -353,7 +373,7 @@ def _doc_trigram_counts(spark, sf):
     # Linear-time trigram slide: three shifted slices zipped pairwise.
     # (transform(sequence(...), i -> element_at(toks, i)...) re-evaluates the
     # split per element — O(n^2) per doc and 6x slower at sf0.1.)
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     toked = d.select("doc_id", F.split("text", " ").alias("toks")).where(
         F.size("toks") >= 3
     )
@@ -409,7 +429,7 @@ def q_doc_tags_top3(spark, sf):
 def q_doc_tfidf(spark, sf):
     """Corpus TF-IDF: tf = per-doc count / doc max; idf = ln(N / df);
     one pass of partial-aggregated counts + a broadcast-joined df table."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     n_docs = d.count()
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -436,13 +456,13 @@ def q_doc_exact_dedup(spark, sf):
     """D4: exact dedup via content grouping (operators.dedup)."""
     from crawler_spark.operators.dedup import exact_duplicates
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return exact_duplicates(d, "doc_id", "text")
 
 
 def q_doc_token_stats(spark, sf):
     """Token counting: whitespace + BPE-ish regex + char count."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return d.select(
         "doc_id",
         F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
@@ -457,7 +477,7 @@ def q_doc_quality(spark, sf):
     """Quality scoring: length/punct/stopword factors (operators.quality)."""
     from crawler_spark.operators.quality import quality_scores
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     q = quality_scores(d, stopwords=STOP10)
     return q.select(
         "doc_id",
@@ -475,7 +495,7 @@ def q_doc_gopher_flags(spark, sf):
     bounds) — the standard public web-text curation heuristics."""
     from crawler_spark.operators.quality import gopher_quality_flags
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return gopher_quality_flags(d, min_words=10)
 
 
@@ -483,7 +503,7 @@ def _docs_with_pii(spark, sf):
     """Documents with deterministic synthetic PII appended to every third
     doc — identical derivation in the DuckDB oracle, so redaction output
     is byte-checked."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     did = F.col("doc_id")
     pii = F.concat(
         F.col("text"),
@@ -511,7 +531,7 @@ def q_doc_decontaminate(spark, sf):
     benchmark set (here: every 50th doc stands in for the eval set)."""
     from crawler_spark.operators.scrub import contamination_flags, doc_ngrams
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     bench = doc_ngrams(d.where(F.col("doc_id") % 50 == 0), n=8).select(
         "ngram"
     ).distinct()
@@ -531,7 +551,7 @@ def q_corpus_curation(spark, sf):
     )
     from crawler_spark.operators.scrub import stratified_sample
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     kept_ids = gopher_quality_flags(d, min_words=10).where("keep").select(
         "doc_id"
     )
@@ -551,7 +571,7 @@ def q_doc_repetition(spark, sf):
     dominance (Rae et al. 2021 §A1.1) — pure hash-agg column algebra."""
     from crawler_spark.operators.quality import gopher_repetition_flags
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return gopher_repetition_flags(d)
 
 
@@ -559,7 +579,7 @@ def q_doc_length_stats(spark, sf):
     """Per-language corpus length distribution: exact interpolated
     percentiles (p50/p90/p99) + mean — the dataset-card stats a curation
     pipeline reports per shard. Both engines use linear interpolation."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     ln = F.length("text")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -571,13 +591,13 @@ def q_doc_length_stats(spark, sf):
 
 
 def q_doc_lang_dist(spark, sf):
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
 def q_doc_fingerprint(spark, sf):
     """Exact content fingerprint (md5); winnowing sketch is rows-only."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return d.select("doc_id", F.md5("text").alias("fp"))
 
 
@@ -585,7 +605,7 @@ def q_ngram_jaccard(spark, sf):
     """Exact n-gram jaccard near-dup pairs via inverted-index join."""
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
@@ -614,7 +634,7 @@ def q_minhash_portable(spark, sf):
     (rows-only ``minhash_near_dups``); this proves the LSH logic."""
     from crawler_spark.operators.dedup import minhash_dedup
 
-    d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
     pairs = minhash_dedup(d, threshold=0.4, portable=True)
     return pairs.select(
         "id_a", "id_b",
@@ -713,7 +733,7 @@ def q_doc_sentiment(spark, sf):
     """AFINN sentiment (Porter-stemmed lexicon) per document."""
     from crawler_spark.analytics.text_tier import sentiment_udf
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return d.select(
         "doc_id", F.round(sentiment_udf("text"), 6).alias("sentiment")
     )
@@ -723,7 +743,7 @@ def q_doc_summaries(spark, sf):
     """calcSummary over documents (blocks = sentence-ish splits)."""
     from crawler_spark.analytics.text_tier import page_summaries
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     blocks = d.select(
         F.col("doc_id").cast("string").alias("url"),
         F.posexplode(F.split("text", r"\.\s*")).alias("block_idx", "text"),
@@ -735,8 +755,23 @@ def q_minhash_near_dups(spark, sf):
     """MinHash+LSH near-dup pairs over documents (xxhash64 signatures)."""
     from crawler_spark.operators.dedup import minhash_dedup
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return minhash_dedup(d, threshold=0.4)
+
+
+def q_simhash_near_dups_portable(spark, sf):
+    """Pigeonhole-banded simhash pairs over the PORTABLE hash family:
+    banding has exact recall at hamming ≤ d and pairs are
+    exactly-verified, so the result equals a brute-force hamming join —
+    which is what the DuckDB oracle runs over the same SQL-computed
+    signatures. Value-proves the banding join itself (the production
+    query `simhash_near_dups` uses the FNV-1a UDF signatures)."""
+    from crawler_spark.operators.dedup import simhash_near_dups
+
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return simhash_near_dups(d, max_hamming=4, portable=True).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_corpus_near_dedup(spark, sf):
@@ -748,7 +783,7 @@ def q_corpus_near_dedup(spark, sf):
     composition itself executes bounded."""
     from crawler_spark.operators.dedup import near_dup_curation
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return near_dup_curation(d, threshold=0.4, max_bucket_size=10000).select(
         "doc_id", "lang", "n_chars"
     )
@@ -757,7 +792,7 @@ def q_corpus_near_dedup(spark, sf):
 def q_simhash_sigs(spark, sf):
     from crawler_spark.operators.dedup import simhash_signatures
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return simhash_signatures(d)
 
 
@@ -767,7 +802,7 @@ def q_simhash_near_dups(spark, sf):
     tests/test_training_ops.py against seeded variant docs)."""
     from crawler_spark.operators.dedup import simhash_near_dups
 
-    d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
     return simhash_near_dups(d, max_hamming=3)
 
 
@@ -815,7 +850,7 @@ def q_lsh_near_dup_pairs(spark, sf):
 
 
 def _media_from_documents(spark, sf):
-    d = _read(spark, sf, "documents").where(F.col("doc_id") < 100)
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 100)
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -875,7 +910,7 @@ def _synthetic_images(spark, sf):
     """Deterministic flat images table derived from documents — the
     oracle-checkable stand-in for extracted <img> rows (the extraction
     kernel itself is golden-tested; HTML parsing is not SQL)."""
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     n = F.col("doc_id") % 5
     imgs = F.transform(
         F.sequence(F.lit(1), n),
@@ -950,7 +985,7 @@ def q_doc_categories(spark, sf):
     ``scorer=``."""
     from crawler_spark.operators.classify import categorize_text
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     labels = [
         "join hash merge",
         "scan filter table",
@@ -1092,7 +1127,7 @@ def q_doc_winnow_fingerprints(spark, sf):
     (production default is xxhash64 — see q_doc_winnow_production)."""
     from crawler_spark.operators.quality import fingerprints
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return fingerprints(d, portable=True)
 
 
@@ -1102,7 +1137,7 @@ def q_doc_winnow_production(spark, sf):
     portable variant; rows-only (xxhash64 is Spark-only)."""
     from crawler_spark.operators.quality import fingerprints
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return fingerprints(d)
 
 
@@ -1113,22 +1148,23 @@ def q_simhash_portable(spark, sf):
     is the FNV-1a batch-vectorized UDF (q_simhash_sigs)."""
     from crawler_spark.operators.dedup import simhash_portable_signatures
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return simhash_portable_signatures(d)
 
 
 def q_doc_language_id(spark, sf):
     from crawler_spark.operators.quality import language_id
 
-    d = _read(spark, sf, "documents")
+    d = _read_wide(spark, sf, "documents")
     return language_id(d)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
-    # entries in registry order, so every oracle-backed query (exactly 50,
-    # mirroring oracle_sql()) precedes the rows-only ones — a rows-only
-    # entry inside the window would push an earned value-check out of it.
+    # entries in registry order, so the first 50 are all oracle-backed —
+    # a rows-only entry inside the window would push an earned
+    # value-check out of it (tests/test_registry.py pins this). Further
+    # oracle-backed extras sit right after the window, then rows-only.
     return {
         # SQL-checked relational operators
         "url_seen_anti_join": q_url_seen_anti_join,
@@ -1181,6 +1217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": q_sitemap_urls,
         "stream_frontier_ingest": q_stream_frontier_ingest,
         "stream_host_budget": q_stream_host_budget,
+        # ---- entries below are OUTSIDE the driver's 50-entry window ----
+        # oracle-backed extras (value-checked by tools/check_correctness.py
+        # locally; the driver gate only grades positions 1-50)
+        "simhash_near_dups_portable": q_simhash_near_dups_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2085,6 +2125,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # banding has exact recall at hamming ≤ d + pairs exactly verified
+        # ⇒ the banded result EQUALS this brute-force hamming join over
+        # the same portable signatures
+        "simhash_near_dups_portable": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(coalesce(text, ''))),
+                                              '\s+'),
+                           x -> x <> '') AS l
+                FROM documents WHERE doc_id < 300
+            ), tok AS (
+                SELECT doc_id, unnest(l) AS t FROM toks WHERE len(l) > 0
+            ), h AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                        substr(md5(t), j, 1)) - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM tok
+            ), votes AS (
+                SELECT doc_id, b.i AS bit,
+                       sum(((h >> b.i) & 1) * 2 - 1) AS v
+                FROM h CROSS JOIN range(0, 60) AS b(i)
+                GROUP BY 1, 2
+            ), sigs AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0
+                                THEN (1::BIGINT << bit) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
+            ), allsigs AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN sigs s USING (doc_id)
+                WHERE d.doc_id < 300
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+            FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
         """,
         # robots/sitemap fixtures are deterministic (built inline by the
         # queries): the oracle independently re-derives the expected rule

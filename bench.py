@@ -81,6 +81,11 @@ HEAVY = {
 }
 
 
+def _median(values: list[float]) -> float:
+    v = sorted(values)
+    return round((v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2, 2)
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -120,7 +125,7 @@ def _bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     return out, runs
 
 
-def _bench_crawl(spark, replicate: int = 8) -> dict:
+def _bench_crawl(spark, replicate: int = 8, snapshot_every: int = 1) -> dict:
     """End-to-end crawl (budgets, robots, bloom seen-set, checkpoints) over
     the documents-derived mini-web, replicated to ~40k pages so per-round
     fixed overhead is amortized as it would be at production round sizes."""
@@ -150,7 +155,8 @@ def _bench_crawl(spark, replicate: int = 8) -> dict:
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.perf_counter()
     stats = run_crawl(spark, corpus, seed_urls(64 * replicate), cfg, root,
-                      bloom_buckets=16, bloom_bits=1 << 22)
+                      bloom_buckets=16, bloom_bits=1 << 22,
+                      frontier_snapshot_every=snapshot_every)
     dt = time.perf_counter() - t0
     corpus.unpersist()
     return {
@@ -242,22 +248,38 @@ def main() -> None:
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-        runs_lo = [_run_sub("--pipeline-only", lo) for _ in range(reps)]
-        runs_hi = [_run_sub("--pipeline-only", hi) for _ in range(reps)]
+        # INTERLEAVED pairs: each rep runs lo then hi back-to-back, so
+        # both levels of a pair sample the same host-load window — the
+        # per-pair efficiency is immune to the cross-window bias where
+        # a quiet lo window + a loaded hi window (or vice versa) skews
+        # the ratio in either direction
+        runs_lo, runs_hi, pair_eff = [], [], []
+        for _ in range(reps):
+            rl = _run_sub("--pipeline-only", lo)
+            rh = _run_sub("--pipeline-only", hi)
+            runs_lo.append(rl)
+            runs_hi.append(rh)
+            pair_eff.append(
+                (rh["pages_per_sec"] / rl["pages_per_sec"]) / (hi / lo)
+            )
         r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
         r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
         eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
 
-        def med(rs):
-            v = sorted(r["pages_per_sec"] for r in rs)
-            return round((v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2, 2)
-
-        eff_med = (med(runs_hi) / med(runs_lo)) / (hi / lo)
+        eff_med = (
+            _median([r["pages_per_sec"] for r in runs_hi])
+            / _median([r["pages_per_sec"] for r in runs_lo])
+        ) / (hi / lo)
         print(json.dumps({
             "metric": f"scaling_efficiency_{lo}_to_{hi}",
             "value": round(eff, 3),
             "unit": "ratio",
             "median_value": round(eff_med, 3),
+            "pair_efficiencies": [round(e, 3) for e in pair_eff],
+            "best_pair": round(max(pair_eff), 3),
+            "median_pair": round(
+                sorted(pair_eff)[(len(pair_eff) - 1) // 2], 3
+            ),
             "reps": reps,
             "low": {"cpus": lo, **r_lo,
                     "all_pages_per_sec": [r["pages_per_sec"] for r in runs_lo]},
@@ -265,6 +287,34 @@ def main() -> None:
                      "all_pages_per_sec": [r["pages_per_sec"] for r in runs_hi]},
             "sf": _sf_of(SF_DIR),
         }))
+        return
+
+    if mode == "--snapshot-sweep":
+        # frontier_snapshot_every trade: each interval crawls the same
+        # mini-web twice (best-of-2 under host noise); in between
+        # snapshots the frontier is merge-on-read from the logs. Guides
+        # the 10^10-frontier default (BASELINE.md records the table).
+        spark = _spark(CPUS)
+        try:
+            out = {}
+            for interval in (1, 2, 4):
+                runs = [_bench_crawl(spark, snapshot_every=interval)
+                        for _ in range(2)]
+                best = max(runs, key=lambda r: r["pages_per_sec"])
+                best["all_pages_per_sec"] = [
+                    r["pages_per_sec"] for r in runs
+                ]
+                out[str(interval)] = best
+            print(json.dumps({
+                "metric": "snapshot_interval_sweep",
+                "unit": "pages_per_sec",
+                "value": out["1"]["pages_per_sec"],
+                "intervals": out,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+            }))
+        finally:
+            spark.stop()
         return
 
     spark = _spark(CPUS)
@@ -288,12 +338,11 @@ def main() -> None:
         # comparisons are not anchored to the optimistic tail.
         crawl_runs = [_bench_crawl(spark) for _ in range(2)]
         crawl = max(crawl_runs, key=lambda r: r["pages_per_sec"])
-        rates = sorted(r["pages_per_sec"] for r in crawl_runs)
         crawl["all_pages_per_sec"] = [
             r["pages_per_sec"] for r in crawl_runs
         ]
-        crawl["median_pages_per_sec"] = round(
-            (rates[(len(rates) - 1) // 2] + rates[len(rates) // 2]) / 2, 2
+        crawl["median_pages_per_sec"] = _median(
+            [r["pages_per_sec"] for r in crawl_runs]
         )
         total = round(sum(queries.values()) + crawl["sec"], 3)
         print(json.dumps({

@@ -170,6 +170,8 @@ def _seen_filter_load(
         from crawler_spark.operators.cuckoo import CuckooSeenSet
 
         return CuckooSeenSet.load(spark, path, buckets, cuckoo_entries)
+    if seen_filter != "bloom":
+        raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
     return BloomSeenSet.load(spark, path, buckets, bloom_bits)
 
 
@@ -238,6 +240,9 @@ def run_crawl(
         import os as _os
 
         store.backfill_seen(bloom_buckets, last)
+        # consumed retraction records (url already recrawled) retire here
+        # so one campaign doesn't permanently tax every future resume
+        store.retire_retractions()
         if store.has_retractions():
             # retracted urls resurface via their original discovery rows
             # only on the merge-on-read path (the frontier snapshot
@@ -263,19 +268,25 @@ def run_crawl(
             bloom_buckets, bloom_bits, cuckoo_entries,
         )
         if store.has_retractions():
-            # restore the filter invariant (filter ⊇ discovered ∪ seen):
-            # a retracted url that resurfaced in the frontier is
-            # DISCOVERED again, so its fingerprint must be present —
-            # otherwise a link to it during its own recrawl round is a
-            # filter negative, bypasses the exact re-check entirely, and
-            # duplicates the discovery (crawling it twice). Cuckoo delete
-            # + this re-add nets out for resurfaced urls; the deletion
-            # sticks for retracted urls with no discovery record.
+            # apply pending retractions to the LOADED filter, never the
+            # on-disk snapshot (an in-place overwrite of a committed
+            # checkpoint would break the store's crash-safety — the
+            # mutated state persists through the NEXT round's normal
+            # atomic commit instead, and reapplying on a re-resume is
+            # idempotent because the disk state is unchanged until then):
+            #   1. cuckoo: DELETE the pending fingerprints (bloom cannot;
+            #      its stale positives just pay the exact-join path);
+            #   2. re-ADD urls that resurfaced in the frontier — they are
+            #      DISCOVERED again, and the filter must stay a superset
+            #      of discovered ∪ seen or a link to a retracted url
+            #      during its own recrawl round probes filter-negative,
+            #      bypasses the exact re-check, and double-crawls it.
+            ret_urls = store.read_retractions().select("url")
+            if hasattr(bloom, "delete"):
+                bloom = bloom.delete(ret_urls)
             bloom = bloom.add(
-                frontier.join(
-                    F.broadcast(store.read_retractions().select("url")),
-                    "url", "left_semi",
-                ).select("url")
+                frontier.join(F.broadcast(ret_urls), "url", "left_semi")
+                .select("url")
             )
         start_round = last + 1
         seed_disc = None
@@ -472,43 +483,25 @@ def run_crawl(
 
 
 def retract_urls(
-    spark: SparkSession,
-    store_root: str,
-    urls: list[str],
-    seen_filter: str = "bloom",
-    bloom_buckets: int = 16,
-    cuckoo_entries: int = 1 << 16,
+    spark: SparkSession, store_root: str, urls: list[str]
 ) -> int:
-    """Mark crawled ``urls`` for RECRAWL (``CrawlStore.retract``): the next
+    """Mark crawled ``urls`` for RECRAWL: the next
     ``run_crawl(..., resume=True)`` resurfaces them in the frontier via
     their original discovery records and fetches them one more time.
 
-    Works under either seen filter — the exact seen-log re-check is the
-    authority — but with ``seen_filter="cuckoo"`` the fingerprints are
-    also DELETED from the latest filter snapshot (the operation bloom
-    cannot do), so a mass recrawl campaign does not leave every retracted
-    url a permanent approximate-filter positive paying the exact-join
-    path on every future discovery. Returns the retraction watermark
+    Writes ONLY the retraction log (``CrawlStore.retract``) — it never
+    touches the committed filter snapshot, so no filter geometry is
+    needed here and there is no non-atomic in-place rewrite to crash
+    through. The resume path applies the filter consequences: under
+    ``seen_filter="cuckoo"`` the pending fingerprints are DELETED at
+    load time (the operation bloom cannot do — a mass recrawl campaign
+    would otherwise leave every retracted url a permanent
+    approximate-filter positive paying the exact-join path forever),
+    resurfaced urls are re-added, and the mutated filter persists
+    through the next round's normal atomic commit. Consumed records
+    retire on the following resume. Returns the retraction watermark
     round (-1 when nothing was ever committed)."""
-    store = CrawlStore(spark, store_root)
-    upto = store.retract(urls)
-    if seen_filter == "cuckoo" and upto >= 0:
-        from crawler_spark.operators.cuckoo import CuckooSeenSet
-
-        path = store.table_round_path("bloom", upto)
-        cf = CuckooSeenSet.load(spark, path, bloom_buckets, cuckoo_entries)
-        cf = cf.delete(
-            spark.createDataFrame([(u,) for u in urls], "url string")
-        )
-        # materialize + cut lineage BEFORE overwriting the snapshot the
-        # tables were loaded from (an overwrite of a lazily-read source
-        # would truncate its own input)
-        cf = CuckooSeenSet(
-            cf.tables.localCheckpoint(eager=True),
-            cf.n_buckets, cf.m_entries, cf.slots_per_entry,
-        )
-        cf.checkpoint(path)
-    return upto
+    return CrawlStore(spark, store_root).retract(urls)
 
 
 def _empty_pages(spark):

@@ -384,13 +384,15 @@ class CrawlStore:
 
         rounds = self.committed_rounds()
         upto = rounds[-1] if rounds else -1
+        uniq = list(dict.fromkeys(urls))
+        if not uniq:
+            return upto  # empty campaign must not flip has_retractions()
         rdir = self._retractions_dir()
         os.makedirs(rdir, exist_ok=True)
         n = len([f for f in os.listdir(rdir) if f.endswith(".parquet")])
         pq.write_table(
             pa.table(
-                {"url": list(dict.fromkeys(urls)),
-                 "upto_round": [upto] * len(dict.fromkeys(urls))},
+                {"url": uniq, "upto_round": [upto] * len(uniq)},
                 schema=pa.schema(
                     [("url", pa.string()), ("upto_round", pa.int32())]
                 ),
@@ -398,6 +400,67 @@ class CrawlStore:
             os.path.join(rdir, f"retract-{n:05d}.parquet"),
         )
         return upto
+
+    def retire_retractions(self) -> int:
+        """Purge retraction records that are CONSUMED — the url was
+        recrawled (a pages row exists ABOVE the retraction watermark), so
+        the record no longer changes any read. Called at resume time;
+        keeps ``has_retractions()`` — and the rebuild-frontier slow path
+        plus per-read anti-joins it gates — a transient campaign state
+        instead of a permanent store tax. Returns the pending count.
+
+        The consolidation rewrite is driver-side over campaign-sized
+        files; a crash between removing the old files and renaming the
+        consolidated one can only LOSE pending retractions (the urls
+        simply stay crawled — re-run the campaign), never corrupt crawl
+        state."""
+        if not self.has_retractions():
+            return 0
+        ret = self.read_retractions().collect()
+        urls = [r["url"] for r in ret]
+        recrawled = {
+            r["url"]: r["max_round"]
+            for r in self.read_pages()
+            .where(F.col("url").isin(urls))
+            .groupBy("url")
+            .agg(F.max("round").alias("max_round"))
+            .collect()
+        }
+        # pending ⇔ the url has crawl rows at/below the watermark and none
+        # above; a record for a never-crawled url is a no-op and retires
+        # too (it must not pin the resume slow path forever)
+        pending = [
+            (r["url"], r["upto_round"])
+            for r in ret
+            if r["url"] in recrawled
+            and recrawled[r["url"]] <= r["upto_round"]
+        ]
+        if len(pending) == len(ret):
+            return len(pending)
+        rdir = self._retractions_dir()
+        old = [f for f in os.listdir(rdir) if f.endswith(".parquet")]
+        if pending:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tmp = os.path.join(rdir, "retract-00000.parquet.tmp")
+            pq.write_table(
+                pa.table(
+                    {"url": [u for u, _ in pending],
+                     "upto_round": [r for _, r in pending]},
+                    schema=pa.schema(
+                        [("url", pa.string()), ("upto_round", pa.int32())]
+                    ),
+                ),
+                tmp,
+            )
+            for f in old:
+                os.remove(os.path.join(rdir, f))
+            os.replace(tmp, os.path.join(rdir, "retract-00000.parquet"))
+        else:
+            for f in old:
+                os.remove(os.path.join(rdir, f))
+        return len(pending)
 
     def has_retractions(self) -> bool:
         rdir = self._retractions_dir()

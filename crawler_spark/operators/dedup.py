@@ -372,6 +372,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ d via pigeonhole banding.
 
@@ -391,10 +392,21 @@ def simhash_near_dups(
     usually survives via another, smaller chunk bucket. Default ``None``:
     the un-capped operator keeps its exact recall-≤-d guarantee — opt in
     (≈10000) at web-corpus scale after running ``dedup_exact``.
+
+    ``portable=True`` swaps the signature source to
+    :func:`simhash_portable_signatures` (md5-prefix hash family) — the
+    pigeonhole banding has EXACT recall at hamming ≤ d and the pairs are
+    exactly-verified, so the full pair set is deterministic and the
+    DuckDB oracle can check it with a brute-force hamming join over the
+    same SQL-computed signatures (value-proof of the banding itself).
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = (
+        simhash_portable_signatures(df, id_col, text_col)
+        if portable
+        else simhash_signatures(df, id_col, text_col)
+    )
     if max_hamming == 0:
         # one 64-bit "chunk" would need an unrepresentable (1<<64)-1 mask;
         # hamming 0 is simply signature equality — a plain self-join

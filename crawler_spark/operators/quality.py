@@ -231,7 +231,9 @@ def gopher_repetition_flags(
       - ``top_bigram_ratio``: fraction of the doc's word-bigram
         occurrences taken by its single most frequent bigram.
 
-    Returns per-doc values + pass flags + ``keep``. ZERO shuffle: both
+    Returns one output row PER INPUT ROW (values + pass flags +
+    ``keep``) — callers feeding duplicated ids must dedupe upstream (the
+    earlier groupBy formulation silently merged them). ZERO shuffle: both
     ratios are per-row array algebra (the same pattern ``dup_line_ratio``
     always used). The top-bigram count is the longest run in the
     ``sort_array``-ed bigram array, found in one ``aggregate`` pass —

@@ -118,22 +118,32 @@ def exchange_payload_columns(df: DataFrame) -> list[set[str]]:
 
 
 def exchange_partition_keys(df: DataFrame) -> list[set[str]]:
-    """Per-Exchange set of partitioning-key column names.
+    """Per-Exchange set of column names the partitioning keys REFERENCE.
 
     Distinct from :func:`exchange_payload_columns`: a full-row shuffle
     keyed by a uniform id is fine at scale (rows must move to be joined),
     but a shuffle KEYED by document text hashes megabyte strings and
-    serializes every duplicate clique onto one task. This extracts the
-    ``hashpartitioning(...)``/``rangepartitioning(...)`` key lists."""
-    plan = simple_plan(df) + formatted_plan(df)
+    serializes every duplicate clique onto one task. Keys are parsed
+    paren-balanced from ``hashpartitioning(...)``/``rangepartitioning``
+    argument lists, and every ``name#id`` attribute reference inside them
+    counts — ``hashpartitioning(xxhash64(text#5), 200)`` reports
+    ``{"text"}``, because a key EXPRESSION over text still evaluates the
+    full string per row."""
+    plan = formatted_plan(df)
     out: list[set[str]] = []
-    for m in re.finditer(r"(?:hash|range)partitioning\(([^)]*)\)", plan):
-        cols = {
-            c.strip().split("#")[0].split(" ")[0]
-            for c in m.group(1).split(",")
-            if c.strip() and not c.strip().isdigit()
-        }
-        out.append(cols)
+    for m in re.finditer(r"(?:hash|range)partitioning\(", plan):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(plan) and depth:
+            if plan[i] == "(":
+                depth += 1
+            elif plan[i] == ")":
+                depth -= 1
+            i += 1
+        args = plan[start : i - 1]
+        out.append(
+            {c for c in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", args)}
+        )
     return out
 
 

@@ -71,8 +71,7 @@ def test_cuckoo_retract_then_recrawl(spark, web, tmp_path):
     crawled = [t[2] for t in before]
     victims = sorted(set(crawled))[:2]
 
-    upto = retract_urls(spark, root, victims, seen_filter="cuckoo",
-                        bloom_buckets=8, cuckoo_entries=1 << 12)
+    upto = retract_urls(spark, root, victims)
     assert upto == store.committed_rounds()[-1]
 
     run_crawl(spark, corpus, seeds, _cfg(web), root, bloom_buckets=8,
@@ -84,10 +83,12 @@ def test_cuckoo_retract_then_recrawl(spark, web, tmp_path):
         counts[t[2]] = counts.get(t[2], 0) + 1
     for u in set(crawled):
         assert counts[u] == (2 if u in victims else 1), u
-    # and a further resume with nothing retracted is a no-op
+    # a further resume is a no-op AND retires the consumed retraction
+    # records, restoring the frontier-snapshot fast path for good
     run_crawl(spark, corpus, seeds, _cfg(web), root, bloom_buckets=8,
               cuckoo_entries=1 << 12, seen_filter="cuckoo", resume=True)
     assert _pages(store) == after
+    assert not store.has_retractions()
 
 
 def test_cuckoo_add_batch_dedupes(spark):

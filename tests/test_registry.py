@@ -1,0 +1,34 @@
+"""Registry invariants for the driver's correctness gate.
+
+The driver grades exactly the FIRST 50 entries of ``queries()`` in
+registry order — a rows-only entry inside that window silently costs an
+earned value-check (this happened in round 2: five oracle-green queries
+sat at positions 51+ and got no gate row). These tests pin the contract.
+"""
+
+import __spark_entry__ as em
+
+WINDOW = 50
+
+
+def test_first_window_entries_are_all_oracle_backed():
+    qs = list(em.queries())
+    oracles = set(em.oracle_sql())
+    window = qs[:WINDOW]
+    missing = [k for k in window if k not in oracles]
+    assert not missing, (
+        f"rows-only entries inside the driver's {WINDOW}-entry gate "
+        f"window (each displaces an oracle-backed check): {missing}"
+    )
+
+
+def test_every_oracle_has_a_query():
+    qs = set(em.queries())
+    dangling = [k for k in em.oracle_sql() if k not in qs]
+    assert not dangling, dangling
+
+
+def test_window_is_fully_used():
+    """At least WINDOW oracle-backed queries exist — the gate window
+    should never run below capacity again."""
+    assert len(em.oracle_sql()) >= WINDOW
