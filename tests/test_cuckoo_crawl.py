@@ -91,6 +91,39 @@ def test_cuckoo_retract_then_recrawl(spark, web, tmp_path):
     assert not store.has_retractions()
 
 
+def test_bucketed_corpus_crawl_matches_plain(spark, web, tmp_path):
+    """The bucketed-corpus layout (shuffle-free fetch join) must be
+    invisible to crawl semantics: identical pages table to the plain
+    cached-DataFrame corpus path."""
+    from crawler_spark.crawl.corpus import (
+        drop_bucketed_corpus,
+        read_bucketed_corpus,
+        save_bucketed_corpus,
+    )
+
+    corpus = _to_spark_corpus(spark, web.pages)
+    seeds = web.seeds.url.tolist()
+
+    root_a = str(tmp_path / "plain")
+    run_crawl(spark, corpus, seeds, _cfg(web), root_a, bloom_buckets=8,
+              bloom_bits=1 << 16)
+
+    save_bucketed_corpus(
+        corpus, "t_crawl_corpus_b", n_buckets=8,
+        path=str(tmp_path / "corpus_b"),
+    )
+    try:
+        cb = read_bucketed_corpus(spark, "t_crawl_corpus_b")
+        root_b = str(tmp_path / "bucketed")
+        run_crawl(spark, cb, seeds, _cfg(web), root_b, bloom_buckets=8,
+                  bloom_bits=1 << 16)
+        assert _pages(CrawlStore(spark, root_b)) == _pages(
+            CrawlStore(spark, root_a)
+        )
+    finally:
+        drop_bucketed_corpus(spark, "t_crawl_corpus_b")
+
+
 def test_cuckoo_add_batch_dedupes(spark):
     """A retried/duplicated batch must insert each url once (n_items
     counts insertions; within-batch duplicates are deduped)."""

@@ -112,6 +112,42 @@ def test_corpus_curation_plan(spark):
         assert "text" not in cols, cols
 
 
+def test_bucketed_fetch_join_one_sided(spark, tmp_path):
+    """With the corpus persisted bucketed by url, the per-round fetch
+    join must NOT exchange the corpus (the 100 TB side): the scan says
+    Bucketed: true and the only Exchange in the join is the round-sized
+    scheduled slice shuffling into the bucket distribution."""
+    from crawler_spark.crawl.corpus import (
+        drop_bucketed_corpus,
+        read_bucketed_corpus,
+        save_bucketed_corpus,
+    )
+    from crawler_spark.plans.inspect import exchange_count, formatted_plan
+
+    corpus = spark.range(20000).selectExpr(
+        "concat('http://h', id % 20, '.test/p/', id) AS url",
+        "cast(id as string) AS html",
+    )
+    save_bucketed_corpus(
+        corpus, "t_corpus_bucketed", n_buckets=8, path=str(tmp_path / "cb")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test exercises the sort-merge path the
+        # 10^7-row scheduled slice would force at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cb = read_bucketed_corpus(spark, "t_corpus_bucketed")
+        sched = spark.range(500).selectExpr(
+            "concat('http://h', id % 20, '.test/p/', id * 3) AS url"
+        )
+        j = sched.join(cb, "url", "left")
+        assert "Bucketed: true" in formatted_plan(j)
+        assert exchange_count(j) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed_corpus(spark, "t_corpus_bucketed")
+
+
 def test_exact_dedup_never_shuffles_text(spark):
     """The exact-dedup exchange must carry (content key, id), never the
     document bytes — at 100 TB a text-keyed shuffle moves the corpus."""
