@@ -626,6 +626,22 @@ def q_embedding_cosine_pairs(spark, sf):
     )
 
 
+def q_lsh_pairs_portable(spark, sf):
+    """Embedding LSH near-dup pairs over the PORTABLE hyperplane family
+    (dyadic md5-derived weights, left-fold dots): DuckDB reproduces the
+    sign bits → buckets → banded candidate set exactly, then verifies
+    cosine — value-proof of the banding mechanics. Production family is
+    the seeded-Gaussian `lsh_near_dup_pairs` (rows-only)."""
+    from crawler_spark.operators.similarity import lsh_near_dup_pairs
+
+    e = _read(spark, sf, "embeddings")
+    return lsh_near_dup_pairs(
+        e, dim=64, threshold=0.2, portable=True
+    ).select(
+        "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
 def q_minhash_portable(spark, sf):
     """MinHash+LSH with the engine-portable hash family: the full
     pipeline (shingles → 64 min-hashes → banding → bucket join →
@@ -1221,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed extras (value-checked by tools/check_correctness.py
         # locally; the driver gate only grades positions 1-50)
         "simhash_near_dups_portable": q_simhash_near_dups_portable,
+        "lsh_pairs_portable": q_lsh_pairs_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2125,6 +2142,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # identical dyadic md5 weights + left-fold dots reproduce the
+        # Spark sign bits exactly; banding + cosine verify follow
+        "lsh_pairs_portable": r"""
+            WITH bits AS (
+                SELECT e.vec_id, b.b,
+                       list_reduce(
+                           list_transform(range(1, 65),
+                               i -> CAST(e.embedding[i] AS DOUBLE) *
+                                    (((CAST(list_sum(list_transform(
+                                          range(1, 16),
+                                          j -> (strpos('0123456789abcdef',
+                                                substr(md5(b.b || '|' ||
+                                                       (i - 1)), j, 1))
+                                                - 1)::BIGINT
+                                               * (1::BIGINT
+                                                  << (4*(15 - j)))))
+                                         AS BIGINT) % 257) - 128) / 128.0)
+                           ),
+                           (a, c) -> a + c
+                       ) AS dot
+                FROM embeddings e CROSS JOIN range(0, 16) AS b(b)
+            ), buckets AS (
+                SELECT vec_id,
+                       CAST(sum(CASE WHEN dot > 0
+                                THEN (1::BIGINT << b) ELSE 0 END)
+                            AS BIGINT) AS bucket
+                FROM bits GROUP BY vec_id
+            ), bands AS (
+                SELECT vec_id, bd.i AS band,
+                       (bucket >> (bd.i * 4)) & 15 AS val
+                FROM buckets CROSS JOIN range(0, 4) AS bd(i)
+            ), cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.val = b.val
+                 AND a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   CAST(round(list_cosine_similarity(
+                       CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 6) AS DOUBLE)
+                       AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+            WHERE list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])) >= 0.2
         """,
         # banding has exact recall at hamming ≤ d + pairs exactly verified
         # ⇒ the banded result EQUALS this brute-force hamming join over

@@ -225,6 +225,47 @@ def cosine_pairs_exact(
     )
 
 
+def lsh_portable_bucket_ids(
+    emb: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, bucket) with an ENGINE-PORTABLE hyperplane family.
+
+    Weights ``w(b, d) = (md5int15("b|d") % 257 − 128) / 128`` are dyadic
+    rationals derived from md5 — both Spark (computed driver-side with
+    hashlib, embedded as literals) and DuckDB (computed in SQL with the
+    same hex-prefix trick) obtain bit-identical doubles, and the per-bit
+    dot product is a LEFT FOLD in array order on both engines
+    (``F.aggregate`` here, ``list_reduce`` there), so the sign bits —
+    hence buckets, hence the banded candidate set — agree exactly. The
+    production family is :func:`lsh_bucket_ids` (seeded Gaussian, numpy);
+    uniform-dyadic hyperplanes bucket just as well for the value-proof.
+    Pure column algebra: no UDF, zero shuffle."""
+    import hashlib
+
+    def w(b: int, d: int) -> float:
+        h = int(hashlib.md5(f"{b}|{d}".encode()).hexdigest()[:15], 16)
+        return (h % 257 - 128) / 128.0
+
+    bucket = F.lit(0).cast("long")
+    for b in range(n_bits):
+        warr = F.array(*[F.lit(w(b, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), warr, lambda a, c: a.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            dot > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return emb.select(id_col, vec_col, bucket.alias("bucket"))
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     dim: int,
@@ -234,13 +275,22 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup pairs: random-hyperplane sign bits
     split into ``n_bands`` bands; candidates join on equal (band, value)
     (high-cosine pairs agree on most sign bits, so some band matches);
     exact cosine verified JVM-side on candidates only. Same banding shape
-    as minhash-LSH — pairs never leave their hash bucket until verified."""
-    bucketed = lsh_bucket_ids(emb, dim, n_bits, seed, id_col, vec_col)
+    as minhash-LSH — pairs never leave their hash bucket until verified.
+
+    ``portable=True`` swaps the hyperplane family to
+    :func:`lsh_portable_bucket_ids` so the DuckDB oracle can reproduce
+    the buckets — and therefore the exact banded candidate set — in SQL."""
+    bucketed = (
+        lsh_portable_bucket_ids(emb, dim, n_bits, id_col, vec_col)
+        if portable
+        else lsh_bucket_ids(emb, dim, n_bits, seed, id_col, vec_col)
+    )
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     bands = F.array(
