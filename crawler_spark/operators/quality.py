@@ -13,7 +13,7 @@ SQL for the DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.textcols import sliding_grams, word_tokens
@@ -354,13 +354,11 @@ def fingerprints(
     """Winnowed rolling-hash sketch → (id, gram_pos, fp_hash) rows.
 
     Fully relational — no UDF: k-grams are built with ``transform`` over
-    the token array, hashed per-gram, and the sliding-window argmin is a
-    frame-bounded ``min(struct(hash, pos))`` window (first occurrence of
-    the minimum wins, matching the classic algorithm), with consecutive
-    duplicate picks removed by a ``lag`` comparison. One shuffle (by
-    ``id_col``) serves all three windows. The exploded row shape (one pick
-    per row) is both the Spark-native layout for downstream overlap joins
-    and sortable by the correctness harness.
+    the token array, hashed per-gram, and the sliding-window argmin (first
+    occurrence of the minimum wins, matching the classic algorithm) is a
+    per-row fold. The exploded pick-per-row output shape is both the
+    Spark-native layout for downstream overlap joins and sortable by the
+    correctness harness.
 
     ``portable`` selects the gram hash, the same dual-path contract as
     ``minhash_signatures``: ``False`` (production default) uses JVM
@@ -369,6 +367,15 @@ def fingerprints(
     identically (oracle-checkable, ~3-5× slower: md5 + base-16→10 string
     conversion per gram). Either hash yields a valid winnowing sketch —
     the picks differ, the sketch guarantees don't.
+
+    ZERO shuffle: the whole sketch is per-row array algebra — hash the
+    gram array once, take each window's first-occurrence argmin with one
+    O(w) fold per position, drop consecutive duplicate picks with an
+    indexed filter, and only then explode the (tiny) picks array. The
+    earlier formulation exploded EVERY gram and ran two windows over a
+    corpus-sized (id, pos, hash) exchange; the sliding argmin needs no
+    cross-row state, so that shuffle bought nothing (plan-asserted
+    shuffle-free in tests/test_plans.py).
     """
     toks = word_tokens(text_col)
     n = F.size(toks)
@@ -377,41 +384,46 @@ def fingerprints(
         .when(n < k, F.array(F.array_join(toks, " ")))  # short doc: 1 gram
         .otherwise(sliding_grams(toks, k))
     )
-    # materialize the gram array once, then size + explode reference the
-    # same column (size pre-explode saves a count window downstream)
-    g = (
-        df.select(F.col(id_col), grams.alias("_grams"))
-        .select(
-            F.col(id_col),
-            F.size("_grams").alias("m"),
-            F.posexplode("_grams").alias("pos", "gram"),
-        )
-        .select(
-            id_col, "m", "pos",
-            (gram_hash(F.col("gram")) if portable
-             else F.xxhash64(F.col("gram"))).alias("h"),
-        )
+    hs = F.transform(
+        grams, lambda g: gram_hash(g) if portable else F.xxhash64(g)
     )
 
-    w_frame = (
-        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    )
-    win = g.select(
-        F.col(id_col),
-        F.col("pos").alias("i"),
-        F.col("m"),
-        F.min(F.struct("h", "pos")).over(w_frame).alias("pick"),
-    ).where(F.col("i") <= F.greatest(F.col("m") - window, F.lit(0)))
+    base = df.select(F.col(id_col), hs.alias("_hs"))
+    m = F.size("_hs")
+    h_arr = F.col("_hs")
+    # window start positions 0..max(m-window, 0) (end windows truncate);
+    # first-occurrence argmin per window via array_min + array_position
+    # (1-based FIRST index of the minimum — the classic tie-break) —
+    # native array kernels, no interpreted fold
+    starts = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
 
-    w_seq = Window.partitionBy(id_col).orderBy("i")
-    return (
-        win.select(
-            F.col(id_col),
-            F.col("i"),
-            F.col("pick.pos").alias("gram_pos"),
-            F.col("pick.h").alias("fp_hash"),
-        )
-        .withColumn("_prev", F.lag("gram_pos").over(w_seq))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("gram_pos")))
-        .select(id_col, "gram_pos", "fp_hash")
+    def pick_at(i):
+        # flat w-way min + ascending first-match position: plain
+        # element_at/least/when expressions, no per-window array
+        # allocation (a slice-based variant measured ~2× slower)
+        es = [
+            F.when(i + j < m, F.element_at(h_arr, i + j + 1))
+            for j in range(window)
+        ]
+        mn = F.least(*es)  # least skips the null (past-end) slots
+        pos = F.lit(None).cast("int")
+        for j in range(window - 1, -1, -1):
+            pos = F.when(es[j] == mn, (i + j).cast("int")).otherwise(pos)
+        return F.struct(mn.alias("h"), pos.alias("pos"))
+
+    # materialize the picks array as a COLUMN before the dedup filter:
+    # referencing the transform EXPRESSION inside the filter lambda would
+    # re-evaluate the whole window pass per element (quadratic)
+    picked = base.where(m > 0).select(
+        F.col(id_col), F.transform(starts, pick_at).alias("_pa")
+    )
+    picks = F.filter(
+        F.col("_pa"),
+        lambda p, idx: (idx == 0)
+        | (p["pos"] != F.element_at(F.col("_pa"), idx)["pos"]),
+    )
+    return picked.select(F.col(id_col), F.explode(picks).alias("_p")).select(
+        id_col,
+        F.col("_p.pos").alias("gram_pos"),
+        F.col("_p.h").alias("fp_hash"),
     )

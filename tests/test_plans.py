@@ -97,6 +97,17 @@ def test_repetition_flags_zero_shuffle(spark):
     assert exchange_count(df) == 0
 
 
+def test_winnow_fingerprints_zero_shuffle(spark):
+    """The winnowing sketch is a per-row fold over the gram-hash array:
+    no exchange (the old shape exploded every gram and double-windowed a
+    corpus-sized (id, pos, hash) table)."""
+    from crawler_spark.operators.quality import fingerprints
+    from crawler_spark.plans.inspect import exchange_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert exchange_count(fingerprints(docs)) == 0
+
+
 def test_corpus_curation_plan(spark):
     """The flagship composed pipeline must never shuffle KEYED by text
     (id/content-key exchanges only — full rows may move keyed by the
