@@ -579,7 +579,7 @@ def q_doc_length_stats(spark, sf):
     """Per-language corpus length distribution: exact interpolated
     percentiles (p50/p90/p99) + mean — the dataset-card stats a curation
     pipeline reports per shard. Both engines use linear interpolation."""
-    d = _read_wide(spark, sf, "documents")
+    d = _read(spark, sf, "documents")  # light per-row work: no spread
     ln = F.length("text")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -591,7 +591,9 @@ def q_doc_length_stats(spark, sf):
 
 
 def q_doc_lang_dist(spark, sf):
-    d = _read_wide(spark, sf, "documents")
+    # plain _read: a groupBy-count needs no scan spread — _read_wide here
+    # would shuffle the full-width corpus before a partial aggregation
+    d = _read(spark, sf, "documents")
     return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
@@ -634,7 +636,7 @@ def q_lsh_pairs_portable(spark, sf):
     the seeded-Gaussian `lsh_near_dup_pairs` (rows-only)."""
     from crawler_spark.operators.similarity import lsh_near_dup_pairs
 
-    e = _read(spark, sf, "embeddings")
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
     return lsh_near_dup_pairs(
         e, dim=64, threshold=0.2, portable=True
     ).select(

@@ -81,9 +81,9 @@ HEAVY = {
 }
 
 
-def _median(values: list[float]) -> float:
+def _median(values: list[float], ndigits: int = 2) -> float:
     v = sorted(values)
-    return round((v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2, 2)
+    return round((v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2, ndigits)
 
 
 def _sf_of(path: str) -> float:
@@ -277,9 +277,7 @@ def main() -> None:
             "median_value": round(eff_med, 3),
             "pair_efficiencies": [round(e, 3) for e in pair_eff],
             "best_pair": round(max(pair_eff), 3),
-            "median_pair": round(
-                sorted(pair_eff)[(len(pair_eff) - 1) // 2], 3
-            ),
+            "median_pair": _median(pair_eff, 3),
             "reps": reps,
             "low": {"cpus": lo, **r_lo,
                     "all_pages_per_sec": [r["pages_per_sec"] for r in runs_lo]},

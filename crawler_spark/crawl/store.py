@@ -417,11 +417,15 @@ class CrawlStore:
         if not self.has_retractions():
             return 0
         ret = self.read_retractions().collect()
-        urls = [r["url"] for r in ret]
+        # semi-join, not isin: a mass campaign's url list must not be
+        # inlined as a million-literal In expression
         recrawled = {
             r["url"]: r["max_round"]
             for r in self.read_pages()
-            .where(F.col("url").isin(urls))
+            .join(
+                F.broadcast(self.read_retractions().select("url")),
+                "url", "left_semi",
+            )
             .groupBy("url")
             .agg(F.max("round").alias("max_round"))
             .collect()

@@ -405,7 +405,8 @@ def fingerprints(
             F.when(i + j < m, F.element_at(h_arr, i + j + 1))
             for j in range(window)
         ]
-        mn = F.least(*es)  # least skips the null (past-end) slots
+        # least() requires ≥2 args and skips null (past-end) slots
+        mn = es[0] if window == 1 else F.least(*es)
         pos = F.lit(None).cast("int")
         for j in range(window - 1, -1, -1):
             pos = F.when(es[j] == mn, (i + j).cast("int")).otherwise(pos)

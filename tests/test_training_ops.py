@@ -324,6 +324,28 @@ def test_fingerprints_stable_and_shift_tolerant(spark):
     assert len(shared) >= len(set(got[1])) // 2
 
 
+def test_fingerprints_window_one_keeps_every_gram(spark):
+    """window=1 is the degenerate keep-every-distinct-consecutive-gram
+    sketch (valid per the classic algorithm); it must not crash and must
+    match the serial reference."""
+    from crawler_spark.operators.quality import winnow_reference
+
+    texts = ["a b c d e f g h", "dup dup dup dup dup dup"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.gram_pos, r.fp_hash)
+        for r in fingerprints(df, k=3, window=1, portable=True).collect()
+    }
+    want = {
+        (i, pos, h)
+        for i, t in enumerate(texts)
+        for pos, h in winnow_reference(t.lower().split(), 3, 1)
+    }
+    assert got == want
+
+
 def test_fingerprints_match_serial_reference(spark):
     from crawler_spark.operators.quality import winnow_reference
 
