@@ -59,6 +59,21 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--bloom-buckets", type=int, default=64)
     ap.add_argument("--bloom-bits", type=int, default=1 << 20)
+    ap.add_argument("--seen-filter", choices=("bloom", "cuckoo"),
+                    default="bloom",
+                    help="approximate URL-seen layer; cuckoo supports "
+                         "retraction/recrawl (resume with the same choice)")
+    ap.add_argument("--cuckoo-entries", type=int, default=1 << 16,
+                    help="cuckoo entries per bucket (×4 slots)")
+    ap.add_argument("--retract", action="append", default=[],
+                    metavar="URL",
+                    help="mark crawled URL(s) for one-shot recrawl and "
+                         "exit (run again with --resume to execute)")
+    ap.add_argument("--retract-file", default=None,
+                    help="text file of URLs to retract (one per line)")
+    ap.add_argument("--snapshot-every", type=int, default=1,
+                    help="write the frontier snapshot every N rounds "
+                         "(merge-on-read between)")
     ap.add_argument("--write-partitions", type=int, default=8,
                     help="files per round table; 0 = natural partitioning")
     args = ap.parse_args()
@@ -66,6 +81,21 @@ def main() -> None:
     from crawler_spark import CrawlConfig, CrawlStore, get_spark, run_crawl
 
     spark = get_spark("crawler-spark-submit")
+
+    retract = list(args.retract)
+    if args.retract_file:
+        with open(args.retract_file) as f:
+            retract += [ln.strip() for ln in f
+                        if ln.strip() and not ln.startswith("#")]
+    if retract:
+        from crawler_spark.crawl.driver import retract_urls
+
+        upto = retract_urls(spark, args.store, retract)
+        print(json.dumps({
+            "retracted": len(retract), "watermark_round": upto,
+        }))
+        spark.stop()
+        return
 
     with open(args.seeds) as f:
         seeds = [ln.strip() for ln in f
@@ -98,6 +128,9 @@ def main() -> None:
         bloom_bits=args.bloom_bits,
         resume=args.resume,
         write_partitions=args.write_partitions or None,
+        frontier_snapshot_every=args.snapshot_every,
+        seen_filter=args.seen_filter,
+        cuckoo_entries=args.cuckoo_entries,
     )
     store = CrawlStore(spark, args.store)
     print(json.dumps({
