@@ -65,9 +65,12 @@ HEADLINE = [
     "doc_categories",
     "combine_images",
     # round-3 additions: the production winnow hash path (xxhash64) next
-    # to the oracle-portable md5 one, and the zero-shuffle portable simhash
+    # to the oracle-portable md5 one, the zero-shuffle portable simhash,
+    # and the flagship guarded near-dup chain (exact dedup → capped-bucket
+    # minhash-LSH → connected components → survivors) as ONE plan
     "doc_winnow_production",
     "simhash_portable",
+    "corpus_near_dedup",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
