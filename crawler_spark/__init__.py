@@ -23,10 +23,15 @@ UDFs anywhere in the hot path.
 __version__ = "0.1.0"
 
 # Curated public API — the names a user of the engine reaches for first.
-from crawler_spark.crawl.driver import run_crawl  # noqa: E402
+from crawler_spark.crawl.corpus import (  # noqa: E402
+    read_bucketed_corpus,
+    save_bucketed_corpus,
+)
+from crawler_spark.crawl.driver import retract_urls, run_crawl  # noqa: E402
 from crawler_spark.crawl.store import CrawlStore  # noqa: E402
 from crawler_spark.oracle.crawloracle import CrawlConfig  # noqa: E402
 from crawler_spark.session import get_spark  # noqa: E402
 
-__all__ = ["CrawlConfig", "CrawlStore", "get_spark", "run_crawl",
+__all__ = ["CrawlConfig", "CrawlStore", "get_spark", "read_bucketed_corpus",
+           "retract_urls", "run_crawl", "save_bucketed_corpus",
            "__version__"]

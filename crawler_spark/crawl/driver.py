@@ -169,10 +169,22 @@ def _seen_filter_load(
     if seen_filter == "cuckoo":
         from crawler_spark.operators.cuckoo import CuckooSeenSet
 
-        return CuckooSeenSet.load(spark, path, buckets, cuckoo_entries)
-    if seen_filter != "bloom":
+        filt = CuckooSeenSet.load(spark, path, buckets, cuckoo_entries)
+        state, want = filt.tables, "slots"
+    elif seen_filter == "bloom":
+        filt = BloomSeenSet.load(spark, path, buckets, bloom_bits)
+        state, want = filt.blooms, "bits"
+    else:
         raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
-    return BloomSeenSet.load(spark, path, buckets, bloom_bits)
+    # a bloom snapshot loaded as cuckoo (or vice versa) would fail later
+    # with an opaque cogroup/schema error — fail here with the cause
+    if want not in state.columns:
+        raise ValueError(
+            f"seen-filter snapshot at {path} has columns {state.columns} — "
+            f"the store was written with the other seen_filter; resume "
+            f"with the same filter the crawl started with"
+        )
+    return filt
 
 
 def run_crawl(
