@@ -65,22 +65,26 @@ def _clean_pattern(value: str, allow: bool) -> str | None:
     return v
 
 
-def parse_robots_txt(
-    host: str, body: str, user_agent: str = "*"
-) -> list[tuple[str, str, bool]]:
-    """Compile one robots.txt body into (host, prefix, allow) rules for
-    ``user_agent`` (RFC 9309 group selection)."""
+def _select_group(
+    body: str, user_agent: str
+) -> tuple[list[tuple[str, bool]], float | None] | None:
+    """RFC 9309 group selection → (raw allow/disallow rules, crawl-delay).
+
+    Crawl-delay is not in RFC 9309 but is widely emitted and honored
+    (Bing/Yandex semantics: seconds between requests); it attaches to the
+    group like the path rules do. Returns None when no group matches."""
     ua = user_agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
     in_agent_run = False
 
     def flush():
-        nonlocal cur_agents, cur_rules
+        nonlocal cur_agents, cur_rules, cur_delay
         if cur_agents:
-            groups.append((cur_agents, cur_rules))
-        cur_agents, cur_rules = [], []
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
 
     for raw in body.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
         line = raw.split("#", 1)[0].strip()
@@ -97,14 +101,20 @@ def parse_robots_txt(
         elif field in ("allow", "disallow"):
             in_agent_run = False
             cur_rules.append((value, field == "allow"))
+        elif field == "crawl-delay":
+            in_agent_run = False
+            try:
+                cur_delay = float(value)
+            except ValueError:
+                pass  # malformed delay: ignore the line, keep the group
         else:
-            in_agent_run = False  # sitemap/crawl-delay/unknown: group ends UA run
+            in_agent_run = False  # sitemap/unknown: group ends UA run
     flush()
 
     # group selection: exact UA token match beats '*'; longest match wins
-    best: list[tuple[str, bool]] | None = None
+    best: tuple[list[tuple[str, bool]], float | None] | None = None
     best_score = -1
-    for agents, rules in groups:
+    for agents, rules, delay in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -113,16 +123,32 @@ def parse_robots_txt(
             else:
                 continue
             if score > best_score:
-                best_score, best = score, rules
+                best_score, best = score, (rules, delay)
+    return best
+
+
+def parse_robots_txt(
+    host: str, body: str, user_agent: str = "*"
+) -> list[tuple[str, str, bool]]:
+    """Compile one robots.txt body into (host, prefix, allow) rules for
+    ``user_agent`` (RFC 9309 group selection)."""
+    best = _select_group(body, user_agent)
     if best is None:
         return []
-
     out = []
-    for value, allow in best:
+    for value, allow in best[0]:
         prefix = _clean_pattern(value, allow)
         if prefix is not None:
             out.append((host, prefix, allow))
     return out
+
+
+def parse_crawl_delay(
+    body: str, user_agent: str = "*"
+) -> float | None:
+    """The selected group's Crawl-delay in seconds (None if absent)."""
+    best = _select_group(body, user_agent)
+    return best[1] if best is not None else None
 
 
 def rules_from_bodies(
@@ -150,3 +176,47 @@ def rules_from_bodies(
     return robots.select(host_col, body_col).mapInPandas(
         parse, ROBOTS_RULE_SCHEMA
     )
+
+
+def delays_from_bodies(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, body) → (host, crawl_delay) for hosts that declare one —
+    dimension-sized (≤ one row per host), parsed distributed."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"host": [], "crawl_delay": []}
+            for h, b in zip(pdf[host_col], pdf[body_col]):
+                d = parse_crawl_delay(b or "", user_agent)
+                if d is not None and d > 0:
+                    rows["host"].append(h or "")
+                    rows["crawl_delay"].append(float(d))
+            yield pd.DataFrame(rows)
+
+    return robots.select(host_col, body_col).mapInPandas(
+        parse, "host string, crawl_delay double"
+    )
+
+
+def budgets_from_delays(
+    delays: list[tuple[str, float]],
+    round_seconds: float,
+    default_budget: int,
+    cap: int | None = None,
+) -> dict[str, int]:
+    """Crawl-delays → the per-host politeness budget dict the crawl
+    driver consumes (``CrawlConfig.budgets``): a host allowing one fetch
+    per ``delay`` seconds gets ``max(1, floor(round_seconds / delay))``
+    URLs per round (never more than ``default_budget``/``cap``). Hosts
+    without a declared delay fall through to the ``'*'`` default."""
+    out: dict[str, int] = {"*": default_budget}
+    limit = default_budget if cap is None else cap
+    for host, delay in delays:
+        if delay <= 0:
+            continue
+        out[host] = max(1, min(limit, int(round_seconds // delay)))
+    return out

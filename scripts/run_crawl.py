@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--robots-dir", default=None,
                     help="optional parquet dir of fetched (host, body) "
                          "robots.txt pages")
+    ap.add_argument("--crawl-delay-budgets", action="store_true",
+                    help="derive per-host budgets from the robots bodies' "
+                         "Crawl-delay lines (budget = round-seconds / "
+                         "delay); explicit --budget entries override")
+    ap.add_argument("--round-seconds", type=int, default=3600,
+                    help="wall-clock per crawl round (cooldown TTL and "
+                         "Crawl-delay budget conversion)")
     ap.add_argument("--limit-to", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--bloom-buckets", type=int, default=64)
@@ -101,22 +108,39 @@ def main() -> None:
         seeds = [ln.strip() for ln in f
                  if ln.strip() and not ln.startswith("#")]
 
+    budgets = parse_budgets(args.budget)
     robots: list[tuple[str, str, bool]] = []
     if args.robots_dir:
         from crawler_spark.functions.robots import rules_from_bodies
 
+        robots_df = spark.read.parquet(args.robots_dir)
         robots = [
             (r.host, r.rule, bool(r.allow))
-            for r in rules_from_bodies(
-                spark.read.parquet(args.robots_dir)
-            ).collect()
+            for r in rules_from_bodies(robots_df).collect()
         ]
+        if args.crawl_delay_budgets:
+            from crawler_spark.functions.robots import (
+                budgets_from_delays,
+                delays_from_bodies,
+            )
+
+            delays = [
+                (r.host, r.crawl_delay)
+                for r in delays_from_bodies(robots_df).collect()
+            ]
+            derived = budgets_from_delays(
+                delays, args.round_seconds,
+                budgets.get("*", 1 << 30),
+            )
+            derived.update(budgets)  # explicit --budget wins
+            budgets = derived
 
     cfg = CrawlConfig(
-        budgets=parse_budgets(args.budget),
+        budgets=budgets,
         robots=robots,
         limit_to=args.limit_to,
         max_rounds=args.max_rounds,
+        round_seconds=args.round_seconds,
     )
     stats = run_crawl(
         spark,

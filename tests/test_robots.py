@@ -4,6 +4,9 @@ end-to-end equivalence with hand-written rule tuples in a crawl."""
 import tempfile
 
 from crawler_spark.functions.robots import (
+    budgets_from_delays,
+    delays_from_bodies,
+    parse_crawl_delay,
     parse_robots_txt,
     rules_from_bodies,
 )
@@ -120,6 +123,80 @@ def test_crawl_with_parsed_robots_matches_tuples(spark):
     blocked = [u for u in urls
                if "hot.docs.test/doc/1" in u and "/doc/12" not in u]
     assert blocked == []
+
+
+DELAY_BODY = """
+User-agent: googlebot
+Crawl-delay: 1
+
+User-agent: *
+Disallow: /private/
+Crawl-delay: 2.5
+
+User-agent: mybot
+Disallow: /
+"""
+
+
+def test_crawl_delay_group_selection():
+    assert parse_crawl_delay(DELAY_BODY, "*") == 2.5
+    assert parse_crawl_delay(DELAY_BODY, "googlebot") == 1.0
+    assert parse_crawl_delay(DELAY_BODY, "mybot") is None  # group has none
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    # malformed value: line ignored, group (and its rules) kept
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: fast\n") is None
+    assert parse_robots_txt("h.test",
+                            "User-agent: *\nCrawl-delay: fast\n"
+                            "Disallow: /x\n") == [("h.test", "/x", False)]
+    # a crawl-delay line must not detach following rules from the group
+    rules = parse_robots_txt("h.test", DELAY_BODY, "*")
+    assert ("h.test", "/private/", False) in rules
+
+
+def test_delays_to_budgets(spark):
+    df = spark.createDataFrame(
+        [("slow.test", DELAY_BODY),
+         ("fast.test", "User-agent: *\nDisallow: /x\n"),
+         ("zero.test", "User-agent: *\nCrawl-delay: 0\n")],
+        "host string, body string",
+    )
+    delays = [(r.host, r.crawl_delay)
+              for r in delays_from_bodies(df).collect()]
+    assert delays == [("slow.test", 2.5)]
+    budgets = budgets_from_delays(delays, round_seconds=60,
+                                  default_budget=1000)
+    # 60 s / 2.5 s-per-fetch = 24 URLs per round for the slow host
+    assert budgets == {"*": 1000, "slow.test": 24}
+    assert budgets_from_delays([("s.test", 1e9)], 60, 1000)["s.test"] == 1
+    assert budgets_from_delays([("s.test", 0.001)], 60, 1000)["s.test"] == 1000
+
+
+def test_crawl_delay_budget_throttles_host(spark):
+    """End-to-end: a crawl-delay-derived budget caps that host's
+    scheduled URLs per round while other hosts run at the default."""
+    import tempfile as _tf
+
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.crawl.store import CrawlStore
+    from crawler_spark.fixtures.webgen import generate
+    from tests.test_crawl_golden import _to_spark_corpus
+
+    web = generate(seed=31, n_pages=80)
+    hosts = web.pages.url.str.extract(r"http://([^/]+)/")[0]
+    host = hosts.mode()[0]  # the busiest host
+    budgets = budgets_from_delays(
+        [(host, 30.0)], round_seconds=60, default_budget=50
+    )
+    assert budgets[host] == 2
+    cfg = CrawlConfig(budgets=budgets, max_rounds=8)
+    root = _tf.mkdtemp(prefix="delay_crawl_")
+    run_crawl(spark, _to_spark_corpus(spark, web.pages),
+              web.seeds.url.tolist(), cfg, root, bloom_buckets=4,
+              bloom_bits=1 << 15)
+    pages = CrawlStore(spark, root).read_pages().toPandas()
+    per_round = pages[pages.host == host].groupby("round").size()
+    assert (per_round <= 2).all()
+    assert len(per_round) >= 2  # actually throttled across rounds
 
 
 def test_wildcard_allow_dropped_never_overrides_disallow():
