@@ -81,6 +81,7 @@ HEAVY = {
     "doc_winnow_fingerprints",
     "doc_winnow_production",
     "doc_repetition",
+    "corpus_near_dedup",
 }
 
 

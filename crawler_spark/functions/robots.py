@@ -32,6 +32,7 @@ construction.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -104,9 +105,11 @@ def _select_group(
         elif field == "crawl-delay":
             in_agent_run = False
             try:
-                cur_delay = float(value)
+                d = float(value)
             except ValueError:
-                pass  # malformed delay: ignore the line, keep the group
+                d = None  # malformed delay: ignore the line, keep group
+            if d is not None and math.isfinite(d):
+                cur_delay = d  # 'nan'/'inf' would poison budget math
         else:
             in_agent_run = False  # sitemap/unknown: group ends UA run
     flush()
@@ -210,13 +213,23 @@ def budgets_from_delays(
 ) -> dict[str, int]:
     """Crawl-delays → the per-host politeness budget dict the crawl
     driver consumes (``CrawlConfig.budgets``): a host allowing one fetch
-    per ``delay`` seconds gets ``max(1, floor(round_seconds / delay))``
-    URLs per round (never more than ``default_budget``/``cap``). Hosts
-    without a declared delay fall through to the ``'*'`` default."""
+    per ``delay`` seconds gets ``floor(round_seconds / delay)`` URLs per
+    round (never more than ``default_budget``/``cap``). Hosts without a
+    declared delay fall through to the ``'*'`` default.
+
+    A delay LONGER than the round yields budget 0 — the host is not
+    fetched at all. That is the conservative, never-violate-the-delay
+    direction (the same policy as the wildcard handling in
+    ``_clean_pattern``: never over-fetch); flooring such hosts to 1
+    would exceed their declared rate by round_seconds/delay×. Sub-1-per-
+    round rates need a longer ``round_seconds`` (or cross-round periodic
+    scheduling, which the budget dict cannot express). Non-finite or
+    non-positive delays never reach here (``_select_group`` filters
+    them)."""
     out: dict[str, int] = {"*": default_budget}
     limit = default_budget if cap is None else cap
     for host, delay in delays:
         if delay <= 0:
             continue
-        out[host] = max(1, min(limit, int(round_seconds // delay)))
+        out[host] = min(limit, int(round_seconds // delay))
     return out

@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--write-partitions", type=int, default=8,
                     help="files per round table; 0 = natural partitioning")
     args = ap.parse_args()
+    if args.crawl_delay_budgets and not args.robots_dir:
+        ap.error("--crawl-delay-budgets requires --robots-dir "
+                 "(delays come from the fetched robots bodies)")
 
     from crawler_spark import CrawlConfig, CrawlStore, get_spark, run_crawl
 
@@ -119,6 +122,9 @@ def main() -> None:
             for r in rules_from_bodies(robots_df).collect()
         ]
         if args.crawl_delay_budgets:
+            # second parse pass over the same bodies: both runs are
+            # dimension-sized mapInPandas jobs (≤ one row per host), so
+            # two clean single-purpose passes beat a fused two-schema one
             from crawler_spark.functions.robots import (
                 budgets_from_delays,
                 delays_from_bodies,

@@ -167,15 +167,17 @@ def test_delays_to_budgets(spark):
                                   default_budget=1000)
     # 60 s / 2.5 s-per-fetch = 24 URLs per round for the slow host
     assert budgets == {"*": 1000, "slow.test": 24}
-    assert budgets_from_delays([("s.test", 1e9)], 60, 1000)["s.test"] == 1
+    # delay longer than the round ⇒ budget 0 (never violate the delay)
+    assert budgets_from_delays([("s.test", 1e9)], 60, 1000)["s.test"] == 0
     assert budgets_from_delays([("s.test", 0.001)], 60, 1000)["s.test"] == 1000
+    # hostile values never become budgets
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nan\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf\n") is None
 
 
-def test_crawl_delay_budget_throttles_host(spark):
+def test_crawl_delay_budget_throttles_host(spark, tmp_path):
     """End-to-end: a crawl-delay-derived budget caps that host's
     scheduled URLs per round while other hosts run at the default."""
-    import tempfile as _tf
-
     from crawler_spark.crawl.driver import run_crawl
     from crawler_spark.crawl.store import CrawlStore
     from crawler_spark.fixtures.webgen import generate
@@ -189,7 +191,7 @@ def test_crawl_delay_budget_throttles_host(spark):
     )
     assert budgets[host] == 2
     cfg = CrawlConfig(budgets=budgets, max_rounds=8)
-    root = _tf.mkdtemp(prefix="delay_crawl_")
+    root = str(tmp_path / "delay_crawl")
     run_crawl(spark, _to_spark_corpus(spark, web.pages),
               web.seeds.url.tolist(), cfg, root, bloom_buckets=4,
               bloom_bits=1 << 15)
