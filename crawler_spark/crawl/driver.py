@@ -122,9 +122,18 @@ def _robots_filter_udf(spark: SparkSession, config: CrawlConfig):
     return robots_ok
 
 
-def _budget_df(spark: SparkSession, config: CrawlConfig) -> tuple[DataFrame, int]:
+def _budget_df(
+    spark: SparkSession, config: CrawlConfig, rnd: int = 0
+) -> tuple[DataFrame, int]:
+    """Effective per-host budgets for round ``rnd`` (broadcast-sized).
+
+    Periodic hosts (``config.budget_periods``) get their base budget on
+    on-rounds (``rnd % period == 0``) and 0 otherwise — evaluated
+    driver-side from the tiny config dicts, so a period costs nothing
+    distributed. The ``'*'`` default is never periodic."""
     default = config.budgets.get("*", 1 << 30)
-    rows = [(h, k) for h, k in config.budgets.items() if h != "*"]
+    hosts = (set(config.budgets) | set(config.budget_periods)) - {"*"}
+    rows = [(h, config.budget_at(h, rnd)) for h in sorted(hosts)]
     df = spark.createDataFrame(rows or [("__none__", 0)], "host string, _bk int")
     return df, default
 
@@ -318,6 +327,10 @@ def run_crawl(
             eligible = frontier.join(F.broadcast(cd_df), "host", "left_anti")
 
         # -- per-host politeness budget (skew-salted two-phase top-k) ------
+        if config.budget_periods:
+            # periodic budgets change per round — rebuild the (tiny)
+            # broadcast table from the config dicts
+            budget_df, budget_default = _budget_df(spark, config, rnd)
         eligible = eligible.join(F.broadcast(budget_df), "host", "left").withColumn(
             "_k", F.coalesce(F.col("_bk"), F.lit(budget_default))
         )
@@ -334,9 +347,13 @@ def run_crawl(
         scheduled = scheduled.cache()
         phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
         if n_scheduled == 0:
-            if any(e >= rnd for e in cooldown.values()):
-                # everything eligible is cooling — commit an empty round so
-                # round numbering (and cooldown expiry) stays resumable.
+            pending_periodic = bool(config.budget_periods) and n_frontier > 0
+            if any(e >= rnd for e in cooldown.values()) or pending_periodic:
+                # everything eligible is cooling, or periodic budgets are
+                # configured and this is an off round for everything left
+                # (the same coarse condition as the serial oracle) —
+                # commit an empty round so round numbering (and cooldown/
+                # period cadence) stays resumable.
                 # Pending seed discoveries commit HERE (otherwise a crash
                 # during a cooldown stretch would leave them out of the
                 # discovery log and the rebuild-from-logs frontier path

@@ -210,26 +210,29 @@ def budgets_from_delays(
     round_seconds: float,
     default_budget: int,
     cap: int | None = None,
-) -> dict[str, int]:
-    """Crawl-delays → the per-host politeness budget dict the crawl
-    driver consumes (``CrawlConfig.budgets``): a host allowing one fetch
-    per ``delay`` seconds gets ``floor(round_seconds / delay)`` URLs per
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Crawl-delays → the ``(budgets, budget_periods)`` pair the crawl
+    driver consumes (``CrawlConfig``): a host allowing one fetch per
+    ``delay`` seconds gets ``floor(round_seconds / delay)`` URLs per
     round (never more than ``default_budget``/``cap``). Hosts without a
     declared delay fall through to the ``'*'`` default.
 
-    A delay LONGER than the round yields budget 0 — the host is not
-    fetched at all. That is the conservative, never-violate-the-delay
-    direction (the same policy as the wildcard handling in
-    ``_clean_pattern``: never over-fetch); flooring such hosts to 1
-    would exceed their declared rate by round_seconds/delay×. Sub-1-per-
-    round rates need a longer ``round_seconds`` (or cross-round periodic
-    scheduling, which the budget dict cannot express). Non-finite or
-    non-positive delays never reach here (``_select_group`` filters
-    them)."""
-    out: dict[str, int] = {"*": default_budget}
+    A delay LONGER than the round becomes a PERIODIC budget — 1 URL
+    every ``ceil(delay / round_seconds)`` rounds — which never exceeds
+    the declared rate (fetches are at least ``delay`` seconds apart)
+    instead of either violating it (flooring to 1/round) or starving the
+    host forever (budget 0). Non-finite or non-positive delays never
+    reach here (``_select_group`` filters them)."""
+    budgets: dict[str, int] = {"*": default_budget}
+    periods: dict[str, int] = {}
     limit = default_budget if cap is None else cap
     for host, delay in delays:
         if delay <= 0:
             continue
-        out[host] = min(limit, int(round_seconds // delay))
-    return out
+        per_round = int(round_seconds // delay)
+        if per_round >= 1:
+            budgets[host] = min(limit, per_round)
+        else:
+            budgets[host] = min(limit, 1)
+            periods[host] = math.ceil(delay / round_seconds)
+    return budgets, periods

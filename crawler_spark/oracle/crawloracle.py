@@ -60,9 +60,20 @@ class CrawlConfig:
     limit_to: str = ""  # reference crawl.ts:44 limitTo
     round_seconds: int = 3600  # wall-clock per round, for cooldown TTL→rounds
     max_rounds: int = 1000
+    # host -> fetch only every N rounds (rounds where rnd % N != 0 get
+    # budget 0) — how sub-1-URL-per-round rates (Crawl-delay longer than
+    # a round) are expressed; periods key off the ABSOLUTE round number
+    # so resume preserves the cadence
+    budget_periods: dict[str, int] = field(default_factory=dict)
 
     def budget(self, host: str) -> int:
         return self.budgets.get(host, self.budgets.get("*", 1 << 30))
+
+    def budget_at(self, host: str, rnd: int) -> int:
+        p = self.budget_periods.get(host)
+        if p and rnd % p != 0:
+            return 0
+        return self.budget(host)
 
     def robots_allowed(self, host: str, path: str) -> bool:
         """Longest-prefix rule wins; allow wins length ties; default allow."""
@@ -142,16 +153,22 @@ def crawl_oracle(
         scheduled: list[tuple[int, int, str, str]] = []
         for pr, ps, host, url in eligible:
             k = taken.get(host, 0)
-            if k >= config.budget(host):
+            if k >= config.budget_at(host, rnd):
                 continue
             taken[host] = k + 1
             scheduled.append((pr, ps, host, url))
         if not scheduled:
             # Frontier non-empty but nothing schedulable ⇒ every remaining
-            # host is cooling (filters are applied at insert time, so
-            # cooldown is the only runtime block). Advance the round so the
-            # cooldown can expire; bail if somehow stuck.
+            # host is cooling, or periodic budgets are configured and this
+            # is an off round for everything left. Advance the round so
+            # the cooldown/period can come due; bail if somehow stuck.
+            # (The periodic condition is deliberately coarse — "periods
+            # configured and frontier non-empty" — because it must match
+            # what the distributed driver can decide without a per-round
+            # frontier-host scan; max_rounds bounds any spin.)
             if any(cooldown.get(h, -1) >= rnd for _, _, h in frontier.values()):
+                continue
+            if config.budget_periods and frontier:
                 continue
             break
 

@@ -134,15 +134,22 @@ def main() -> None:
                 (r.host, r.crawl_delay)
                 for r in delays_from_bodies(robots_df).collect()
             ]
-            derived = budgets_from_delays(
+            derived, periods = budgets_from_delays(
                 delays, args.round_seconds,
                 budgets.get("*", 1 << 30),
             )
-            derived.update(budgets)  # explicit --budget wins
+            derived.update(budgets)  # explicit --budget wins…
+            periods = {h: p for h, p in periods.items()
+                       if h not in budgets}  # …including over the period
             budgets = derived
+        else:
+            periods = {}
+    else:
+        periods = {}
 
     cfg = CrawlConfig(
         budgets=budgets,
+        budget_periods=periods,
         robots=robots,
         limit_to=args.limit_to,
         max_rounds=args.max_rounds,

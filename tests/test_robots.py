@@ -163,13 +163,16 @@ def test_delays_to_budgets(spark):
     delays = [(r.host, r.crawl_delay)
               for r in delays_from_bodies(df).collect()]
     assert delays == [("slow.test", 2.5)]
-    budgets = budgets_from_delays(delays, round_seconds=60,
-                                  default_budget=1000)
+    budgets, periods = budgets_from_delays(delays, round_seconds=60,
+                                           default_budget=1000)
     # 60 s / 2.5 s-per-fetch = 24 URLs per round for the slow host
     assert budgets == {"*": 1000, "slow.test": 24}
-    # delay longer than the round ⇒ budget 0 (never violate the delay)
-    assert budgets_from_delays([("s.test", 1e9)], 60, 1000)["s.test"] == 0
-    assert budgets_from_delays([("s.test", 0.001)], 60, 1000)["s.test"] == 1000
+    assert periods == {}
+    # delay longer than the round ⇒ periodic: 1 URL every ceil(d/round)
+    b, p = budgets_from_delays([("s.test", 150.0)], 60, 1000)
+    assert b["s.test"] == 1 and p["s.test"] == 3
+    b, p = budgets_from_delays([("s.test", 0.001)], 60, 1000)
+    assert b["s.test"] == 1000 and "s.test" not in p
     # hostile values never become budgets
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: nan\n") is None
     assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf\n") is None
@@ -186,10 +189,10 @@ def test_crawl_delay_budget_throttles_host(spark, tmp_path):
     web = generate(seed=31, n_pages=80)
     hosts = web.pages.url.str.extract(r"http://([^/]+)/")[0]
     host = hosts.mode()[0]  # the busiest host
-    budgets = budgets_from_delays(
+    budgets, periods = budgets_from_delays(
         [(host, 30.0)], round_seconds=60, default_budget=50
     )
-    assert budgets[host] == 2
+    assert budgets[host] == 2 and periods == {}
     cfg = CrawlConfig(budgets=budgets, max_rounds=8)
     root = str(tmp_path / "delay_crawl")
     run_crawl(spark, _to_spark_corpus(spark, web.pages),
@@ -199,6 +202,48 @@ def test_crawl_delay_budget_throttles_host(spark, tmp_path):
     per_round = pages[pages.host == host].groupby("round").size()
     assert (per_round <= 2).all()
     assert len(per_round) >= 2  # actually throttled across rounds
+
+
+def test_periodic_budget_matches_oracle(spark, tmp_path):
+    """A Crawl-delay longer than the round ⇒ 1 URL every N rounds: the
+    distributed driver and the serial oracle must produce the identical
+    crawl order, and the periodic host's fetch rounds must follow the
+    rnd % N == 0 cadence."""
+    from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.crawl.store import CrawlStore
+    from crawler_spark.fixtures.webgen import generate
+    from crawler_spark.oracle.crawloracle import crawl_oracle
+    from tests.test_crawl_golden import _to_spark_corpus
+
+    web = generate(seed=37, n_pages=60)
+    hosts = web.pages.url.str.extract(r"http://([^/]+)/")[0]
+    host = hosts.mode()[0]
+    budgets, periods = budgets_from_delays(
+        [(host, 150.0)], round_seconds=60, default_budget=20
+    )
+    assert budgets[host] == 1 and periods[host] == 3
+    cfg = CrawlConfig(budgets=budgets, budget_periods=periods,
+                      max_rounds=30)
+    seeds = web.seeds.url.tolist()
+    oracle = crawl_oracle(web.pages, seeds, cfg)
+
+    root = str(tmp_path / "periodic")
+    run_crawl(spark, _to_spark_corpus(spark, web.pages), seeds, cfg, root,
+              bloom_buckets=4, bloom_bits=1 << 15)
+    got = (
+        CrawlStore(spark, root).read_pages().toPandas()
+        .sort_values(["round", "seq"]).reset_index(drop=True)
+    )
+    want = oracle.crawl_order.sort_values(
+        ["round", "seq"]).reset_index(drop=True)
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
+    hot_rounds = sorted(got[got.host == host]["round"].unique())
+    assert hot_rounds and all(r % 3 == 0 for r in hot_rounds)
+    per_round = got[got.host == host].groupby("round").size()
+    assert (per_round == 1).all()
 
 
 def test_wildcard_allow_dropped_never_overrides_disallow():
