@@ -792,6 +792,31 @@ def q_simhash_near_dups_portable(spark, sf):
     )
 
 
+def q_ivf_portable(spark, sf):
+    """IVF ANN with a PORTABLE centroid pick (the 16 lowest vec_ids,
+    instead of production's xxhash64 sample): assignment, probe-cell
+    selection, and the in-cell exact top-k are all reproducible in SQL,
+    value-proving the IVF mechanics end-to-end. Production is `ivf_ann`
+    (hash-sampled centroids, rows-only)."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import cosine_topk, ivf_assign
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
+    cent_rows = e.where("vec_id < 16").orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q_row = e.where("vec_id = 0").collect()[0]
+    qv = np.asarray(q_row["embedding"], dtype="float64")
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    probe = np.argsort(-(cents @ qn), kind="stable")[:4].tolist()
+    cand = ivf_assign(e, cents).where(F.col("cell").isin(probe)).drop("cell")
+    out = cosine_topk(cand, [float(x) for x in q_row["embedding"]], 10)
+    return out.select(
+        "vec_id", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
 def q_corpus_near_dedup(spark, sf):
     """The GUARDED near-dup chain end-to-end (exact dedup → capped-bucket
     minhash-LSH → connected components → survivors) — the configuration a
@@ -1240,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally; the driver gate only grades positions 1-50)
         "simhash_near_dups_portable": q_simhash_near_dups_portable,
         "lsh_pairs_portable": q_lsh_pairs_portable,
+        "ivf_portable": q_ivf_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2144,6 +2170,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # portable centroid pick (lowest 16 vec_ids) makes assignment,
+        # probe selection and the in-cell exact top-k SQL-reproducible
+        "ivf_portable": """
+            WITH cents AS (
+                SELECT vec_id AS c, embedding FROM embeddings
+                WHERE vec_id < 16
+            ), q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), probe AS (
+                SELECT c FROM cents, q
+                ORDER BY list_cosine_similarity(
+                    CAST(cents.embedding AS DOUBLE[]),
+                    CAST(q.qe AS DOUBLE[])) DESC, c
+                LIMIT 4
+            ), assigned AS (
+                SELECT e.vec_id, e.embedding,
+                       (SELECT c FROM cents
+                        ORDER BY list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(cents.embedding AS DOUBLE[])) DESC, c
+                        LIMIT 1) AS cell
+                FROM embeddings e
+            ), cand AS (
+                SELECT a.vec_id, a.embedding FROM assigned a
+                WHERE a.cell IN (SELECT c FROM probe)
+            )
+            SELECT vec_id,
+                   CAST(round(cos, 6) AS DOUBLE) AS cosine
+            FROM (
+                SELECT cand.vec_id,
+                       list_cosine_similarity(
+                           CAST(cand.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])) AS cos
+                FROM cand, q
+                ORDER BY cos DESC, cand.vec_id
+                LIMIT 10
+            )
         """,
         # identical dyadic md5 weights + left-fold dots reproduce the
         # Spark sign bits exactly; banding + cosine verify follow
