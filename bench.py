@@ -291,6 +291,74 @@ def main() -> None:
         }))
         return
 
+    if mode == "--maintenance":
+        # long-crawl store hygiene: crawl many small rounds, then compact
+        # the append-only logs + prune old snapshots; report file counts
+        # before/after and that reads are preserved. At 10^10 scale this
+        # is what bounds the store's file count over thousands of rounds.
+        import glob
+
+        from crawler_spark.crawl.store import (
+            DISC_SCHEMA,
+            LINKS_SCHEMA,
+            PAGES_FILE_SCHEMA,
+            CrawlStore,
+        )
+
+        spark = _spark(CPUS)
+        try:
+            from pyspark.sql import functions as F
+
+            from crawler_spark.crawl.driver import run_crawl
+            from crawler_spark.fixtures.doccorpus import (
+                corpus_from_documents,
+                seed_urls,
+            )
+            from crawler_spark.oracle.crawloracle import CrawlConfig
+
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            corpus = corpus_from_documents(docs).repartition(32, "url").cache()
+            corpus.count()
+            root = tempfile.mkdtemp(prefix="bench_maint_")
+            # small budgets → many rounds (the file-count stressor)
+            run_crawl(spark, corpus, seed_urls(32),
+                      CrawlConfig(budgets={"*": 40}, max_rounds=12), root,
+                      bloom_buckets=16, bloom_bits=1 << 20)
+            store = CrawlStore(spark, root)
+
+            def nfiles():
+                return len([p for p in glob.glob(f"{root}/**/*.parquet",
+                                                 recursive=True)])
+
+            before_files = nfiles()
+            before_pages = store.read_pages().count()
+            last = store.committed_rounds()[-1]
+            t0 = time.perf_counter()
+            store.compact("pages", PAGES_FILE_SCHEMA, upto_round=last)
+            store.compact("links", LINKS_SCHEMA, upto_round=last)
+            store.compact("discoveries", DISC_SCHEMA, upto_round=last)
+            store.compact("seen", "bucket int, url string", upto_round=last)
+            store.prune_snapshots(last)
+            dt = round(time.perf_counter() - t0, 3)
+            after_files = nfiles()
+            after_pages = store.read_pages().count()
+            corpus.unpersist()
+            print(json.dumps({
+                "metric": "store_maintenance",
+                "value": dt,
+                "unit": "sec",
+                "rounds": last + 1,
+                "files_before": before_files,
+                "files_after": after_files,
+                "pages_before": before_pages,
+                "pages_after": after_pages,
+                "reads_preserved": before_pages == after_pages,
+                "sf": _sf_of(SF_DIR),
+            }))
+        finally:
+            spark.stop()
+        return
+
     if mode == "--snapshot-sweep":
         # frontier_snapshot_every trade: each interval crawls the same
         # mini-web twice (best-of-2 under host noise); in between
