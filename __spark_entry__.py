@@ -797,7 +797,15 @@ def q_ivf_portable(spark, sf):
     instead of production's xxhash64 sample): assignment, probe-cell
     selection, and the in-cell exact top-k are all reproducible in SQL,
     value-proving the IVF mechanics end-to-end. Production is `ivf_ann`
-    (hash-sampled centroids, rows-only)."""
+    (hash-sampled centroids, rows-only).
+
+    Known tolerance caveat (unlike the bit-exact fold-based portable
+    oracles): assignment/probe RANKS compare unrounded numpy-BLAS
+    cosines against DuckDB's — a near-TIE between two centroids could
+    rank differently across float summation orders. On this corpus the
+    margins are orders of magnitude above fp noise and the data is
+    deterministic, so the check is stable; a corpus with duplicate
+    centroids would need the fold-exact treatment."""
     import numpy as np
 
     from crawler_spark.operators.similarity import cosine_topk, ivf_assign

@@ -302,6 +302,7 @@ def main() -> None:
             DISC_SCHEMA,
             LINKS_SCHEMA,
             PAGES_FILE_SCHEMA,
+            SEEN_SCHEMA,
             CrawlStore,
         )
 
@@ -330,18 +331,30 @@ def main() -> None:
                 return len([p for p in glob.glob(f"{root}/**/*.parquet",
                                                  recursive=True)])
 
+            def pages_digest():
+                # order-insensitive CONTENT check, not just a row count —
+                # a compaction that dropped one round while double-reading
+                # another would keep the count identical
+                row = store.read_pages().agg(
+                    F.count("*").alias("n"),
+                    F.bit_xor(
+                        F.xxhash64("round", "seq", "url", "status", "type")
+                    ).alias("h"),
+                ).collect()[0]
+                return int(row["n"]), int(row["h"] or 0)
+
             before_files = nfiles()
-            before_pages = store.read_pages().count()
+            before_pages = pages_digest()
             last = store.committed_rounds()[-1]
             t0 = time.perf_counter()
             store.compact("pages", PAGES_FILE_SCHEMA, upto_round=last)
             store.compact("links", LINKS_SCHEMA, upto_round=last)
             store.compact("discoveries", DISC_SCHEMA, upto_round=last)
-            store.compact("seen", "bucket int, url string", upto_round=last)
+            store.compact("seen", SEEN_SCHEMA, upto_round=last)
             store.prune_snapshots(last)
             dt = round(time.perf_counter() - t0, 3)
             after_files = nfiles()
-            after_pages = store.read_pages().count()
+            after_pages = pages_digest()
             corpus.unpersist()
             print(json.dumps({
                 "metric": "store_maintenance",
@@ -350,8 +363,8 @@ def main() -> None:
                 "rounds": last + 1,
                 "files_before": before_files,
                 "files_after": after_files,
-                "pages_before": before_pages,
-                "pages_after": after_pages,
+                "pages_before": before_pages[0],
+                "pages_after": after_pages[0],
                 "reads_preserved": before_pages == after_pages,
                 "sf": _sf_of(SF_DIR),
             }))

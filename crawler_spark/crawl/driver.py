@@ -246,6 +246,7 @@ def run_crawl(
 
     stats = CrawlStats()
     cooldown: dict[str, int] = {}
+    empty_streak = 0  # consecutive rounds scheduling nothing (period wait)
 
     last = store.resume_round() if resume else None
     if last is None:
@@ -347,13 +348,27 @@ def run_crawl(
         scheduled = scheduled.cache()
         phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
         if n_scheduled == 0:
-            pending_periodic = bool(config.budget_periods) and n_frontier > 0
-            if any(e >= rnd for e in cooldown.values()) or pending_periodic:
+            # wait for periodic budgets only while a full period cycle
+            # hasn't yet passed without progress: if max(period)
+            # consecutive non-cooling rounds schedule nothing, every
+            # remaining frontier entry is permanently unschedulable (e.g.
+            # budget 0) and waiting longer only burns empty commits.
+            # Cooling rounds don't consume the period-wait allowance — a
+            # cooldown longer than the period must not starve the host
+            # whose on-round falls right after expiry. Same logic in the
+            # serial oracle (golden-matched).
+            cooling = any(e >= rnd for e in cooldown.values())
+            pending_periodic = (
+                bool(config.budget_periods)
+                and empty_streak < max(config.budget_periods.values())
+            )
+            if not cooling:
+                empty_streak += 1
+            if cooling or pending_periodic:
                 # everything eligible is cooling, or periodic budgets are
-                # configured and this is an off round for everything left
-                # (the same coarse condition as the serial oracle) —
-                # commit an empty round so round numbering (and cooldown/
-                # period cadence) stays resumable.
+                # configured and this may be an off round for what's left
+                # — commit an empty round so round numbering (and
+                # cooldown/period cadence) stays resumable.
                 # Pending seed discoveries commit HERE (otherwise a crash
                 # during a cooldown stretch would leave them out of the
                 # discovery log and the rebuild-from-logs frontier path
@@ -375,6 +390,7 @@ def run_crawl(
                 continue
             scheduled.unpersist()
             break
+        empty_streak = 0
 
         # -- simulated fetch ----------------------------------------------
         fetched = scheduled.join(corpus_slim, "url", "left")

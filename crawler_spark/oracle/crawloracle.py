@@ -139,6 +139,7 @@ def crawl_oracle(
             continue
         frontier.setdefault(url, (-1, i, host))
 
+    empty_streak = 0  # consecutive rounds scheduling nothing (period wait)
     for rnd in range(config.max_rounds):
         if not frontier:
             break
@@ -160,17 +161,27 @@ def crawl_oracle(
         if not scheduled:
             # Frontier non-empty but nothing schedulable ⇒ every remaining
             # host is cooling, or periodic budgets are configured and this
-            # is an off round for everything left. Advance the round so
-            # the cooldown/period can come due; bail if somehow stuck.
-            # (The periodic condition is deliberately coarse — "periods
-            # configured and frontier non-empty" — because it must match
-            # what the distributed driver can decide without a per-round
-            # frontier-host scan; max_rounds bounds any spin.)
-            if any(cooldown.get(h, -1) >= rnd for _, _, h in frontier.values()):
-                continue
-            if config.budget_periods and frontier:
+            # may be an off round for what's left. Advance the round so
+            # the cooldown/period can come due — but only wait for a
+            # period while fewer than max(period) consecutive rounds have
+            # scheduled nothing: after a full fruitless cycle the rest of
+            # the frontier is permanently unschedulable. (Deliberately
+            # coarse — it must match what the distributed driver decides
+            # without a per-round frontier-host scan.)
+            cooling = any(
+                cooldown.get(h, -1) >= rnd for _, _, h in frontier.values()
+            )
+            pending_periodic = (
+                bool(config.budget_periods)
+                and empty_streak < max(config.budget_periods.values())
+            )
+            if not cooling:
+                # cooling rounds don't consume the period-wait allowance
+                empty_streak += 1
+            if cooling or pending_periodic:
                 continue
             break
+        empty_streak = 0
 
         # -- fetch + extract ---------------------------------------------
         new_links: list[tuple[int, str, str, str, str, int]] = []

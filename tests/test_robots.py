@@ -246,6 +246,40 @@ def test_periodic_budget_matches_oracle(spark, tmp_path):
     assert (per_round == 1).all()
 
 
+def test_periodic_wait_bounded_by_max_period():
+    """With periods configured, an unschedulable remainder (budget-0
+    host) must terminate the crawl within max(period) extra rounds —
+    not spin empty rounds to max_rounds."""
+    import pandas as pd
+
+    from crawler_spark.oracle.crawloracle import crawl_oracle
+
+    corpus = pd.DataFrame(
+        {
+            "url": [f"http://a.test/p{i}" for i in range(3)]
+            + ["http://dead.test/x"],
+            "html": [b"<html><body><p>tok one two</p></body></html>"] * 4,
+            "content_type": ["text/html"] * 4,
+            "status": [200] * 4,
+            "retry_after": [None] * 4,
+        }
+    )
+    cfg = CrawlConfig(
+        budgets={"a.test": 1, "dead.test": 0, "*": 5},
+        budget_periods={"a.test": 2},
+        max_rounds=1000,
+    )
+    out = crawl_oracle(
+        corpus, ["http://a.test/p0", "http://a.test/p1",
+                 "http://a.test/p2", "http://dead.test/x"], cfg
+    )
+    # a.test fetches on rounds 0, 2, 4 (period 2); dead.test never; the
+    # crawl must end within max(period)=2 rounds after round 4 — far
+    # below max_rounds
+    assert sorted(out.crawl_order["round"].tolist()) == [0, 2, 4]
+    assert out.crawl_order["round"].max() == 4
+
+
 def test_wildcard_allow_dropped_never_overrides_disallow():
     """Allow patterns with wildcards/anchors are dropped (truncation would
     WIDEN them past RFC 9309 and override plain Disallows on ties)."""
