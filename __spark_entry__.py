@@ -840,6 +840,25 @@ def q_corpus_near_dedup(spark, sf):
     )
 
 
+def q_corpus_near_dedup_portable(spark, sf):
+    """The flagship guarded curation chain with the PORTABLE md5-prefix
+    hash family, gated to doc_id < 300 so the 64-hash signature pipeline
+    stays DuckDB-tractable: exact dedup (min-id survivors) → capped-bucket
+    minhash-LSH (threshold 0.4) → connected-components closure →
+    survivors. The SQL oracle composes the SAME three already-proven
+    stages (the exact-dedup window, `minhash_portable`'s
+    signature/banding/agreement SQL, and the recursive-CTE closure from
+    `dedup_clusters`), so the COMPOSITION itself is value-checked
+    end-to-end — production runs the identical plan with xxhash64
+    (`corpus_near_dedup`)."""
+    from crawler_spark.operators.dedup import near_dup_curation
+
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return near_dup_curation(
+        d, threshold=0.4, max_bucket_size=10000, portable=True
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_simhash_sigs(spark, sf):
     from crawler_spark.operators.dedup import simhash_signatures
 
@@ -1274,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_portable": q_simhash_near_dups_portable,
         "lsh_pairs_portable": q_lsh_pairs_portable,
         "ivf_portable": q_ivf_portable,
+        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2178,6 +2198,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sigs s USING (doc_id)
+        """,
+        # the flagship guarded curation chain, portable hash family:
+        # exact-dedup window → minhash_portable's signature/banding/
+        # agreement SQL over the SURVIVORS → recursive-CTE closure →
+        # anti-join. Composes three independently-green oracles into one.
+        "corpus_near_dedup_portable": r"""
+            WITH RECURSIVE uniq AS (
+                SELECT doc_id, lang, n_chars, text FROM (
+                    SELECT doc_id, lang, n_chars, text,
+                           min(doc_id) OVER (PARTITION BY text) AS canon
+                    FROM documents WHERE doc_id < 300
+                ) WHERE doc_id = canon
+            ), toks AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                FROM uniq
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(l) - 1),
+                                       i -> array_to_string(l[i:i+2], ' '))
+                              END) AS shingle
+                FROM toks
+            ), sh AS (
+                SELECT doc_id, shingle FROM shingles
+                WHERE length(shingle) > 0
+            ), hx AS (
+                SELECT doc_id, t.i,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                    substr(md5(t.i || '|' || shingle), j, 1))
+                                 - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM sh CROSS JOIN range(0, 64) AS t(i)
+            ), sigs AS (
+                SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band,
+                       string_agg(mh, '|' ORDER BY i) AS bkey
+                FROM sigs GROUP BY 1, 2
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+            ), agree AS (
+                SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                           AS n_agree
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM agree
+                WHERE n_agree / 64.0 >= 0.4
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON reach.node = e.dst
+            ), dups AS (
+                SELECT node FROM reach GROUP BY node
+                HAVING node <> min(r)
+            )
+            SELECT doc_id, lang, n_chars FROM uniq
+            WHERE doc_id NOT IN (SELECT node FROM dups)
         """,
         # portable centroid pick (lowest 16 vec_ids) makes assignment,
         # probe selection and the in-cell exact top-k SQL-reproducible

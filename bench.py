@@ -18,6 +18,11 @@ both plus scaling efficiency = (T32/T8)/4.
 
 ``--pipeline-only`` / ``--crawl-only`` are the subprocess entrypoints; each
 prints its own one-line JSON.
+
+Other modes: ``--snapshot-sweep`` (frontier snapshot-interval trade),
+``--maintenance`` (log compaction + snapshot pruning hygiene),
+``--curation-scale`` (guarded near-dup chain at 1x vs 8x corpus —
+training-tier amortization evidence).
 """
 
 from __future__ import annotations
@@ -367,6 +372,66 @@ def main() -> None:
                 "pages_after": after_pages[0],
                 "reads_preserved": before_pages == after_pages,
                 "sf": _sf_of(SF_DIR),
+            }))
+        finally:
+            spark.stop()
+        return
+
+    if mode == "--curation-scale":
+        # training-tier amortization evidence (the curation analogue of
+        # BASELINE.md's crawl round-size table): the guarded near-dup
+        # chain over 1x and 8x the corpus. Replicated docs get a short
+        # per-replicate text suffix so they are NEAR- but not
+        # byte-identical — exact dedup keeps them all, and the minhash/
+        # banding/cluster stages do the full 8x work (then find the
+        # cross-replicate near-dup cliques, the realistic boilerplate
+        # shape). docs/sec rising with corpus size = the chain is
+        # data-bound, not per-job fixed-cost bound.
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.dedup import near_dup_curation
+
+        spark = _spark(CPUS)
+        try:
+            out = {}
+            for replicate in (1, 8):
+                docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                if replicate > 1:
+                    docs = docs.crossJoin(
+                        spark.range(replicate).withColumnRenamed("id", "_rep")
+                    ).withColumn(
+                        "doc_id", F.col("doc_id") * replicate + F.col("_rep")
+                    ).withColumn(
+                        "text",
+                        F.concat("text", F.lit(" rep"), F.col("_rep")),
+                    ).drop("_rep")
+                docs = docs.repartition(128, "doc_id").cache()
+                n = docs.count()  # synthesis + cache fill excluded
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    _materialize(
+                        near_dup_curation(
+                            docs, threshold=0.4, max_bucket_size=10000
+                        ).select("doc_id", "lang", "n_chars")
+                    )
+                    runs.append(round(time.perf_counter() - t0, 3))
+                docs.unpersist()
+                out[str(replicate)] = {
+                    "docs": n,
+                    "sec": min(runs),
+                    "docs_per_sec": round(n / min(runs), 1),
+                    "all_sec": runs,
+                }
+            ratio = (out["8"]["docs_per_sec"]
+                     / out["1"]["docs_per_sec"])
+            print(json.dumps({
+                "metric": "curation_amortization_8x",
+                "value": round(ratio, 2),
+                "unit": "throughput_ratio",
+                "levels": out,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
             }))
         finally:
             spark.stop()
