@@ -22,7 +22,8 @@ prints its own one-line JSON.
 Other modes: ``--snapshot-sweep`` (frontier snapshot-interval trade),
 ``--maintenance`` (log compaction + snapshot pruning hygiene),
 ``--curation-scale`` (guarded near-dup chain at 1x vs 8x corpus —
-training-tier amortization evidence).
+training-tier amortization evidence), ``--scaling-curation`` (the
+interleaved-pair N vs 4N protocol applied to the curation chain).
 """
 
 from __future__ import annotations
@@ -233,6 +234,59 @@ def _bench_pipeline(spark, replicate: int = 48) -> dict:
     }
 
 
+def _bench_curation(spark, replicate: int | None = None) -> dict:
+    """The guarded near-dup chain over a replicated near-identical corpus
+    (the data-bound configuration measured by ``--curation-scale``) — the
+    per-batch inner work of a 100 TB curation pass; used for the
+    two-parallelism scaling evidence of the training tier.
+
+    Replicate defaults to 32 (≈160k docs at sf0.1): at 8x the chain's
+    per-job fixed costs (CC iterations, shuffle task launch) still eat
+    ~1/3 of the high-parallelism wall and the efficiency measures
+    overhead, not the engine — scaling is a large-batch claim, measured
+    at a large batch. Override with ``$SPARK_GRAFT_CURATION_REP``."""
+    if replicate is None:
+        replicate = int(os.environ.get("SPARK_GRAFT_CURATION_REP", "32"))
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.dedup import near_dup_curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).withColumnRenamed("id", "_rep")
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("_rep")
+        ).withColumn(
+            "text", F.concat("text", F.lit(" rep"), F.col("_rep")),
+        ).drop("_rep")
+    # fixed partition count -> identical work at every parallelism level
+    docs = docs.repartition(128, "doc_id").cache()
+    n = docs.count()  # synthesis + cache fill excluded from timing
+    # warmup: the full chain over ~2% of docs so codegen/JIT/broadcast
+    # machinery spin up outside the timed window (steady-state is what
+    # governs a multi-hour curation pass)
+    _materialize(
+        near_dup_curation(
+            docs.where(F.pmod("doc_id", F.lit(50)) == 0),
+            threshold=0.4, max_bucket_size=10000,
+        ).select("doc_id")
+    )
+    t0 = time.perf_counter()
+    _materialize(
+        near_dup_curation(
+            docs, threshold=0.4, max_bucket_size=10000
+        ).select("doc_id", "lang", "n_chars")
+    )
+    dt = time.perf_counter() - t0
+    docs.unpersist()
+    return {
+        "sec": round(dt, 3),
+        "docs": n,
+        "docs_per_sec": round(n / dt, 2),
+    }
+
+
 def _run_sub(mode: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -245,7 +299,7 @@ def _run_sub(mode: str, cpus: int) -> dict:
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
 
-    if mode == "--scaling":
+    if mode in ("--scaling", "--scaling-curation"):
         # Default pair local[4] vs local[16]: a pandas-UDF task keeps ~2
         # cores busy (JVM producer + python worker), so demand is 2p cores;
         # 2*16=32 fits this box exactly, while local[32] would demand 64
@@ -254,6 +308,15 @@ def main() -> None:
         # sandbox shares its host (observed run-to-run wall spread >25%),
         # and min-wall is the standard noise-rejecting estimator for a
         # fixed deterministic workload.
+        # --scaling-curation applies the identical protocol to the guarded
+        # near-dup chain (the training tier's inner work) instead of the
+        # crawl's fetch+extract pipeline.
+        if mode == "--scaling":
+            submode, rate = "--pipeline-only", "pages_per_sec"
+            metric = "scaling_efficiency"
+        else:
+            submode, rate = "--curation-only", "docs_per_sec"
+            metric = "curation_scaling_efficiency"
         lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
         hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
@@ -264,23 +327,21 @@ def main() -> None:
         # the ratio in either direction
         runs_lo, runs_hi, pair_eff = [], [], []
         for _ in range(reps):
-            rl = _run_sub("--pipeline-only", lo)
-            rh = _run_sub("--pipeline-only", hi)
+            rl = _run_sub(submode, lo)
+            rh = _run_sub(submode, hi)
             runs_lo.append(rl)
             runs_hi.append(rh)
-            pair_eff.append(
-                (rh["pages_per_sec"] / rl["pages_per_sec"]) / (hi / lo)
-            )
-        r_lo = max(runs_lo, key=lambda r: r["pages_per_sec"])
-        r_hi = max(runs_hi, key=lambda r: r["pages_per_sec"])
-        eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+            pair_eff.append((rh[rate] / rl[rate]) / (hi / lo))
+        r_lo = max(runs_lo, key=lambda r: r[rate])
+        r_hi = max(runs_hi, key=lambda r: r[rate])
+        eff = (r_hi[rate] / r_lo[rate]) / (hi / lo)
 
         eff_med = (
-            _median([r["pages_per_sec"] for r in runs_hi])
-            / _median([r["pages_per_sec"] for r in runs_lo])
+            _median([r[rate] for r in runs_hi])
+            / _median([r[rate] for r in runs_lo])
         ) / (hi / lo)
         print(json.dumps({
-            "metric": f"scaling_efficiency_{lo}_to_{hi}",
+            "metric": f"{metric}_{lo}_to_{hi}",
             "value": round(eff, 3),
             "unit": "ratio",
             "median_value": round(eff_med, 3),
@@ -289,9 +350,9 @@ def main() -> None:
             "median_pair": _median(pair_eff, 3),
             "reps": reps,
             "low": {"cpus": lo, **r_lo,
-                    "all_pages_per_sec": [r["pages_per_sec"] for r in runs_lo]},
+                    f"all_{rate}": [r[rate] for r in runs_lo]},
             "high": {"cpus": hi, **r_hi,
-                     "all_pages_per_sec": [r["pages_per_sec"] for r in runs_hi]},
+                     f"all_{rate}": [r[rate] for r in runs_hi]},
             "sf": _sf_of(SF_DIR),
         }))
         return
@@ -469,6 +530,9 @@ def main() -> None:
     try:
         if mode == "--pipeline-only":
             print(json.dumps(_bench_pipeline(spark)))
+            return
+        if mode == "--curation-only":
+            print(json.dumps(_bench_curation(spark)))
             return
         if mode == "--crawl-only":
             print(json.dumps(_bench_crawl(spark)))

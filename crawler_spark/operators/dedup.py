@@ -101,25 +101,56 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """Distinct word k-shingles per doc: (id, shingle). JVM-side:
-    lower/split/slide via ``transform`` over token index range."""
+def _shingle_array(text_col: str, k: int):
+    """Word k-shingle array expression (shared by the string and hashed
+    shingle ops). JVM-side: lower/split/slide via ``transform`` over the
+    token index range."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(toks) - F.lit(k - 1)
     # the n < 1 guard is load-bearing: Spark's sequence(0, -1) DESCENDS
     # ([0, -1]) instead of being empty, and the resulting slice(toks, 0,
     # k) throws at runtime — any real corpus has sub-k-token docs
-    sh = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - F.lit(1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
     )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (id, shingle)."""
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        df.select(
+            F.col(id_col), F.explode(_shingle_array(text_col, k)).alias("shingle")
+        )
         .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def word_shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct 64-bit shingle hashes per doc: (id, sb long).
+
+    The production minhash input: each shingle string is hashed ONCE
+    (``xxhash64``) right after the explode, so (a) the ``distinct``
+    exchange carries an 8-byte long instead of the raw shingle string,
+    and (b) the 64-hash signature family downstream derives from this
+    fixed-width base instead of re-reading the string 64 times —
+    at corpus scale the signature stage is memory-bandwidth-bound on
+    exactly that re-reading. Set-semantics are identical to
+    ``word_shingles`` up to 64-bit hash collisions (negligible for
+    minhash, which is itself an estimate)."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(_shingle_array(text_col, k)).alias("shingle")
+        )
+        .where(F.length("shingle") > 0)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sb"))
         .distinct()
     )
 
@@ -136,20 +167,48 @@ def minhash_signatures(
     (fast; Spark-only) to the md5-prefix hash both Spark and DuckDB
     evaluate identically — slower, but it makes the whole minhash-LSH
     pipeline value-checkable by the SQL oracle."""
-    def h(i: int):
-        if portable:
+    if portable:
+        def h(i: int):
             return F.conv(
                 F.substring(
                     F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15
                 ),
                 16, 10,
             ).cast("long")
-        return F.xxhash64(F.lit(i), F.col("shingle"))
 
-    aggs = [F.min(h(i)).alias(f"h{i}") for i in range(n_hashes)]
+        aggs = [F.min(h(i)).alias(f"h{i}") for i in range(n_hashes)]
+        sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
+        return (
+            shingles.groupBy(id_col)
+            .agg(*aggs)
+            .select(F.col(id_col), sig.alias("sig"))
+        )
+    # production: hash the string ONCE to a 64-bit base (materialized as
+    # a column so codegen cannot re-expand it into all 64 aggs), then
+    # derive the family from the fixed-width base — same signatures as
+    # minhash_signatures_from_hashes(word_shingle_hashes(...)).
+    based = shingles.select(
+        F.col(id_col), F.xxhash64("shingle").alias("sb")
+    )
+    return minhash_signatures_from_hashes(based, id_col, n_hashes)
+
+
+def minhash_signatures_from_hashes(
+    hashes: DataFrame, id_col: str = "doc_id", n_hashes: int = 64
+) -> DataFrame:
+    """(id, sig array<long>) from pre-hashed shingles (id, sb long).
+
+    Each family member is ``xxhash64(i, sb)`` — a fixed-width 12-byte
+    input, so the whole 64-way aggregation reads each shingle's bytes
+    once (in ``word_shingle_hashes``) instead of 64 times. One groupBy,
+    map-side partial min."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sb"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
     sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
     return (
-        shingles.groupBy(id_col)
+        hashes.groupBy(id_col)
         .agg(*aggs)
         .select(F.col(id_col), sig.alias("sig"))
     )
@@ -186,6 +245,12 @@ def lsh_candidate_pairs(
             return F.concat_ws("|", *cols)
         return F.xxhash64(*cols).cast("string")
 
+    # the signature table feeds THREE consumers (band explode + two
+    # agreement joins); a lazy localCheckpoint materializes the expensive
+    # 64-way aggregation exactly once (same pattern as
+    # topk.with_global_seq — GC-cleaned, partition ids frozen)
+    sigs = sigs.localCheckpoint(eager=False)
+
     bands = F.array(
         *[
             F.struct(
@@ -194,13 +259,17 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    # SLIM banding rows: (id, band, bhash) only. Carrying the 64-long
+    # signature arrays through the explode/window/self-join multiplies
+    # every band row (and every within-bucket join row — quadratic in
+    # bucket size) by ~0.5 KB and turns the stage memory-bandwidth
+    # bound; the agreement join below re-attaches signatures to the
+    # DEDUPED pairs instead, which is the small side of the funnel.
     exploded = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(bands).alias("b")
-    ).select(id_col, "sig", "b.band", "b.bhash")
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(id_col, "b.band", "b.bhash")
     if max_bucket_size is not None:
-        # window count over (band, bhash): one shuffle, no second scan of
-        # the expensive signature lineage (a groupBy+semi-join would
-        # re-evaluate the minhash aggregation for the sizes table)
+        # window count over (band, bhash): one shuffle over slim rows
         w = Window.partitionBy("band", "bhash")
         exploded = (
             exploded.withColumn("_bsz", F.count("*").over(w))
@@ -220,10 +289,15 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
     agree = F.size(
         F.filter(
@@ -231,9 +305,9 @@ def lsh_candidate_pairs(
             lambda v: v,
         )
     )
-    return pairs.withColumn(
-        "est_jaccard", agree / F.lit(n_hashes)
-    ).drop("sig_a", "sig_b")
+    return pairs.select(
+        "id_a", "id_b", (agree / F.lit(n_hashes)).alias("est_jaccard")
+    )
 
 
 def minhash_dedup(
@@ -252,11 +326,20 @@ def minhash_dedup(
     Run ``dedup_exact`` first — see the mega-bucket caveat on
     ``lsh_candidate_pairs`` (``max_bucket_size`` passes through);
     ``portable=True`` uses the SQL-reproducible hash family (oracle
-    checkable, slower)."""
-    sh = word_shingles(df, id_col, text_col, k)
-    sigs = minhash_signatures(
-        sh, id_col, n_bands * rows_per_band, portable=portable
-    )
+    checkable, slower). Production shingles travel pre-hashed
+    (``word_shingle_hashes``): the distinct exchange and the 64-way
+    signature aggregation both work on 8-byte longs, never re-reading
+    shingle strings."""
+    if portable:
+        sh = word_shingles(df, id_col, text_col, k)
+        sigs = minhash_signatures(
+            sh, id_col, n_bands * rows_per_band, portable=True
+        )
+    else:
+        sh = word_shingle_hashes(df, id_col, text_col, k)
+        sigs = minhash_signatures_from_hashes(
+            sh, id_col, n_bands * rows_per_band
+        )
     return lsh_candidate_pairs(
         sigs, id_col, n_bands, rows_per_band, max_bucket_size,
         portable=portable,

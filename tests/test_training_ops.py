@@ -497,6 +497,40 @@ def test_simhash_chunk_scaling_hamming4(spark):
     assert got == want  # exact: banding recall + bit_count verification
 
 
+def test_minhash_hashed_shingle_path_equivalence(spark):
+    """The pre-hashed production path (word_shingle_hashes +
+    minhash_signatures_from_hashes) yields byte-identical signatures to
+    minhash_signatures(word_shingles(...)) — the string path derives the
+    same family from the same xxhash64 base, it just reads each shingle
+    string once instead of once per family member."""
+    from crawler_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_from_hashes,
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely here now"),
+        (4, "short"),  # sub-k-token doc: empty shingle set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_str = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(word_shingles(df), n_hashes=16).collect()
+    }
+    via_hash = {
+        r.doc_id: r.sig
+        for r in minhash_signatures_from_hashes(
+            word_shingle_hashes(df), n_hashes=16
+        ).collect()
+    }
+    assert via_str == via_hash
+    assert set(via_str) == {1, 2, 3}  # doc 4 has no shingles
+
+
 def test_lsh_mega_bucket_guard(spark):
     """A degenerate bucket (many identical docs) is skipped at cap, but
     identical pairs still surface through their other (identical) bands
