@@ -23,7 +23,15 @@ Other modes: ``--snapshot-sweep`` (frontier snapshot-interval trade),
 ``--maintenance`` (log compaction + snapshot pruning hygiene),
 ``--curation-scale`` (guarded near-dup chain at 1x vs 8x corpus —
 training-tier amortization evidence), ``--scaling-curation`` (the
-interleaved-pair N vs 4N protocol applied to the curation chain).
+interleaved-pair N vs 4N protocol applied to the curation chain),
+``--frontier-scale`` (per-URL round cost at n vs 4n frontier URLs).
+
+Both scaling modes append two CONTROLS to their JSON: a pure-ALU JVM
+codegen pair (the single-JVM thread-scaling ceiling of the box) and an
+OS-process fixed-work pair (the machine ceiling, ~1.0 when quiet).
+``plan_relative_efficiency`` = median efficiency / JVM control — how
+much scaling the PLAN loses beyond the substrate, which is the number
+that transfers to a real multi-node cluster.
 """
 
 from __future__ import annotations
@@ -287,6 +295,173 @@ def _bench_curation(spark, replicate: int | None = None) -> dict:
     }
 
 
+def _bench_frontier(spark, n_urls: int) -> dict:
+    """One crawl round's FRONTIER-side operators over a synthetic n-URL
+    frontier: cooldown anti-join → per-host budget top-k (salted) →
+    global crawl order → bloom-prefiltered discovery dedup → frontier
+    merge (min-struct first-occurrence). No fetch/extract — this
+    isolates the work whose cost is governed by frontier SIZE, which is
+    what the north rule's 10^10-URL figure is about. ``--frontier-scale``
+    runs it at two sizes in one JVM and compares per-URL cost: a flat
+    per-URL cost means the frontier ops are data-bound (linear), so a
+    10^10-row frontier is an executor-count problem, not an algorithmic
+    one. Uses the same operators the driver round loop calls
+    (``topk_per_group``, ``with_global_seq``, ``filter_unseen_via``).
+
+    URL universe: id → ``http://h{hash(id)%n_hosts}.frontier.test/p{id}``
+    with a hot host taking ~10% of ids (the skew the salted top-k
+    exists for). Frontier = ids [0, n); previously-crawled = ids
+    [n, 1.25n) (the bloom build side, built outside the timed window
+    like the carried-over filter it models); this round's discoveries =
+    ids [n, 1.5n) with the first half already seen, plus a 25% re-
+    discovery overlap so the merge dedup does real work."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.seen import BloomSeenSet, filter_unseen_via
+    from crawler_spark.operators.topk import topk_per_group, with_global_seq
+
+    n_hosts = max(64, n_urls // 256)
+
+    def urls_of(ids, seq_offset: int = 0):
+        host = F.concat(
+            F.lit("h"),
+            F.when(F.pmod("id", F.lit(10)) == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_hosts))),
+            F.lit(".frontier.test"),
+        )
+        return ids.select(
+            F.concat(F.lit("http://"), host, F.lit("/p"), F.col("id"))
+            .alias("url"),
+            host.alias("host"),
+            (F.col("id") % 5).cast("int").alias("disc_round"),
+            (F.col("id") + seq_offset).cast("long").alias("disc_seq"),
+        )
+
+    frontier = (
+        urls_of(spark.range(n_urls)).repartition(128, "url").cache()
+    )
+    n_frontier = frontier.count()  # synthesis excluded from timing
+
+    seen = (
+        urls_of(spark.range(n_urls, n_urls + n_urls // 4))
+        .select("url").repartition(64, "url").cache()
+    )
+    seen.count()
+    # the seen filter is carried over from prior rounds in a real crawl,
+    # so its build cost is rightly outside the timed round
+    bloom = BloomSeenSet.build(seen, n_buckets=64, m_bits=1 << 21)
+    bloom.blooms.persist().count()
+
+    disc_ids = spark.range(n_urls, n_urls + n_urls // 2).unionAll(
+        spark.range(n_urls, n_urls + n_urls // 8)  # re-discoveries
+    )
+    discoveries = urls_of(disc_ids, seq_offset=n_urls).repartition(
+        128, "url"
+    ).cache()
+    n_disc = discoveries.count()
+
+    cooldown = spark.createDataFrame(
+        [(f"h{i}.frontier.test",) for i in range(1, 6)], "host string"
+    )
+    budgets = spark.createDataFrame(
+        [("h0.frontier.test", 2048)], "host string, _bk int"
+    )
+
+    t0 = time.perf_counter()
+    eligible = frontier.join(F.broadcast(cooldown), "host", "left_anti")
+    eligible = eligible.join(F.broadcast(budgets), "host", "left").withColumn(
+        "_k", F.coalesce(F.col("_bk"), F.lit(64))
+    )
+    scheduled = topk_per_group(
+        eligible, ["host"], ["disc_round", "disc_seq"], F.col("_k"), salt=8
+    ).drop("_bk", "_k", "_rank")
+    scheduled, n_sched = with_global_seq(
+        scheduled, ["disc_round", "disc_seq"], out="seq", return_count=True
+    )
+    fresh = filter_unseen_via(bloom, discoveries, exact_seen=seen)
+    merged = (
+        frontier.join(scheduled.select("url"), "url", "left_anti")
+        .unionByName(fresh)
+        .groupBy("url")
+        .agg(F.min(F.struct("disc_round", "disc_seq", "host")).alias("s"))
+        .select("url", "s.*")
+    )
+    n_merged = merged.count()
+    dt = time.perf_counter() - t0
+
+    frontier.unpersist()
+    seen.unpersist()
+    discoveries.unpersist()
+    bloom.blooms.unpersist()
+    rows = n_frontier + n_disc
+    return {
+        "sec": round(dt, 3),
+        "frontier": n_frontier,
+        "discoveries": n_disc,
+        "rows": rows,
+        "scheduled": n_sched,
+        "merged_frontier": n_merged,
+        "urls_per_sec": round(rows / dt, 1),
+        "us_per_url": round(dt / rows * 1e6, 3),
+    }
+
+
+def _bench_compute_control(spark) -> dict:
+    """Pure-ALU codegen control: ``bit_xor(xxhash64(...))`` over a range
+    — zero shuffle, zero python, zero I/O, embarrassingly parallel. Its
+    N→4N efficiency is the single-JVM THREAD-scaling ceiling of this box
+    (measured ~0.55-0.8 depending on window, while the same box scales
+    separate OS processes at ~1.0 — see ``_process_ceiling``): a chain
+    whose efficiency matches this control loses nothing to its own plan
+    (shuffles, barriers, skew); the gap to 1.0 is the virtualized
+    single-JVM substrate, which a real multi-node cluster (one JVM per
+    node on its own silicon) does not share."""
+    from pyspark.sql import functions as F
+
+    n = 1_500_000_000
+    df = spark.range(0, n, 1, 128)
+    df.select(F.bit_xor(F.xxhash64("id"))).collect()  # warm codegen
+    t0 = time.perf_counter()
+    df.select(
+        F.bit_xor(F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") + 2))
+    ).collect()
+    dt = time.perf_counter() - t0
+    return {"sec": round(dt, 3), "rows": n}
+
+
+def _process_ceiling(lo: int, hi: int) -> dict:
+    """OS-process scaling control: ``hi`` identical fixed-work python
+    processes vs ``lo`` of them. Per-process slowdown at the high level
+    is the machine-level ceiling (co-tenant load, bandwidth) shared by
+    ANY parallelism; ~1.0 here + a lower JVM control = the gap is
+    JVM-thread-specific, not machine saturation."""
+    import multiprocessing
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(30_000_000):
+            x ^= i * 2654435761
+        q.put(time.perf_counter() - t0)
+
+    per = {}
+    for n in (lo, hi):
+        q = multiprocessing.Queue()
+        ps = [
+            multiprocessing.Process(target=burn, args=(q,)) for _ in range(n)
+        ]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        times = [q.get() for _ in ps]
+        per[n] = sum(times) / len(times)
+    return {
+        "per_proc_sec": {str(n): round(t, 3) for n, t in per.items()},
+        "ceiling": round(per[lo] / per[hi], 3),
+    }
+
+
 def _run_sub(mode: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -332,6 +507,14 @@ def main() -> None:
             runs_lo.append(rl)
             runs_hi.append(rh)
             pair_eff.append((rh[rate] / rl[rate]) / (hi / lo))
+        # controls (same session, right after the measured pairs): the
+        # JVM thread-scaling ceiling and the OS-process ceiling of this
+        # box, so the headline efficiency can be read against what ANY
+        # plan could have achieved here (see _bench_compute_control)
+        ctl_lo = _run_sub("--compute-control", lo)
+        ctl_hi = _run_sub("--compute-control", hi)
+        control_eff = (ctl_lo["sec"] / ctl_hi["sec"]) / (hi / lo)
+        proc_ceiling = _process_ceiling(lo, hi)
         r_lo = max(runs_lo, key=lambda r: r[rate])
         r_hi = max(runs_hi, key=lambda r: r[rate])
         eff = (r_hi[rate] / r_lo[rate]) / (hi / lo)
@@ -348,6 +531,12 @@ def main() -> None:
             "pair_efficiencies": [round(e, 3) for e in pair_eff],
             "best_pair": round(max(pair_eff), 3),
             "median_pair": _median(pair_eff, 3),
+            "jvm_control_efficiency": round(control_eff, 3),
+            "jvm_control_sec": {str(lo): ctl_lo["sec"],
+                                str(hi): ctl_hi["sec"]},
+            "plan_relative_efficiency": round(eff_med / control_eff, 3)
+            if control_eff else None,
+            "process_ceiling": proc_ceiling,
             "reps": reps,
             "low": {"cpus": lo, **r_lo,
                     f"all_{rate}": [r[rate] for r in runs_lo]},
@@ -498,6 +687,37 @@ def main() -> None:
             spark.stop()
         return
 
+    if mode == "--frontier-scale":
+        # frontier-SIZE scaling: the same round ops at n and 4n URLs in
+        # one JVM; per-URL cost ratio ≥ ~1 means the frontier operators
+        # are linear in frontier size — the property that lets the
+        # 10^10-URL frontier claim reduce to executor count. Each size
+        # runs twice (min reported, both emitted) under host noise.
+        n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+        spark = _spark(CPUS)
+        try:
+            _bench_frontier(spark, max(20_000, n_lo // 32))  # warmup
+            levels = {}
+            for n in (n_lo, n_lo * factor):
+                runs = [_bench_frontier(spark, n) for _ in range(2)]
+                best = min(runs, key=lambda r: r["sec"])
+                best["all_sec"] = [r["sec"] for r in runs]
+                levels[str(n)] = best
+            lo, hi = levels[str(n_lo)], levels[str(n_lo * factor)]
+            ratio = lo["us_per_url"] / hi["us_per_url"]
+            print(json.dumps({
+                "metric": f"frontier_per_url_cost_ratio_{factor}x",
+                "value": round(ratio, 3),
+                "unit": "ratio_lo_over_hi",
+                "levels": levels,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+            }))
+        finally:
+            spark.stop()
+        return
+
     if mode == "--snapshot-sweep":
         # frontier_snapshot_every trade: each interval crawls the same
         # mini-web twice (best-of-2 under host noise); in between
@@ -533,6 +753,9 @@ def main() -> None:
             return
         if mode == "--curation-only":
             print(json.dumps(_bench_curation(spark)))
+            return
+        if mode == "--compute-control":
+            print(json.dumps(_bench_compute_control(spark)))
             return
         if mode == "--crawl-only":
             print(json.dumps(_bench_crawl(spark)))

@@ -214,6 +214,40 @@ def minhash_signatures_from_hashes(
     )
 
 
+def collapse_identical_signatures(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a signature table into one REPRESENTATIVE row per distinct
+    signature (the min id) plus (id, rep_id) membership edges for the
+    collapsed docs.
+
+    Near-boilerplate cliques — docs that survive ``dedup_exact`` on
+    trivial byte differences but share their whole shingle set — carry
+    IDENTICAL minhash signatures, and candidate-pair generation is a
+    pure function of the signature: banding such a clique is quadratic
+    inside every band bucket while adding zero information. Collapsing
+    first makes the clique LINEAR (a star to its representative, each
+    edge a true ``est_jaccard`` of 1.0) and shrinks the banding input by
+    the clique factor. Connectivity is preserved exactly: members share
+    their representative's signature, so any cross-clique pair the full
+    banding would find is found between the representatives. This is the
+    signature-level twin of running ``dedup_exact`` before LSH — the
+    two guards a 100 TB boilerplate-heavy corpus needs.
+
+    Cost: one groupBy + one join keyed on the signature array, in place
+    of banding's 16× row explode over the collapsed docs — a win
+    whenever identical-signature groups exist, noise otherwise.
+    """
+    grouped = sigs.groupBy("sig").agg(F.min(id_col).alias("_rep"))
+    reps = grouped.select(F.col("_rep").alias(id_col), "sig")
+    members = (
+        sigs.join(grouped, "sig")
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col), F.col("_rep").alias("rep_id"))
+    )
+    return reps, members
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -320,6 +354,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     max_bucket_size: int | None = 10000,
     portable: bool = False,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pairs with est_jaccard ≥ threshold.
 
@@ -329,7 +364,17 @@ def minhash_dedup(
     checkable, slower). Production shingles travel pre-hashed
     (``word_shingle_hashes``): the distinct exchange and the 64-way
     signature aggregation both work on 8-byte longs, never re-reading
-    shingle strings."""
+    shingle strings.
+
+    ``collapse_identical=True`` routes identical-signature groups around
+    the banding join (:func:`collapse_identical_signatures`): the result
+    is a CONNECTIVITY-EQUIVALENT pair set — same transitive closure,
+    same clusters — in which a collapsed clique appears as a star to its
+    representative (est_jaccard exactly 1.0) instead of all C(n,2)
+    pairs, and the representative alone carries the clique into banding.
+    Default off: this operator's standalone contract (and its oracle) is
+    the full bucket-cooccurrence pair set; the curation chain — where
+    pairs only feed connected components — turns it on."""
     if portable:
         sh = word_shingles(df, id_col, text_col, k)
         sigs = minhash_signatures(
@@ -340,6 +385,23 @@ def minhash_dedup(
         sigs = minhash_signatures_from_hashes(
             sh, id_col, n_bands * rows_per_band
         )
+    if collapse_identical:
+        # the sig table feeds the collapse groupBy AND join — freeze the
+        # expensive 64-way aggregation once (lazy; GC-cleaned)
+        sigs = sigs.localCheckpoint(eager=False)
+        reps, members = collapse_identical_signatures(sigs, id_col)
+        rep_pairs = lsh_candidate_pairs(
+            reps, id_col, n_bands, rows_per_band, max_bucket_size,
+            portable=portable,
+        )
+        member_pairs = members.select(
+            F.col("rep_id").alias("id_a"),  # rep = group min, so id_a < id_b
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+        return rep_pairs.where(
+            F.col("est_jaccard") >= threshold
+        ).unionByName(member_pairs)
     return lsh_candidate_pairs(
         sigs, id_col, n_bands, rows_per_band, max_bucket_size,
         portable=portable,
@@ -680,11 +742,20 @@ def near_dup_curation(
     chain is one Catalyst plan (no materialization between stages). The
     unguarded defaults on the individual operators exist for their exact
     contracts + oracles; this composition is the scale path.
+
+    The production path (``portable=False``) also collapses
+    identical-signature groups before banding
+    (:func:`collapse_identical_signatures`) — connectivity-equivalent,
+    so clusters and survivors are identical to the full pair set (test-
+    asserted), with near-boilerplate cliques costing O(n) instead of
+    O(n²). The portable path keeps full banding because its DuckDB
+    oracle mirrors the full bucket-cooccurrence SQL.
     """
     unique = dedup_exact(df, id_col, text_col)
     pairs = minhash_dedup(
         unique, id_col, text_col, k, n_bands, rows_per_band,
         threshold, max_bucket_size, portable,
+        collapse_identical=not portable,
     )
     dup_ids = (
         dedup_clusters(pairs)

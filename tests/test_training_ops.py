@@ -531,6 +531,92 @@ def test_minhash_hashed_shingle_path_equivalence(spark):
     assert set(via_str) == {1, 2, 3}  # doc 4 has no shingles
 
 
+def test_minhash_collapse_identical_connectivity_equivalence(spark):
+    """collapse_identical=True yields the SAME transitive closure (same
+    clusters, same curation survivors) as the full bucket-cooccurrence
+    pair set — collapsed cliques appear as stars at est_jaccard 1.0.
+
+    The identical-signature docs here are case/whitespace variants:
+    different bytes (so dedup_exact keeps them) but identical lowercased
+    token streams, hence identical shingle sets and signatures — the
+    boilerplate shape the collapse exists for."""
+    from crawler_spark.operators.dedup import dedup_clusters, minhash_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta"),
+        (3, "alpha  beta   gamma delta epsilon zeta eta theta"),
+        (4, "alpha beta gamma delta epsilon zeta eta iota"),
+        (5, "completely different content words entirely unrelated here"),
+        (6, "another separate document with its own vocabulary okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.2, n_bands=8, rows_per_band=2)
+    full = minhash_dedup(df, **kw)
+    coll = minhash_dedup(df, collapse_identical=True, **kw)
+
+    closure_full = {
+        (r.node, r.canon_id) for r in dedup_clusters(full).collect()
+    }
+    closure_coll = {
+        (r.node, r.canon_id) for r in dedup_clusters(coll).collect()
+    }
+    assert closure_full == closure_coll
+    assert {(1, 1), (2, 1), (3, 1), (4, 1)} <= closure_coll
+
+    coll_rows = coll.collect()
+    full_pairs = {(r.id_a, r.id_b) for r in full.collect()}
+    # star edges to the group representative, exact 1.0; every collapsed
+    # pair the full path also finds (no invented pairs beyond the stars)
+    stars = {(r.id_a, r.id_b) for r in coll_rows if r.est_jaccard == 1.0}
+    assert {(1, 2), (1, 3)} <= stars
+    assert {(r.id_a, r.id_b) for r in coll_rows} <= full_pairs | stars
+
+
+def test_curation_collapse_survivors_equal(spark):
+    """near_dup_curation (production path: collapse ON) keeps exactly the
+    docs the full-pair chain keeps."""
+    from crawler_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_exact,
+        minhash_dedup,
+        near_dup_curation,
+    )
+    from pyspark.sql import functions as F
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet colors rainbow sky",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for variant in (b, b.upper(), b + " tail", b.replace(" ", "  ")):
+            rows.append((did, variant))
+            did += 1
+    rows.append((did, "totally unrelated lone document stands alone fine"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(k=3, n_bands=8, rows_per_band=2, threshold=0.3)
+    got = sorted(
+        r.doc_id
+        for r in near_dup_curation(df, max_bucket_size=10000, **kw).collect()
+    )
+    unique = dedup_exact(df)
+    pairs = minhash_dedup(unique, max_bucket_size=10000, **kw)
+    dup_ids = (
+        dedup_clusters(pairs)
+        .where(F.col("is_dup"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    want = sorted(
+        r.doc_id for r in unique.join(dup_ids, "doc_id", "left_anti")
+        .select("doc_id").collect()
+    )
+    assert got == want
+
+
 def test_lsh_mega_bucket_guard(spark):
     """A degenerate bucket (many identical docs) is skipped at cap, but
     identical pairs still surface through their other (identical) bands
