@@ -859,6 +859,28 @@ def q_corpus_near_dedup_portable(spark, sf):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_minhash_collapse_portable(spark, sf):
+    """MinHash-LSH with identical-signature COLLAPSE
+    (`collapse_identical_signatures`): groups sharing a whole signature
+    become a star to their min-id representative (est_jaccard exactly
+    1.0) and only the representatives enter banding — the O(n) route
+    around quadratic boilerplate cliques that `near_dup_curation`'s
+    production path uses. The oracle reproduces the identical pair set:
+    the portable signature CTEs from `minhash_portable`, a signature-key
+    group-by for the stars, and banding/agreement restricted to the
+    representatives."""
+    from crawler_spark.operators.dedup import minhash_dedup
+
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
+    pairs = minhash_dedup(
+        d, threshold=0.4, portable=True, collapse_identical=True
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("est_jaccard", 6).cast("double").alias("est_jaccard"),
+    )
+
+
 def q_simhash_sigs(spark, sf):
     from crawler_spark.operators.dedup import simhash_signatures
 
@@ -1294,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs_portable": q_lsh_pairs_portable,
         "ivf_portable": q_ivf_portable,
         "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
+        "minhash_collapse_portable": q_minhash_collapse_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2269,6 +2292,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_chars FROM uniq
             WHERE doc_id NOT IN (SELECT node FROM dups)
+        """,
+        # identical-signature collapse: signature-key group-by → stars
+        # to the min-id representative at est_jaccard 1.0; banding and
+        # agreement run over the REPRESENTATIVES only (same portable
+        # signature CTEs as minhash_portable)
+        "minhash_collapse_portable": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                FROM documents WHERE doc_id < 300
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(l) - 1),
+                                       i -> array_to_string(l[i:i+2], ' '))
+                              END) AS shingle
+                FROM toks
+            ), sh AS (
+                SELECT doc_id, shingle FROM shingles
+                WHERE length(shingle) > 0
+            ), hx AS (
+                SELECT doc_id, t.i,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                    substr(md5(t.i || '|' || shingle), j, 1))
+                                 - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM sh CROSS JOIN range(0, 64) AS t(i)
+            ), sigs AS (
+                SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2
+            ), sigkey AS (
+                SELECT doc_id, string_agg(mh, '|' ORDER BY i) AS skey
+                FROM sigs GROUP BY 1
+            ), grp AS (
+                SELECT skey, min(doc_id) AS rep FROM sigkey GROUP BY 1
+            ), stars AS (
+                SELECT g.rep AS id_a, s.doc_id AS id_b,
+                       CAST(1.0 AS DOUBLE) AS est_jaccard
+                FROM sigkey s JOIN grp g ON s.skey = g.skey
+                WHERE s.doc_id <> g.rep
+            ), bands AS (
+                SELECT s.doc_id, s.i // 4 AS band,
+                       string_agg(s.mh, '|' ORDER BY s.i) AS bkey
+                FROM sigs s JOIN grp g ON s.doc_id = g.rep
+                GROUP BY 1, 2
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+            ), agree AS (
+                SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                           AS n_agree
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(round(n_agree / 64.0, 6) AS DOUBLE) AS est_jaccard
+            FROM agree WHERE n_agree / 64.0 >= 0.4
+            UNION ALL
+            SELECT id_a, id_b, est_jaccard FROM stars
         """,
         # portable centroid pick (lowest 16 vec_ids) makes assignment,
         # probe selection and the in-cell exact top-k SQL-reproducible
