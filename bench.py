@@ -313,8 +313,10 @@ def _bench_frontier(spark, n_urls: int) -> dict:
     exists for). Frontier = ids [0, n); previously-crawled = ids
     [n, 1.25n) (the bloom build side, built outside the timed window
     like the carried-over filter it models); this round's discoveries =
-    ids [n, 1.5n) with the first half already seen, plus a 25% re-
-    discovery overlap so the merge dedup does real work."""
+    ids [n, 1.5n) with the first half already seen, plus a second copy
+    of the UNSEEN band [1.25n, 1.375n) — duplicates that survive the
+    seen filter, so the merge's min-struct dedup aggregates real
+    multi-row groups."""
     from pyspark.sql import functions as F
 
     from crawler_spark.operators.seen import BloomSeenSet, filter_unseen_via
@@ -353,7 +355,10 @@ def _bench_frontier(spark, n_urls: int) -> dict:
     bloom.blooms.persist().count()
 
     disc_ids = spark.range(n_urls, n_urls + n_urls // 2).unionAll(
-        spark.range(n_urls, n_urls + n_urls // 8)  # re-discoveries
+        # re-discoveries drawn from the UNSEEN band: both copies pass
+        # the seen filter and meet in the merge dedup (ids in the seen
+        # band would be dropped before the merge and exercise nothing)
+        spark.range(n_urls + n_urls // 4, n_urls + n_urls * 3 // 8)
     )
     discoveries = urls_of(disc_ids, seq_offset=n_urls).repartition(
         128, "url"
@@ -378,6 +383,11 @@ def _bench_frontier(spark, n_urls: int) -> dict:
     scheduled, n_sched = with_global_seq(
         scheduled, ["disc_round", "disc_seq"], out="seq", return_count=True
     )
+    # consume the seq column with an aggregate, as the fetch phase
+    # consumes the ordered batch: merged below only reads `url`, and
+    # without this Catalyst prunes the global-order window out of the
+    # timed plan entirely
+    seq_hi = scheduled.agg(F.max("seq")).collect()[0][0]
     fresh = filter_unseen_via(bloom, discoveries, exact_seen=seen)
     merged = (
         frontier.join(scheduled.select("url"), "url", "left_anti")
@@ -400,6 +410,7 @@ def _bench_frontier(spark, n_urls: int) -> dict:
         "discoveries": n_disc,
         "rows": rows,
         "scheduled": n_sched,
+        "seq_hi": seq_hi,
         "merged_frontier": n_merged,
         "urls_per_sec": round(rows / dt, 1),
         "us_per_url": round(dt / rows * 1e6, 3),
@@ -418,15 +429,31 @@ def _bench_compute_control(spark) -> dict:
     node on its own silicon) does not share."""
     from pyspark.sql import functions as F
 
+    def q(df):
+        return df.select(
+            F.bit_xor(
+                F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") + 2)
+            )
+        )
+
     n = 1_500_000_000
-    df = spark.range(0, n, 1, 128)
-    df.select(F.bit_xor(F.xxhash64("id"))).collect()  # warm codegen
+    # warm with the IDENTICAL expression (small range, same generated
+    # code → codegen cache hit) so neither timed run pays compilation
+    q(spark.range(0, 10_000_000, 1, 128)).collect()
     t0 = time.perf_counter()
-    df.select(
-        F.bit_xor(F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") + 2))
-    ).collect()
+    q(spark.range(0, n, 1, 128)).collect()
     dt = time.perf_counter() - t0
     return {"sec": round(dt, 3), "rows": n}
+
+
+def _burn_fixed_work(q) -> None:
+    """Fixed-work loop for :func:`_process_ceiling` (module-level so the
+    target is picklable under spawn/forkserver start methods)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(30_000_000):
+        x ^= i * 2654435761
+    q.put(time.perf_counter() - t0)
 
 
 def _process_ceiling(lo: int, hi: int) -> dict:
@@ -437,24 +464,27 @@ def _process_ceiling(lo: int, hi: int) -> dict:
     JVM-thread-specific, not machine saturation."""
     import multiprocessing
 
-    def burn(q):
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(30_000_000):
-            x ^= i * 2654435761
-        q.put(time.perf_counter() - t0)
-
     per = {}
     for n in (lo, hi):
         q = multiprocessing.Queue()
         ps = [
-            multiprocessing.Process(target=burn, args=(q,)) for _ in range(n)
+            multiprocessing.Process(target=_burn_fixed_work, args=(q,))
+            for _ in range(n)
         ]
         for p in ps:
             p.start()
+        times = []
         for p in ps:
-            p.join()
-        times = [q.get() for _ in ps]
+            # bounded drain BEFORE join: a killed child (OOM) leaves
+            # fewer queue items than processes; never block forever
+            try:
+                times.append(q.get(timeout=300))
+            except Exception:
+                break
+        for p in ps:
+            p.join(timeout=30)
+        if not times:
+            return {"per_proc_sec": {}, "ceiling": None}
         per[n] = sum(times) / len(times)
     return {
         "per_proc_sec": {str(n): round(t, 3) for n, t in per.items()},
@@ -510,10 +540,18 @@ def main() -> None:
         # controls (same session, right after the measured pairs): the
         # JVM thread-scaling ceiling and the OS-process ceiling of this
         # box, so the headline efficiency can be read against what ANY
-        # plan could have achieved here (see _bench_compute_control)
-        ctl_lo = _run_sub("--compute-control", lo)
-        ctl_hi = _run_sub("--compute-control", hi)
-        control_eff = (ctl_lo["sec"] / ctl_hi["sec"]) / (hi / lo)
+        # plan could have achieved here (see _bench_compute_control).
+        # Control pairs get the SAME replication protocol as the
+        # measured pairs — interleaved lo/hi per rep, median pair
+        # reported — so the normalizer is no noisier than the numerator
+        ctl_pairs, ctl_lo_secs, ctl_hi_secs = [], [], []
+        for _ in range(reps):
+            ctl_lo = _run_sub("--compute-control", lo)
+            ctl_hi = _run_sub("--compute-control", hi)
+            ctl_lo_secs.append(ctl_lo["sec"])
+            ctl_hi_secs.append(ctl_hi["sec"])
+            ctl_pairs.append((ctl_lo["sec"] / ctl_hi["sec"]) / (hi / lo))
+        control_eff = _median(ctl_pairs, 4)
         proc_ceiling = _process_ceiling(lo, hi)
         r_lo = max(runs_lo, key=lambda r: r[rate])
         r_hi = max(runs_hi, key=lambda r: r[rate])
@@ -532,8 +570,9 @@ def main() -> None:
             "best_pair": round(max(pair_eff), 3),
             "median_pair": _median(pair_eff, 3),
             "jvm_control_efficiency": round(control_eff, 3),
-            "jvm_control_sec": {str(lo): ctl_lo["sec"],
-                                str(hi): ctl_hi["sec"]},
+            "jvm_control_pairs": [round(e, 3) for e in ctl_pairs],
+            "jvm_control_sec": {str(lo): ctl_lo_secs,
+                                str(hi): ctl_hi_secs},
             "plan_relative_efficiency": round(eff_med / control_eff, 3)
             if control_eff else None,
             "process_ceiling": proc_ceiling,

@@ -367,11 +367,18 @@ def minhash_dedup(
     shingle strings.
 
     ``collapse_identical=True`` routes identical-signature groups around
-    the banding join (:func:`collapse_identical_signatures`): the result
-    is a CONNECTIVITY-EQUIVALENT pair set — same transitive closure,
-    same clusters — in which a collapsed clique appears as a star to its
-    representative (est_jaccard exactly 1.0) instead of all C(n,2)
-    pairs, and the representative alone carries the clique into banding.
+    the banding join (:func:`collapse_identical_signatures`): a
+    collapsed clique appears as a star to its representative
+    (est_jaccard exactly 1.0) instead of all C(n,2) pairs, and the
+    representative alone carries the clique into banding. While
+    ``max_bucket_size`` does not bind, the pair set is
+    CONNECTIVITY-EQUIVALENT to the full path — same transitive closure,
+    same clusters. When a clique EXCEEDS the cap the two paths diverge,
+    in the collapse path's favor: the full path drops every band bucket
+    the clique floods and so loses the whole clique (the documented
+    identical-doc caveat on :func:`lsh_candidate_pairs`), while the
+    collapse path keeps it — star edges never enter banding, and the
+    lone representative shrinks its buckets back under the cap.
     Default off: this operator's standalone contract (and its oracle) is
     the full bucket-cooccurrence pair set; the curation chain — where
     pairs only feed connected components — turns it on."""
@@ -745,11 +752,18 @@ def near_dup_curation(
 
     The production path (``portable=False``) also collapses
     identical-signature groups before banding
-    (:func:`collapse_identical_signatures`) — connectivity-equivalent,
-    so clusters and survivors are identical to the full pair set (test-
-    asserted), with near-boilerplate cliques costing O(n) instead of
-    O(n²). The portable path keeps full banding because its DuckDB
-    oracle mirrors the full bucket-cooccurrence SQL.
+    (:func:`collapse_identical_signatures`): while ``max_bucket_size``
+    does not bind, clusters and survivors are identical to the full
+    pair set (test-asserted), with near-boilerplate cliques costing
+    O(n) instead of O(n²). For a clique LARGER than the cap the paths
+    deliberately diverge: full banding loses the whole clique to the
+    bucket guard (every one of its buckets floods — the documented
+    identical-doc caveat), so the old production chain KEPT all copies
+    of over-cap boilerplate; the collapse path still removes them —
+    star edges bypass banding and the lone representative fits under
+    the cap (test-asserted with a clique 2× the cap). The portable path
+    keeps full banding because its DuckDB oracle mirrors the full
+    bucket-cooccurrence SQL.
     """
     unique = dedup_exact(df, id_col, text_col)
     pairs = minhash_dedup(

@@ -617,6 +617,43 @@ def test_curation_collapse_survivors_equal(spark):
     assert got == want
 
 
+def test_collapse_keeps_over_cap_clique(spark):
+    """When an identical-signature clique EXCEEDS max_bucket_size the
+    paths deliberately diverge in the collapse path's favor: full
+    banding loses the whole clique to the bucket guard (its documented
+    identical-doc caveat), while the collapse path removes the
+    duplicates — stars bypass banding and the lone representative fits
+    under the cap. This pins the behavior the docstrings promise for
+    over-cap boilerplate; equivalence only holds while the cap does not
+    bind (see test_minhash_collapse_identical_connectivity_equivalence)."""
+    from crawler_spark.operators.dedup import (
+        minhash_dedup,
+        near_dup_curation,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variants = [base, base.upper(), base.title(), base.replace(" ", "  "),
+                base.replace(" ", "\t"), base.upper().replace(" ", "  "),
+                base.title().replace(" ", "  "), base.replace(" ", "   ")]
+    rows = [(i, v) for i, v in enumerate(variants)]  # 8-doc sig clique
+    rows.append((100, "totally unrelated lone document stands alone fine"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=3, n_bands=8, rows_per_band=2, threshold=0.3)
+
+    full = minhash_dedup(df, max_bucket_size=4, **kw)
+    assert full.count() == 0  # cap floods every bucket: clique lost
+
+    coll = minhash_dedup(df, max_bucket_size=4, collapse_identical=True, **kw)
+    stars = {(r.id_a, r.id_b) for r in coll.collect()}
+    assert stars == {(0, i) for i in range(1, 8)}
+
+    kept = sorted(
+        r.doc_id
+        for r in near_dup_curation(df, max_bucket_size=4, **kw).collect()
+    )
+    assert kept == [0, 100]
+
+
 def test_lsh_mega_bucket_guard(spark):
     """A degenerate bucket (many identical docs) is skipped at cap, but
     identical pairs still surface through their other (identical) bands
