@@ -825,6 +825,42 @@ def q_ivf_portable(spark, sf):
     )
 
 
+def q_semantic_dedup_portable(spark, sf):
+    """SemDeDup (Abbas et al. 2023) with the PORTABLE centroid pick (16
+    lowest vec_ids): cell assignment → within-cell cosine pairs ≥ 0.35 →
+    connected-components closure → min-id survivors, all reproduced in
+    SQL (the `ivf_portable` assignment subquery + the `dedup_clusters`
+    recursive CTE). Gated to vec_id < 400 for oracle tractability;
+    production is `semantic_dedup_ann` (hash-sampled centroids,
+    rows-only). Same assignment-tie caveat as `ivf_portable`."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import semantic_dedup
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id").where(
+        F.col("vec_id") < 400
+    )
+    cent_rows = e.where("vec_id < 16").orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return semantic_dedup(e, threshold=0.35, centroids=cents).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
+def q_semantic_dedup_ann(spark, sf):
+    """Production SemDeDup over the full embeddings table: deterministic
+    xxhash64-sampled centroids (64 cells), within-cell pairwise, min-id
+    survivors. Rows-only — the portable twin
+    (`semantic_dedup_portable`) value-checks the identical composition."""
+    from crawler_spark.operators.similarity import semantic_dedup
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
+    return semantic_dedup(e, threshold=0.35, n_cells=64).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
 def q_corpus_near_dedup(spark, sf):
     """The GUARDED near-dup chain end-to-end (exact dedup → capped-bucket
     minhash-LSH → connected components → survivors) — the configuration a
@@ -1317,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_portable": q_ivf_portable,
         "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
         "minhash_collapse_portable": q_minhash_collapse_portable,
+        "semantic_dedup_portable": q_semantic_dedup_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -1336,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_seen": q_cuckoo_seen,
         "doc_winnow_production": q_doc_winnow_production,
         "corpus_near_dedup": q_corpus_near_dedup,
+        "semantic_dedup_ann": q_semantic_dedup_ann,
     }
 
 
@@ -2356,6 +2394,44 @@ def oracle_sql() -> dict[str, str]:
             FROM agree WHERE n_agree / 64.0 >= 0.4
             UNION ALL
             SELECT id_a, id_b, est_jaccard FROM stars
+        """,
+        # SemDeDup: ivf_portable's nearest-centroid assignment subquery,
+        # within-cell cosine pairs, dedup_clusters' recursive closure,
+        # min-id survivors
+        "semantic_dedup_portable": """
+            WITH RECURSIVE cents AS (
+                SELECT vec_id AS c, embedding FROM embeddings
+                WHERE vec_id < 16
+            ), assigned AS (
+                SELECT e.vec_id, e.embedding,
+                       (SELECT c FROM cents
+                        ORDER BY list_cosine_similarity(
+                            CAST(cents.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) DESC, c
+                        LIMIT 1) AS cell
+                FROM embeddings e WHERE e.vec_id < 400
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assigned a JOIN assigned b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON reach.node = e.dst
+            ), dups AS (
+                SELECT node FROM reach GROUP BY node
+                HAVING node <> min(r)
+            )
+            SELECT vec_id, CAST(cell AS INT) AS cell FROM assigned
+            WHERE vec_id NOT IN (SELECT node FROM dups)
         """,
         # portable centroid pick (lowest 16 vec_ids) makes assignment,
         # probe selection and the in-cell exact top-k SQL-reproducible

@@ -399,3 +399,64 @@ def ivf_topk(
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): assign each embedding to
+    its nearest-centroid cell, compare pairs only WITHIN a cell, and
+    drop every row transitively connected to a lower-id row by a
+    ``cosine ≥ threshold`` edge. Returns the surviving (id, cell) rows
+    — the id set is the curated corpus, ``cell`` kept for downstream
+    partition-pruned reads.
+
+    Scale shape — the whole point of the cell step: the quadratic
+    pairwise compare is confined to cells (Σ c_i² instead of n², the
+    SemDeDup trick), assignment is one numpy matmul per Arrow batch
+    (:func:`ivf_assign`), the pair join shuffles on ``cell`` (pick
+    ``n_cells`` ≈ n / target-cell-size; write ``assigned`` partitioned
+    by cell at corpus scale so each cell's compare is partition-local),
+    and the transitive closure is ``dedup_clusters``' O(log n)-round
+    min-label propagation. Dedup survivors use min-id, consistent with
+    every other dedup operator in this engine.
+
+    ``centroids``: pass pre-normalized rows for a reproducible cell
+    layout (the oracle query uses the lowest-id embeddings, mirroring
+    ``ivf_portable``); default is the deterministic xxhash64 sample of
+    :func:`_centroids`."""
+    from crawler_spark.operators.dedup import dedup_clusters
+
+    if centroids is None:
+        centroids = _centroids(emb, n_cells, id_col, vec_col)
+    # assignment feeds the pair join twice plus the survivor anti-join —
+    # freeze the mapInPandas output once (lazy; GC-cleaned)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _pair_cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    dups = (
+        dedup_clusters(pairs)
+        .where(F.col("is_dup"))
+        .select(F.col("node").alias(id_col))
+    )
+    return assigned.select(id_col, "cell").join(dups, id_col, "left_anti")

@@ -432,6 +432,33 @@ def test_cosine_pairs_exact_vs_numpy(spark, emb):
     assert got == want
 
 
+def test_semantic_dedup_cell_confinement_and_min_id(spark):
+    """SemDeDup semantics: a high-cosine pair in the SAME cell is deduped
+    to the min id; an equally-similar pair SPLIT across cells is kept
+    (the compare is cell-confined by design — that is the Σc² trick);
+    dissimilar same-cell rows are kept."""
+    from crawler_spark.operators.similarity import semantic_dedup
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        (1, [1.0, 0.01]),    # cell 0 ┐ cos≈1 → dup, 1 survives
+        (2, [1.0, 0.02]),    # cell 0 ┘
+        (3, [0.71, 0.705]),  # cell 0 ┐ cos≈1 but cross-cell → both kept
+        (4, [0.705, 0.71]),  # cell 1 ┘
+        (5, [0.9, 0.43]),    # cell 0, dissimilar enough → kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r.cell
+        for r in semantic_dedup(df, threshold=0.995, centroids=cents)
+        .collect()
+    }
+    assert set(out) == {1, 3, 4, 5}
+    assert out[3] == 0 and out[4] == 1
+
+
 def test_lsh_near_dup_pairs_recall(spark, emb):
     from crawler_spark.operators.similarity import (
         cosine_pairs_exact,
