@@ -85,6 +85,8 @@ HEADLINE = [
     "doc_winnow_production",
     "simhash_portable",
     "corpus_near_dedup",
+    # SemDeDup semantic dedup over embeddings (cell-confined pairs)
+    "semantic_dedup_ann",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
@@ -96,6 +98,7 @@ HEAVY = {
     "doc_winnow_production",
     "doc_repetition",
     "corpus_near_dedup",
+    "semantic_dedup_ann",
 }
 
 

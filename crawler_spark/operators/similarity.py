@@ -441,22 +441,35 @@ def semantic_dedup(
     assigned = ivf_assign(emb, centroids, id_col, vec_col).localCheckpoint(
         eager=False
     )
-    a = assigned.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
-    )
-    b = assigned.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _pair_cosine(F.col("_va"), F.col("_vb")))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
-    )
+    pairs = semantic_cell_pairs(assigned, threshold, id_col, vec_col)
     dups = (
         dedup_clusters(pairs)
         .where(F.col("is_dup"))
         .select(F.col("node").alias(id_col))
     )
     return assigned.select(id_col, "cell").join(dups, id_col, "left_anti")
+
+
+def semantic_cell_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cell (id_a < id_b, cosine ≥ threshold) pairs over an
+    ``(id, vec, cell)`` assignment — :func:`semantic_dedup`'s compare
+    stage, public so its plan (a cell-keyed equi-join, never a
+    cartesian) is independently inspectable/testable."""
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _pair_cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -123,6 +123,37 @@ def test_corpus_curation_plan(spark):
         assert "text" not in cols, cols
 
 
+def test_semantic_dedup_cell_confined_plan(spark):
+    """SemDeDup's pairwise compare must be a cell-KEYED equi-join (the
+    Σc² confinement — at test SF the small side broadcasts, at corpus
+    scale it hash-partitions on cell; either way the join KEY is cell),
+    never a cartesian/nested-loop over the corpus. The compare stage is
+    inspected directly (`semantic_cell_pairs`): the end-to-end query
+    hides it behind `dedup_clusters`' checkpoint boundary."""
+    import re
+
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        ivf_assign,
+        semantic_cell_pairs,
+    )
+    from crawler_spark.plans.inspect import simple_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = np.array(
+        [r.embedding for r in emb.where("vec_id < 16").collect()],
+        dtype="float64",
+    )
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    pairs = semantic_cell_pairs(ivf_assign(emb, cents), threshold=0.35)
+    assert not has_cartesian(pairs)
+    plan = simple_plan(pairs)
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell#", plan
+    ), plan
+
+
 def test_bucketed_fetch_join_one_sided(spark, tmp_path):
     """With the corpus persisted bucketed by url, the per-round fetch
     join must NOT exchange the corpus (the 100 TB side): the scan says
