@@ -917,6 +917,39 @@ def q_minhash_collapse_portable(spark, sf):
     )
 
 
+def q_link_pagerank(spark, sf):
+    """PageRank (`operators.graphrank.pagerank`, 6 unrolled power
+    iterations, damping 0.85) over a deterministic synthetic link graph
+    derived from `documents`: every doc_id d with d % 5 != 0 links to
+    (d*7+1) % n, (d*13+2) % n and (d*31+3) % n (n = doc count);
+    multiples of 5 are dangling (mass redistributed uniformly). The
+    DuckDB oracle runs the identical 6 iterations as unrolled CTEs —
+    value-checking the contribution join, the out-degree division, and
+    the dangling fold. Ranks are scaled by n (mean 1.0) before 6-dp
+    rounding so the comparison keeps significant digits at any sf."""
+    from crawler_spark.operators.graphrank import pagerank
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    dsts = F.array(
+        *[
+            (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)
+            for a, b in ((7, 1), (13, 2), (31, 3))
+        ]
+    )
+    edges = (
+        d.where(F.col("doc_id") % 5 != 0)
+        .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=6, damping=0.85)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("rank") * F.lit(float(n)), 6)
+        .cast("double")
+        .alias("rank_scaled"),
+    )
+
+
 def q_simhash_sigs(spark, sf):
     from crawler_spark.operators.dedup import simhash_signatures
 
@@ -1354,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
         "minhash_collapse_portable": q_minhash_collapse_portable,
         "semantic_dedup_portable": q_semantic_dedup_portable,
+        "link_pagerank": q_link_pagerank,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -1375,6 +1409,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_near_dedup": q_corpus_near_dedup,
         "semantic_dedup_ann": q_semantic_dedup_ann,
     }
+
+
+def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTEs mirroring `q_link_pagerank` exactly:
+    same synthetic edge rule, out-degree with multiplicity, uniform
+    dangling-mass fold, and n-scaled 6-dp output."""
+    head = """
+        WITH nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS cnt FROM documents
+        ), edges AS (
+            SELECT doc_id AS src,
+                   unnest([
+                       (doc_id * 7 + 1) % CAST((SELECT cnt FROM nn) AS BIGINT),
+                       (doc_id * 13 + 2) % CAST((SELECT cnt FROM nn) AS BIGINT),
+                       (doc_id * 31 + 3) % CAST((SELECT cnt FROM nn) AS BIGINT)
+                   ]) AS dst
+            FROM documents WHERE doc_id % 5 <> 0
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ), deg AS (
+            SELECT src, CAST(count(*) AS DOUBLE) AS d
+            FROM edges GROUP BY src
+        ), nc AS (
+            SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes
+        ), r0 AS (
+            SELECT node, 1.0 / (SELECT cnt FROM nc) AS rank FROM nodes
+        )"""
+    body = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        body.append(f"""
+        , d{i - 1} AS (
+            SELECT coalesce(sum(r.rank), 0) AS dm
+            FROM {prev} r LEFT JOIN deg ON r.node = deg.src
+            WHERE deg.src IS NULL
+        ), r{i} AS (
+            SELECT n.node,
+                   {1.0 - damping} / (SELECT cnt FROM nc)
+                   + {damping} * (
+                       coalesce(c.contrib, 0)
+                       + (SELECT dm FROM d{i - 1}) / (SELECT cnt FROM nc)
+                   ) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / dg.d) AS contrib
+                FROM edges e
+                JOIN {prev} r ON e.src = r.node
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) c ON n.node = c.node
+        )""")
+        prev = f"r{i}"
+    tail = f"""
+        SELECT node,
+               CAST(round(rank * (SELECT cnt FROM nn), 6) AS DOUBLE)
+                   AS rank_scaled
+        FROM {prev}
+    """
+    return head + "".join(body) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2601,4 +2695,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM children
             ORDER BY url
         """,
+        # 6 unrolled power iterations over the deterministic synthetic
+        # doc-id link graph (see q_link_pagerank docstring)
+        "link_pagerank": _pagerank_oracle_sql(),
     }

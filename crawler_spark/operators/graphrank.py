@@ -1,0 +1,132 @@
+"""Link-graph PageRank — frontier prioritization for the crawl scheduler.
+
+The reference crawler pops its queue in strict FIFO/BFS order
+(``storage.ts:179`` — sort by insertion ``_id``); it has no notion of
+page importance. The north rule's scheduler is a *priority* queue, so
+this module supplies the canonical web priority signal: PageRank
+(Page et al. 1999, public algorithm) over the host-level link graph the
+crawl itself discovers, fed back into ``CrawlConfig.priority``.
+
+Spark-first design — the power method as pure DataFrame algebra:
+
+  * one hash-shuffle per iteration (``contribs`` groupBy on ``dst``);
+    the edge list is re-used every iteration, so callers should pass a
+    cached/compact edge DataFrame;
+  * dangling mass (nodes with no out-edges) is folded back uniformly via
+    a 1-row broadcast cross-join — no ``collect`` in the loop;
+  * each iteration is ``localCheckpoint``-ed, the same lineage-reset
+    pattern as ``operators.dedup.connected_components`` — iterative
+    plans otherwise grow exponentially and re-trigger the full prefix.
+
+At 100 TB the *page*-level graph has ~10^11 edges; the host-level graph
+(what the scheduler needs — politeness budgets and priorities are per
+host) is ~10^7 nodes, comfortably one shuffle per iteration, and the
+resulting rank table is broadcast-sized, exactly like the budget and
+cooldown tables the driver already ships per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node, rank)`` for every node appearing as a source or a
+    destination; ranks sum to 1. Parallel edges are counted with
+    multiplicity (a page linking twice contributes twice — matches the
+    reference's link table, which keeps duplicate links,
+    ``page.ts:121-128``). Nodes with no out-edges are dangling: their
+    mass is redistributed uniformly each iteration, the standard
+    formulation.
+
+    Fixed ``n_iter`` (no convergence test) keeps the result a pure
+    function of the input — required for the DuckDB oracle, which runs
+    the identical unrolled iterations — and avoids a per-iteration
+    driver round-trip.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    # out-degree rides on the node table so the per-iteration join
+    # carries everything the contribution step needs in one row
+    nd = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0.0)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    n_row = nd.agg(F.count("*").cast("double").alias("n"))
+    ranks = nd.crossJoin(F.broadcast(n_row)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        dangling = ranks.where(F.col("deg") == 0.0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nd.join(contribs, nd["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "rank")
+
+
+def host_ranks_from_links(
+    links: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    source_host: str = "source_host",
+    host: str = "host",
+) -> dict[str, float]:
+    """Host-level PageRank of a crawl's link table → ``CrawlConfig.priority``.
+
+    Collapses the page-level link table (the store's ``links`` schema:
+    one row per extracted anchor) to host→host edges, drops self-loops
+    (intra-host navigation says nothing about inter-host importance),
+    and returns a plain dict because that is what the scheduler
+    broadcasts — the host universe is politeness-table-sized by
+    construction. Re-run between crawl sessions (resume picks up the new
+    priorities); recomputing every round would re-rank on a half-built
+    graph for no scheduling benefit.
+    """
+    edges = (
+        links.select(
+            F.col(source_host).alias("src"), F.col(host).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .where((F.col("src") != "") & (F.col("dst") != ""))
+    )
+    ranks = pagerank(edges, n_iter=n_iter, damping=damping)
+    return {r["node"]: float(r["rank"]) for r in ranks.collect()}

@@ -1,0 +1,85 @@
+"""PageRank operator vs an independent numpy power-iteration oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _np_pagerank(edges, nodes, n_iter=8, damping=0.85):
+    """Dense power iteration — independent of the Spark implementation."""
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / deg[idx[s]]
+        dangling = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {nd: r[idx[nd]] for nd in nodes}
+
+
+@pytest.fixture(scope="module")
+def graph():
+    # deterministic graph with parallel edges, a self-loop, and two
+    # dangling nodes (5 and 6); node 6 is sink-only (dst never src)
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0),
+        (4, 5), (4, 6), (1, 1), (3, 4),  # self-loop + parallel edge
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    return edges, nodes
+
+
+def test_pagerank_matches_numpy(spark, graph):
+    from crawler_spark.operators.graphrank import pagerank
+
+    edges, nodes = graph
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    want = _np_pagerank(edges, nodes, n_iter=8)
+    assert set(got) == set(want)
+    for n in nodes:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # total mass is conserved by the dangling redistribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_only_graph(spark):
+    """All mass dangling: every node converges to uniform rank."""
+    from crawler_spark.operators.graphrank import pagerank
+
+    df = spark.createDataFrame([(1, 2), (3, 2)], "src: long, dst: long")
+    # node 2 is dangling; graph still well-defined
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    want = _np_pagerank([(1, 2), (3, 2)], [1, 2, 3], n_iter=4)
+    for n in (1, 2, 3):
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_host_ranks_from_links(spark):
+    """Host collapse drops self-loops/empties and returns a plain dict."""
+    from crawler_spark.operators.graphrank import host_ranks_from_links
+
+    links = spark.createDataFrame(
+        [
+            ("a.com", "b.com"),
+            ("a.com", "a.com"),   # self-loop dropped
+            ("b.com", "c.com"),
+            ("c.com", "a.com"),
+            ("", "b.com"),        # empty host dropped
+        ],
+        "source_host: string, host: string",
+    )
+    ranks = host_ranks_from_links(links, n_iter=6)
+    assert set(ranks) == {"a.com", "b.com", "c.com"}
+    want = _np_pagerank(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com")],
+        ["a.com", "b.com", "c.com"],
+        n_iter=6,
+    )
+    for h, v in want.items():
+        assert ranks[h] == pytest.approx(v, abs=1e-12)
