@@ -8,6 +8,8 @@ as iterative batch rounds. Each round:
     frontier ──anti-join── cooldown (broadcast, tiny)
              ──topk_per_group── per-host politeness budget (skew-salted)
              ──with_global_seq── deterministic (round, seq) crawl order
+                 (priority queue: host-rank broadcast join + global
+                  round capacity when configured; default = pure BFS)
              ──left join corpus── simulated fetch (url → html/status/ct)
              ──extract_links/extract_text pandas UDFs── (Arrow-batched)
              ──robots + fetchable filters──
@@ -235,6 +237,14 @@ def run_crawl(
     store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
     robots_ok = _robots_filter_udf(spark, config)
     budget_df, budget_default = _budget_df(spark, config)
+    # host-priority map (config.priority) — broadcast-sized like the
+    # budget/cooldown tables; None keeps the default BFS path join-free
+    prio_df = None
+    if config.priority:
+        prio_df = spark.createDataFrame(
+            [(h, float(p)) for h, p in config.priority.items()],
+            "host string, _hp double",
+        )
 
     corpus_slim = corpus.select(
         F.col("url"),
@@ -340,11 +350,35 @@ def run_crawl(
         ).drop("_bk", "_k", "_rank")
 
         # -- deterministic global crawl order ------------------------------
+        # default: pure BFS (disc_round, disc_seq) — the reference's FIFO
+        # pop. With host priorities configured (north-rule priority
+        # queue), the order key becomes (priority DESC, BFS): one more
+        # broadcast join against a politeness-table-sized rank map.
         _t0 = time.perf_counter()
+        order_cols = ["disc_round", "disc_seq"]
+        if prio_df is not None:
+            scheduled = (
+                scheduled.join(F.broadcast(prio_df), "host", "left")
+                .withColumn(
+                    "_nprio", -F.coalesce(F.col("_hp"), F.lit(0.0))
+                )
+                .drop("_hp")
+            )
+            order_cols = ["_nprio", "disc_round", "disc_seq"]
         scheduled, n_scheduled = with_global_seq(
-            scheduled, ["disc_round", "disc_seq"], out="seq",
+            scheduled, order_cols, out="seq",
             return_count=True,
         )
+        if prio_df is not None:
+            scheduled = scheduled.drop("_nprio")
+        if config.round_capacity and n_scheduled > config.round_capacity:
+            # global round capacity: keep the top of the priority order;
+            # overflow is never popped, so it stays in the frontier (the
+            # frontier_rem anti-join below only removes scheduled urls)
+            scheduled = scheduled.where(
+                F.col("seq") < F.lit(config.round_capacity)
+            )
+            n_scheduled = config.round_capacity
         scheduled = scheduled.cache()
         phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
         if n_scheduled == 0:

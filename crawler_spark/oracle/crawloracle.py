@@ -65,6 +65,17 @@ class CrawlConfig:
     # a round) are expressed; periods key off the ABSOLUTE round number
     # so resume preserves the cadence
     budget_periods: dict[str, int] = field(default_factory=dict)
+    # priority-queue extension (north rule; the reference pops pure FIFO,
+    # storage.ts:179): host -> score, higher scheduled first; missing
+    # hosts score 0.0 and ties fall back to BFS (disc_round, disc_seq),
+    # so an empty dict IS the reference ordering. Typically fed by
+    # operators.graphrank.host_ranks_from_links on a prior session's
+    # link table. round_capacity caps TOTAL pages fetched per round
+    # (0 = unlimited) — overflow keeps its discovery priority and stays
+    # in the frontier for a later round; per-host budgets still bound
+    # every host within the capacity cut.
+    priority: dict[str, float] = field(default_factory=dict)
+    round_capacity: int = 0
 
     def budget(self, host: str) -> int:
         return self.budgets.get(host, self.budgets.get("*", 1 << 30))
@@ -182,6 +193,17 @@ def crawl_oracle(
                 continue
             break
         empty_streak = 0
+
+        # -- priority order + global round capacity (north-rule superset;
+        # default config reduces to the BFS order above) ------------------
+        if config.priority or config.round_capacity:
+            scheduled.sort(
+                key=lambda t: (-config.priority.get(t[2], 0.0), t[0], t[1])
+            )
+            if config.round_capacity:
+                # overflow is NOT popped — it keeps its discovery
+                # priority in the frontier for a later round
+                scheduled = scheduled[: config.round_capacity]
 
         # -- fetch + extract ---------------------------------------------
         new_links: list[tuple[int, str, str, str, str, int]] = []

@@ -78,6 +78,15 @@ def main() -> None:
                          "exit (run again with --resume to execute)")
     ap.add_argument("--retract-file", default=None,
                     help="text file of URLs to retract (one per line)")
+    ap.add_argument("--pagerank-priority", action="store_true",
+                    help="order rounds by host-level PageRank of the "
+                         "link graph already in the store (requires "
+                         "--resume: a fresh store has no links yet); "
+                         "BFS breaks ties")
+    ap.add_argument("--round-capacity", type=int, default=0,
+                    help="max pages per round across all hosts "
+                         "(0 = unlimited); overflow stays in the "
+                         "frontier with its priority")
     ap.add_argument("--snapshot-every", type=int, default=1,
                     help="write the frontier snapshot every N rounds "
                          "(merge-on-read between)")
@@ -147,6 +156,17 @@ def main() -> None:
     else:
         periods = {}
 
+    priority: dict[str, float] = {}
+    if args.pagerank_priority:
+        if not args.resume:
+            ap.error("--pagerank-priority requires --resume (ranks come "
+                     "from the link graph a prior session crawled)")
+        from crawler_spark.operators.graphrank import host_ranks_from_links
+
+        priority = host_ranks_from_links(
+            CrawlStore(spark, args.store).read_links()
+        )
+
     cfg = CrawlConfig(
         budgets=budgets,
         budget_periods=periods,
@@ -154,6 +174,8 @@ def main() -> None:
         limit_to=args.limit_to,
         max_rounds=args.max_rounds,
         round_seconds=args.round_seconds,
+        priority=priority,
+        round_capacity=args.round_capacity,
     )
     stats = run_crawl(
         spark,

@@ -147,3 +147,59 @@ def test_manifest_lineage_present(crawl_outputs):
     assert stats.pages == sum(
         store.read_manifest(r)["metrics"]["scheduled"] for r in rounds
     )
+
+
+def test_priority_queue_with_capacity_golden(spark, small_web, tmp_path_factory):
+    """North-rule priority queue: host-priority order + global round
+    capacity, driver ≡ serial oracle on (round, seq, url) exactly; the
+    priority config provably changes the schedule vs pure BFS."""
+    from crawler_spark.functions.urls import get_hostname
+
+    w = small_web
+    hosts = sorted({get_hostname(u) for u in w.pages.url})
+    # distinct scores AND deliberate ties (i % 3) so the BFS tie-break
+    # inside equal-priority groups is exercised too
+    prio = {h: float(i % 3) for i, h in enumerate(hosts)}
+    cfg = CrawlConfig(
+        budgets={
+            r.host: int(r.budget_per_round)
+            for r in w.politeness.itertuples()
+        },
+        robots=[(r.host, r.rule, bool(r.allow)) for r in w.robots.itertuples()],
+        max_rounds=18,
+        priority=prio,
+        round_capacity=9,
+    )
+    seeds = w.seeds.url.tolist()
+    oracle = crawl_oracle(w.pages, seeds, cfg)
+
+    # the feature must actually bite: same config minus priority/capacity
+    # yields a different visit order
+    bfs_cfg = CrawlConfig(
+        budgets=cfg.budgets, robots=cfg.robots, max_rounds=18
+    )
+    bfs = crawl_oracle(w.pages, seeds, bfs_cfg)
+    key = ["round", "seq"]
+    assert (
+        oracle.crawl_order.sort_values(key).url.tolist()
+        != bfs.crawl_order.sort_values(key).url.tolist()
+    )
+    # capacity is a hard per-round cap
+    assert (oracle.crawl_order.groupby("round").size() <= 9).all()
+
+    root = str(tmp_path_factory.mktemp("priostore"))
+    corpus = _to_spark_corpus(spark, w.pages)
+    run_crawl(spark, corpus, seeds, cfg, root, bloom_buckets=8,
+              bloom_bits=1 << 16)
+    store = CrawlStore(spark, root)
+    got = (
+        store.read_pages()
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = oracle.crawl_order.sort_values(key).reset_index(drop=True)
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
