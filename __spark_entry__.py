@@ -757,6 +757,23 @@ def q_doc_sentiment(spark, sf):
     )
 
 
+def q_doc_sentiment_portable(spark, sf):
+    """AFINN sentiment with the UNSTEMMED lexicon, pure column algebra
+    (`analytics.text_tier.sentiment_portable`). Production
+    `doc_sentiment` Porter-stems lexicon + tokens (golden-tested); this
+    twin drops only the stemming so tokenize → stopword-filter →
+    lexicon-lookup → mean is value-checked against DuckDB end-to-end
+    (offline DuckDB has no stemmer — its fts extension is not
+    vendored)."""
+    from crawler_spark.analytics.text_tier import sentiment_portable
+
+    d = _read_wide(spark, sf, "documents")
+    s = sentiment_portable(d)
+    return s.select(
+        "doc_id", F.round("sentiment", 6).cast("double").alias("sentiment")
+    )
+
+
 def q_doc_summaries(spark, sf):
     """calcSummary over documents (blocks = sentence-ish splits)."""
     from crawler_spark.analytics.text_tier import page_summaries
@@ -1388,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_collapse_portable": q_minhash_collapse_portable,
         "semantic_dedup_portable": q_semantic_dedup_portable,
         "link_pagerank": q_link_pagerank,
+        "doc_sentiment_portable": q_doc_sentiment_portable,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -1469,6 +1487,49 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
         FROM {prev}
     """
     return head + "".join(body) + tail
+
+
+def _sentiment_portable_oracle_sql() -> str:
+    """Tokenize → stopword-filter → unstemmed-AFINN mean, mirroring
+    `sentiment_portable` exactly; lexicon and stopwords are inlined from
+    the same `functions.lexicons` tables the engine uses."""
+    from crawler_spark.functions.lexicons import AFINN, STOPWORDS
+
+    punct = r"[!\"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]"
+    stops = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
+    )
+    lex_rows = ", ".join(
+        f"('{w}', {v})" for w, v in sorted(AFINN.items())
+    )
+    return f"""
+        WITH lex AS (
+            SELECT * FROM (VALUES {lex_rows}) t(w, v)
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '{punct}', '', 'g')),
+                           '[^a-z0-9_]+'
+                       ),
+                       tk -> len(tk) > 0
+                             AND tk NOT IN ({stops})
+                   ) AS l
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, unnest(l) AS tk FROM toks
+        ), sc AS (
+            SELECT ex.doc_id, sum(coalesce(lex.v, 0)) AS s
+            FROM ex LEFT JOIN lex ON ex.tk = lex.w
+            GROUP BY ex.doc_id
+        )
+        SELECT toks.doc_id,
+               CAST(round(
+                   CASE WHEN len(toks.l) = 0 THEN 0.0
+                        ELSE coalesce(sc.s, 0) * 1.0 / len(toks.l)
+                   END, 6) AS DOUBLE) AS sentiment
+        FROM toks LEFT JOIN sc ON toks.doc_id = sc.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2698,4 +2759,6 @@ def oracle_sql() -> dict[str, str]:
         # 6 unrolled power iterations over the deterministic synthetic
         # doc-id link graph (see q_link_pagerank docstring)
         "link_pagerank": _pagerank_oracle_sql(),
+        # unstemmed-AFINN sentiment pipeline (see q_doc_sentiment_portable)
+        "doc_sentiment_portable": _sentiment_portable_oracle_sql(),
     }

@@ -73,6 +73,55 @@ def block_sentiment(blocks: DataFrame) -> DataFrame:
     return blocks.withColumn("sentiment", sentiment_udf("text"))
 
 
+def sentiment_portable(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """AFINN sentiment with the UNSTEMMED lexicon as pure column algebra.
+
+    The production path (:func:`block_sentiment` / ``sentiment_udf``,
+    reference ``text.ts:219-227``) stems both lexicon and tokens with
+    Porter — not expressible in the DuckDB oracle offline (its ``stem()``
+    lives in the non-vendored fts extension). This twin drops only the
+    stemming so the rest of the sentiment pipeline — punctuation strip,
+    ``\\W``-split tokenization, stopword removal, lexicon lookup, mean
+    over ALL kept tokens — is value-checkable end-to-end in SQL, the same
+    dual-path pattern as ``minhash_signatures(portable=True)``.
+
+    Zero shuffle, zero UDF: the 277-entry lexicon is a per-row map
+    literal and the stopword set an ``IN`` list, both inside whole-stage
+    codegen — at 100 TB this scans and never exchanges.
+    """
+    from crawler_spark.functions.lexicons import AFINN, STOPWORDS
+
+    punct = r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"
+    toks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.coalesce(text_col, F.lit("")), punct, "")),
+            r"[^a-z0-9_]+",
+        ),
+        lambda t: (t != F.lit("")) & ~t.isin(sorted(STOPWORDS)),
+    )
+    lex = F.create_map(
+        *[F.lit(x) for w, v in sorted(AFINN.items()) for x in (w, v)]
+    )
+    total = F.aggregate(
+        F.col("_toks"),
+        F.lit(0),
+        lambda acc, t: acc + F.coalesce(F.element_at(lex, t), F.lit(0)),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.when(F.size("_toks") == 0, F.lit(0.0))
+            .otherwise(
+                total.cast("double") / F.size("_toks").cast("double")
+            )
+            .alias("sentiment"),
+        )
+    )
+
+
 def page_summaries(
     blocks: DataFrame, all_urls: DataFrame | None = None
 ) -> DataFrame:

@@ -104,3 +104,31 @@ def test_sites_and_link_counts(spark):
     )
     got = {r.url: r.link_count for r in link_counts(links).collect()}
     assert got == {"u1": 2, "u2": 1}
+
+
+def test_sentiment_portable_matches_python_and_stays_mapside(spark):
+    """Unstemmed-AFINN twin: values equal a pure-Python recomputation of
+    the same pipeline (tokenize minus stemming), and the plan contains
+    no Exchange — it must stay per-row codegen at any scale."""
+    from crawler_spark.analytics.text_tier import sentiment_portable
+    from crawler_spark.functions.lexicons import AFINN
+    from crawler_spark.functions.textops import tokenize
+
+    rows = [
+        (0, "I adore this — a true adventure, no abuse!"),
+        (1, "the and of to"),          # stopwords only -> no tokens -> 0.0
+        (2, ""),                        # empty -> 0.0
+        (3, "abandon ABANDON abandon's accident."),  # case + possessive
+        (4, "nothing from the lexicon here whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.sentiment for r in sentiment_portable(df).collect()}
+    for doc_id, text in rows:
+        toks = tokenize(text)
+        want = (
+            sum(AFINN.get(t, 0) for t in toks) / len(toks) if toks else 0.0
+        )
+        assert got[doc_id] == pytest.approx(want, abs=1e-12), (doc_id, text)
+
+    plan = sentiment_portable(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
