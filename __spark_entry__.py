@@ -757,6 +757,22 @@ def q_doc_sentiment(spark, sf):
     )
 
 
+def q_doc_unigram_xent(spark, sf):
+    """CCNet-style fluency signal: per-doc cross-entropy under the
+    corpus unigram model (`operators.quality.unigram_cross_entropy`).
+    One corpus-sized shuffle (token counts); the zipfian-small vocab is
+    broadcast for the probability join."""
+    from crawler_spark.operators.quality import unigram_cross_entropy
+
+    d = _read_wide(spark, sf, "documents")
+    x = unigram_cross_entropy(d)
+    return x.select(
+        "doc_id",
+        F.round("xent", 6).cast("double").alias("xent"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_doc_sentiment_portable(spark, sf):
     """AFINN sentiment with the UNSTEMMED lexicon, pure column algebra
     (`analytics.text_tier.sentiment_portable`). Production
@@ -1406,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_portable": q_semantic_dedup_portable,
         "link_pagerank": q_link_pagerank,
         "doc_sentiment_portable": q_doc_sentiment_portable,
+        "doc_unigram_xent": q_doc_unigram_xent,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2761,4 +2778,28 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(),
         # unstemmed-AFINN sentiment pipeline (see q_doc_sentiment_portable)
         "doc_sentiment_portable": _sentiment_portable_oracle_sql(),
+        # corpus unigram cross-entropy (see q_doc_unigram_xent)
+        "doc_unigram_xent": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           tk -> len(tk) > 0
+                       ) AS l
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(l) AS tok FROM toks
+            ), vocab AS (
+                SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
+            ), tot AS (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab
+            )
+            SELECT e.doc_id,
+                   CAST(round(
+                       avg(-ln(v.cnt / (SELECT t FROM tot))), 6
+                   ) AS DOUBLE) AS xent,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM ex e JOIN vocab v USING (tok)
+            GROUP BY e.doc_id
+        """,
     }

@@ -428,3 +428,37 @@ def fingerprints(
         F.col("_p.pos").alias("gram_pos"),
         F.col("_p.h").alias("fp_hash"),
     )
+
+
+def unigram_cross_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram model — the
+    CCNet-style fluency signal (Wenzek et al. 2020 score documents with
+    an LM and drop the worst tail; a unigram model is its shuffle-cheap
+    first rung): ``xent = mean(-ln p(token))`` where ``p`` is the
+    corpus-wide token frequency. Gibberish and boilerplate-heavy docs
+    score high; docs made of common words score low.
+
+    Returns ``(id, xent, n_tokens)``, one row per doc with ≥1 token.
+
+    Scale shape: ONE corpus-sized shuffle (the token-count groupBy, with
+    map-side partial aggregation); the resulting vocabulary table is
+    zipfian-small and is explicitly ``broadcast()`` for the probability
+    join, so per-doc scoring never exchanges the exploded token table.
+    """
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_toks"))
+    ex = toks.select(id_col, F.explode("_toks").alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("cnt") / F.col("_total")).alias("p")
+    )
+    return (
+        ex.join(F.broadcast(probs), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log("p")).alias("xent"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

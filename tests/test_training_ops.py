@@ -831,3 +831,29 @@ def test_word_shingles_short_docs_no_crash(spark):
 
     assert minhash_dedup(df, threshold=0.9).count() == 0
     assert ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_unigram_cross_entropy(spark):
+    """Rare-word docs score higher than common-word docs; the scoring
+    join is broadcast (no shuffle of the exploded token table)."""
+    from crawler_spark.operators.quality import unigram_cross_entropy
+
+    rows = [
+        (0, "the the the the the the the the"),   # 8x most common token
+        (1, "the the the the zyzzyva qoph"),      # mixes in two rare ones
+        (2, "   "),                                # no tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = unigram_cross_entropy(df)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n_tokens == 8 and got[1].n_tokens == 6
+    assert got[1].xent > got[0].xent
+    # doc 0 is all 'the': xent = -ln(p('the')) exactly
+    import math
+
+    p_the = 12 / 14
+    assert got[0].xent == pytest.approx(-math.log(p_the), abs=1e-9)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
