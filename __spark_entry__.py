@@ -757,6 +757,41 @@ def q_doc_sentiment(spark, sf):
     )
 
 
+def q_cdx_index(spark, sf):
+    """CDX capture index over a deterministic messy-URL corpus derived
+    from `documents` (mixed case, userinfo, default + non-default ports,
+    unsorted query params, fragments — every SURT rule exercised). The
+    DuckDB oracle mirrors the URL construction AND the SURT transform
+    (`sources/cdx.py` module spec) step for step."""
+    from crawler_spark.sources.cdx import cdx_index
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://"),
+        F.when(i % 11 == 0, F.lit("User@")).otherwise(F.lit("")),
+        F.lit("WWW.Host"), (i % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 3 == 0, F.lit(":80"))
+        .when(i % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Doc/"), i.cast("string"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("?b=2&a="), (i % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    src = d.select(
+        url.alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        "text",
+    )
+    return cdx_index(src)
+
+
 def q_doc_unigram_xent(spark, sf):
     """CCNet-style fluency signal: per-doc cross-entropy under the
     corpus unigram model (`operators.quality.unigram_cross_entropy`).
@@ -1423,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "doc_sentiment_portable": q_doc_sentiment_portable,
         "doc_unigram_xent": q_doc_unigram_xent,
+        "cdx_index": q_cdx_index,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2778,6 +2814,82 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(),
         # unstemmed-AFINN sentiment pipeline (see q_doc_sentiment_portable)
         "doc_sentiment_portable": _sentiment_portable_oracle_sql(),
+        # CDX/SURT capture index: same messy-URL construction + the
+        # sources/cdx.py SURT spec step for step (see q_cdx_index)
+        "cdx_index": r"""
+            WITH src AS (
+                SELECT 'HTTP://'
+                       || CASE WHEN doc_id % 11 = 0 THEN 'User@' ELSE '' END
+                       || 'WWW.Host' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.Example.COM'
+                       || CASE doc_id % 3 WHEN 0 THEN ':80'
+                                          WHEN 1 THEN ':8080' ELSE '' END
+                       || '/Doc/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END
+                           AS url,
+                       TIMESTAMP '2024-01-01'
+                           + doc_id * INTERVAL 1 SECOND AS ts,
+                       text
+                FROM documents
+            ), norm AS (
+                SELECT url, ts, text,
+                       regexp_replace(
+                           regexp_replace(lower(trim(url)), '#.*$', ''),
+                           '^[a-z][a-z0-9+.\-]*://', ''
+                       ) AS u
+                FROM src
+            ), parts AS (
+                SELECT url, ts, text,
+                       regexp_extract(u, '^([^/?]*)', 1) AS hostport0,
+                       substr(u, len(regexp_extract(u, '^([^/?]*)', 1)) + 1)
+                           AS rest
+                FROM norm
+            ), hp AS (
+                SELECT url, ts, text,
+                       CASE WHEN rest = '' OR rest LIKE '?%'
+                            THEN '/' || rest ELSE rest END AS pathq,
+                       regexp_extract(
+                           regexp_replace(hostport0, '^[^@]*@', ''),
+                           ':([0-9]+)$', 1) AS port,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(hostport0, '^[^@]*@', ''),
+                               ':[0-9]+$', ''),
+                           '^www\.', '') AS host
+                FROM parts
+            ), pq AS (
+                SELECT *,
+                       CASE WHEN contains(pathq, '?')
+                            THEN substr(pathq, 1, instr(pathq, '?') - 1)
+                            ELSE pathq END AS p
+                FROM hp
+            ), keyed AS (
+                SELECT url, ts, text,
+                       array_to_string(
+                           list_reverse(string_split(host, '.')), ',')
+                       || CASE WHEN port <> '' AND port <> '80'
+                                    AND port <> '443'
+                               THEN ':' || port ELSE '' END
+                       || ')'
+                       || CASE WHEN substr(pathq, len(p) + 2) = ''
+                               THEN p
+                               ELSE p || '?' || array_to_string(
+                                   list_sort(string_split(
+                                       substr(pathq, len(p) + 2), '&')),
+                                   '&')
+                          END AS surt
+                FROM pq
+            )
+            SELECT surt,
+                   strftime(ts, '%Y%m%d%H%M%S') AS cdx_ts,
+                   url,
+                   md5(coalesce(text, '')) AS digest,
+                   CAST(len(coalesce(text, '')) AS BIGINT) AS length
+            FROM keyed
+        """,
         # corpus unigram cross-entropy (see q_doc_unigram_xent)
         "doc_unigram_xent": r"""
             WITH toks AS (
