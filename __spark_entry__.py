@@ -792,6 +792,34 @@ def q_cdx_index(spark, sf):
     return cdx_index(src)
 
 
+def q_recrawl_schedule(spark, sf):
+    """Freshness scheduling (`operators.freshness.change_rates`): the
+    Cho–Garcia-Molina bias-corrected change-rate estimator over a
+    capture history, here `events` read as captures (page = user_id,
+    digest = event_type, total order (ts, event_id)). One url-keyed
+    shuffle serves both the lag window and the aggregate."""
+    from crawler_spark.operators.freshness import change_rates
+
+    e = _read(spark, sf, "events")
+    caps = e.select(
+        F.col("user_id").alias("page_id"),
+        "ts",
+        F.col("event_type").alias("digest"),
+        "event_id",
+    )
+    out = change_rates(
+        caps, id_col="page_id", ts_col="ts", digest_col="digest",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "page_id",
+        "n_captures",
+        "n_changes",
+        F.round("rate_per_day", 6).cast("double").alias("rate_per_day"),
+        F.round("revisit_seconds", 3).cast("double").alias("revisit_seconds"),
+    )
+
+
 def q_doc_unigram_xent(spark, sf):
     """CCNet-style fluency signal: per-doc cross-entropy under the
     corpus unigram model (`operators.quality.unigram_cross_entropy`).
@@ -1459,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentiment_portable": q_doc_sentiment_portable,
         "doc_unigram_xent": q_doc_unigram_xent,
         "cdx_index": q_cdx_index,
+        "recrawl_schedule": q_recrawl_schedule,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2889,6 +2918,45 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(text, '')) AS digest,
                    CAST(len(coalesce(text, '')) AS BIGINT) AS length
             FROM keyed
+        """,
+        # Cho–Garcia-Molina change-rate estimator over events-as-captures
+        # (see q_recrawl_schedule); floor(epoch()) mirrors Spark's
+        # truncating unix_timestamp
+        "recrawl_schedule": """
+            WITH flags AS (
+                SELECT user_id AS page_id,
+                       floor(epoch(ts)) AS ut,
+                       event_type AS d,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ), agg AS (
+                SELECT page_id,
+                       count(*) AS n_captures,
+                       sum(CASE WHEN prev IS NOT NULL AND d <> prev
+                                THEN 1 ELSE 0 END) AS x,
+                       CAST(max(ut) - min(ut) AS DOUBLE) AS span
+                FROM flags GROUP BY page_id
+            ), est AS (
+                SELECT page_id, n_captures, x, span,
+                       -ln((n_captures - 1 - x + 0.5)
+                           / (n_captures - 1 + 0.5))
+                           / (span / (n_captures - 1)) AS lam
+                FROM agg
+                WHERE n_captures >= 2 AND span > 0
+            )
+            SELECT page_id,
+                   CAST(n_captures AS BIGINT) AS n_captures,
+                   CAST(x AS BIGINT) AS n_changes,
+                   CAST(round(CASE WHEN x = 0 THEN 0.0
+                                   ELSE lam * 86400.0 END, 6) AS DOUBLE)
+                       AS rate_per_day,
+                   CAST(round(CASE WHEN x = 0 THEN 2592000.0
+                                   ELSE least(greatest(1.0 / lam, 3600.0),
+                                              2592000.0)
+                              END, 3) AS DOUBLE) AS revisit_seconds
+            FROM est
         """,
         # corpus unigram cross-entropy (see q_doc_unigram_xent)
         "doc_unigram_xent": r"""

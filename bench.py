@@ -87,6 +87,12 @@ HEADLINE = [
     "corpus_near_dedup",
     # SemDeDup semantic dedup over embeddings (cell-confined pairs)
     "semantic_dedup_ann",
+    # this session: iterative link-graph PageRank (the scheduler's
+    # priority signal), CCNet-style unigram cross-entropy, and the
+    # SURT-keyed CDX capture index
+    "link_pagerank",
+    "doc_unigram_xent",
+    "cdx_index",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
@@ -99,6 +105,7 @@ HEAVY = {
     "doc_repetition",
     "corpus_near_dedup",
     "semantic_dedup_ann",
+    "link_pagerank",  # iterative: job-count-bound, noisiest of the set
 }
 
 

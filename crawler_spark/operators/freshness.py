@@ -1,0 +1,102 @@
+"""Recrawl/freshness scheduling from capture history.
+
+The reference crawler visits each URL exactly once (membership in
+``pages`` is permanent, ``storage.ts:94-101``); the engine's retraction
+path (``crawl/store.retract``) already re-opens individual URLs. This
+module supplies the *policy* half of incremental crawling: estimate each
+page's change rate from its capture history (e.g. the CDX index built by
+``sources/cdx.py`` — consecutive captures with differing digests) and
+derive a revisit interval, per Cho & Garcia-Molina, "Estimating
+Frequency of Change" (ACM TOIT 2003, public): for a Poisson change
+process observed at n roughly-regular intervals of mean length Δ with X
+observed changes, the bias-corrected rate estimate is
+
+    λ̂ = -ln((n - X + 0.5) / (n + 0.5)) / Δ
+
+(the naive X/(nΔ) underestimates because multiple changes inside one
+interval are observed as one). Revisit interval = 1/λ̂, clamped to a
+configurable band; never-observed-to-change pages get the band maximum.
+
+Scale shape: ONE url-keyed shuffle — the lag window and the per-url
+aggregate share the same partitioning key, so Catalyst plans a single
+Exchange (asserted in tests). Output is frontier-shaped: feed the due
+set to ``retract_urls`` to schedule the recrawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def change_rates(
+    captures: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    min_revisit_seconds: float = 3600.0,
+    max_revisit_seconds: float = 30 * 86400.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-page change statistics + revisit schedule from captures.
+
+    Returns one row per page with ≥2 captures spanning >0 seconds:
+    ``(id, n_captures, n_changes, rate_per_day, revisit_seconds)``.
+    ``n_changes`` counts consecutive-capture digest transitions;
+    ``rate_per_day`` is λ̂ scaled to changes/day; ``revisit_seconds`` is
+    1/λ̂ clamped to [min, max] (λ̂ = 0 ⇒ max — an unchanging page is
+    still revisited at the band ceiling, the standard staleness bound).
+    """
+    # the capture order must be TOTAL per page or the lag() transition
+    # flags are partition-order-dependent — pass tiebreak_col whenever
+    # timestamps can tie (e.g. a capture id)
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
+    flags = captures.select(
+        F.col(id_col),
+        F.unix_timestamp(ts_col).alias("_ut"),
+        F.col(digest_col).alias("_d"),
+        F.lag(digest_col).over(w).alias("_prev"),
+    )
+    agg = flags.groupBy(id_col).agg(
+        F.count("*").alias("n_captures"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col("_d") != F.col("_prev")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        (F.max("_ut") - F.min("_ut")).cast("double").alias("_span"),
+    )
+    n_obs = (F.col("n_captures") - 1).cast("double")
+    avg_int = F.col("_span") / n_obs
+    lam = (
+        -F.log(
+            (n_obs - F.col("n_changes") + F.lit(0.5)) / (n_obs + F.lit(0.5))
+        )
+        / avg_int
+    )
+    revisit = F.when(
+        F.col("n_changes") == 0, F.lit(float(max_revisit_seconds))
+    ).otherwise(
+        F.least(
+            F.greatest(1.0 / lam, F.lit(float(min_revisit_seconds))),
+            F.lit(float(max_revisit_seconds)),
+        )
+    )
+    return (
+        agg.where((F.col("n_captures") >= 2) & (F.col("_span") > 0))
+        .select(
+            id_col,
+            "n_captures",
+            F.col("n_changes").cast("long").alias("n_changes"),
+            # explicit 0.0 — -ln(1) is IEEE -0.0, which would leak a
+            # sign into 6-dp-rounded comparisons
+            F.when(F.col("n_changes") == 0, F.lit(0.0))
+            .otherwise(lam * F.lit(86400.0))
+            .alias("rate_per_day"),
+            revisit.alias("revisit_seconds"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Change-rate estimator (Cho–Garcia-Molina) + plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _caps(spark, rows):
+    df = spark.createDataFrame(
+        rows, "url string, ts_s string, digest string"
+    )
+    return df.withColumn("warc_ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_change_rate_estimator_values(spark):
+    from crawler_spark.operators.freshness import change_rates
+
+    rows = [
+        # page A: 5 captures, hourly, 2 changes
+        ("a", "2024-01-01 00:00:00", "d1"),
+        ("a", "2024-01-01 01:00:00", "d1"),
+        ("a", "2024-01-01 02:00:00", "d2"),
+        ("a", "2024-01-01 03:00:00", "d2"),
+        ("a", "2024-01-01 04:00:00", "d3"),
+        # page B: never changes -> rate 0, revisit = band max
+        ("b", "2024-01-01 00:00:00", "x"),
+        ("b", "2024-01-02 00:00:00", "x"),
+        # page C: single capture -> excluded
+        ("c", "2024-01-01 00:00:00", "y"),
+        # page D: changes every capture, 1-minute spacing -> clamped to min
+        ("d", "2024-01-01 00:00:00", "1"),
+        ("d", "2024-01-01 00:01:00", "2"),
+        ("d", "2024-01-01 00:02:00", "3"),
+    ]
+    out = change_rates(_caps(spark, rows))
+    got = {r.url: r for r in out.collect()}
+    assert set(got) == {"a", "b", "d"}
+
+    n, x, avg = 4, 2, 3600.0
+    lam = -math.log((n - x + 0.5) / (n + 0.5)) / avg
+    assert got["a"].n_captures == 5 and got["a"].n_changes == 2
+    assert got["a"].rate_per_day == pytest.approx(lam * 86400, rel=1e-12)
+    assert got["a"].revisit_seconds == pytest.approx(1 / lam, rel=1e-12)
+
+    assert got["b"].rate_per_day == 0.0
+    assert got["b"].revisit_seconds == 30 * 86400.0
+    assert got["d"].revisit_seconds == 3600.0  # clamped to the floor
+
+    # one url-keyed Exchange serves both the window and the aggregate
+    # (AQE's toString repeats the plan under "== Initial Plan ==" — count
+    # only the final section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+
+
+def test_change_rate_tiebreak_total_order(spark):
+    """Equal timestamps: the tiebreak column decides the transition
+    count deterministically."""
+    from crawler_spark.operators.freshness import change_rates
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", "d1", 2),
+            ("a", "2024-01-01 00:00:00", "d2", 1),
+            ("a", "2024-01-02 00:00:00", "d2", 3),
+        ],
+        "url string, ts_s string, digest string, cap_id int",
+    ).withColumn("warc_ts", F.to_timestamp("ts_s"))
+    out = change_rates(df, tiebreak_col="cap_id").collect()[0]
+    # order d2, d1, d2 -> 2 transitions
+    assert out.n_changes == 2
