@@ -1377,6 +1377,29 @@ def q_robots_rules(spark, sf):
     return rules_from_bodies(df).orderBy("host", "rule")
 
 
+def q_robots_sitemaps(spark, sf):
+    """RFC 9309 Sitemap: directives (group-independent, case-blind,
+    comment-tolerant) from a deterministic robots fixture — the bridge
+    from robots discovery into sitemap ingest
+    (`functions.robots.sitemaps_from_bodies`, pure column algebra; the
+    oracle re-derives the same fixture and transform in SQL)."""
+    from crawler_spark.functions.robots import sitemaps_from_bodies
+
+    rows = []
+    for i in range(8):
+        h = f"d{i}.docs.test"
+        body = "User-agent: *\nDisallow: /private/\n"
+        if i % 2 == 0:
+            body += f"Sitemap: http://{h}/sitemap.xml\n"
+        if i % 3 == 0:
+            body += f"sitemap: http://{h}/s2.xml  # alt\n"
+        if i % 4 == 0:
+            body += f"SITEMAP:http://{h}/s3.xml\n"
+        rows.append((h, body))
+    df = spark.createDataFrame(rows, "host string, body string")
+    return sitemaps_from_bodies(df)
+
+
 def q_doc_winnow_fingerprints(spark, sf):
     """Winnowing fingerprint sketch (Schleimer et al. 2003) — exploded
     (doc_id, gram_pos, fp_hash) rows, fully relational; ``portable=True``
@@ -1488,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_xent": q_doc_unigram_xent,
         "cdx_index": q_cdx_index,
         "recrawl_schedule": q_recrawl_schedule,
+        "robots_sitemaps": q_robots_sitemaps,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2918,6 +2942,45 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(text, '')) AS digest,
                    CAST(len(coalesce(text, '')) AS BIGINT) AS length
             FROM keyed
+        """,
+        # robots Sitemap: directives from the deterministic fixture
+        # (see q_robots_sitemaps — same construction + transform in SQL)
+        "robots_sitemaps": r"""
+            WITH hosts AS (
+                SELECT 'd' || i || '.docs.test' AS host, i
+                FROM range(0, 8) t(i)
+            ), bodies AS (
+                SELECT host,
+                       'User-agent: *' || chr(10)
+                       || 'Disallow: /private/' || chr(10)
+                       || CASE WHEN i % 2 = 0
+                               THEN 'Sitemap: http://' || host
+                                    || '/sitemap.xml' || chr(10)
+                               ELSE '' END
+                       || CASE WHEN i % 3 = 0
+                               THEN 'sitemap: http://' || host
+                                    || '/s2.xml  # alt' || chr(10)
+                               ELSE '' END
+                       || CASE WHEN i % 4 = 0
+                               THEN 'SITEMAP:http://' || host
+                                    || '/s3.xml' || chr(10)
+                               ELSE '' END AS body
+                FROM hosts
+            ), lines AS (
+                SELECT host,
+                       unnest(string_split_regex(body, '\r\n|\r|\n'))
+                           AS line
+                FROM bodies
+            ), extracted AS (
+                SELECT host,
+                       regexp_extract(
+                           regexp_replace(line, '#.*$', ''),
+                           '(?i)^\s*sitemap\s*:\s*(\S+)\s*$', 1
+                       ) AS sitemap_url
+                FROM lines
+            )
+            SELECT host, sitemap_url FROM extracted
+            WHERE sitemap_url <> ''
         """,
         # Cho–Garcia-Molina change-rate estimator over events-as-captures
         # (see q_recrawl_schedule); floor(epoch()) mirrors Spark's

@@ -29,9 +29,19 @@ from crawler_spark.crawl.corpus import (  # noqa: E402
 )
 from crawler_spark.crawl.driver import retract_urls, run_crawl  # noqa: E402
 from crawler_spark.crawl.store import CrawlStore  # noqa: E402
+from crawler_spark.operators.freshness import (  # noqa: E402
+    change_rates,
+    due_for_recrawl,
+)
+from crawler_spark.operators.graphrank import (  # noqa: E402
+    host_ranks_from_links,
+    pagerank,
+)
 from crawler_spark.oracle.crawloracle import CrawlConfig  # noqa: E402
 from crawler_spark.session import get_spark  # noqa: E402
+from crawler_spark.sources.cdx import cdx_index, surt_key  # noqa: E402
 
-__all__ = ["CrawlConfig", "CrawlStore", "get_spark", "read_bucketed_corpus",
-           "retract_urls", "run_crawl", "save_bucketed_corpus",
-           "__version__"]
+__all__ = ["CrawlConfig", "CrawlStore", "cdx_index", "change_rates",
+           "due_for_recrawl", "get_spark", "host_ranks_from_links", "pagerank",
+           "read_bucketed_corpus", "retract_urls", "run_crawl",
+           "save_bucketed_corpus", "surt_key", "__version__"]

@@ -236,3 +236,34 @@ def budgets_from_delays(
             budgets[host] = min(limit, 1)
             periods[host] = math.ceil(delay / round_seconds)
     return budgets, periods
+
+
+def sitemaps_from_bodies(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) → (host, sitemap_url): the ``Sitemap:`` directives.
+
+    RFC 9309 §2.3 sitemap lines are group-independent (any casing,
+    optional ``#`` comment tails), so this needs no user-agent group
+    selection and — unlike the group parsers above — runs as pure column
+    algebra: split lines, strip comments, regex-extract. The output
+    bridges robots discovery into ``functions.sitemaps.urls_from_
+    sitemaps``, closing the robots → sitemap → URL-ingest loop; it is
+    dimension-sized (a few rows per host) like the rule table.
+    """
+    from pyspark.sql import functions as F
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r\n|\r|\n")
+        ).alias("_line"),
+    )
+    clean = F.regexp_replace(F.col("_line"), r"#.*$", "")
+    url = F.regexp_extract(clean, r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$", 1)
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )

@@ -100,3 +100,38 @@ def change_rates(
             revisit.alias("revisit_seconds"),
         )
     )
+
+
+def due_for_recrawl(
+    captures: DataFrame,
+    as_of,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    **rate_kwargs,
+) -> DataFrame:
+    """Pages whose revisit interval has elapsed by ``as_of``.
+
+    Composes :func:`change_rates` with the last capture time:
+    due ⇔ last_capture + revisit_seconds ≤ as_of. The returned id frame
+    feeds ``crawl.driver.retract_urls`` directly — retract, then
+    ``run_crawl(resume=True)`` refetches exactly the due set (the
+    retraction e2e contract).
+    """
+    rates = change_rates(
+        captures, id_col=id_col, ts_col=ts_col, digest_col=digest_col,
+        **rate_kwargs,
+    )
+    last = captures.groupBy(id_col).agg(
+        F.max(F.unix_timestamp(ts_col)).alias("_last_ut")
+    )
+    as_of_ut = F.unix_timestamp(
+        F.lit(as_of) if isinstance(as_of, str) else as_of
+    )
+    return (
+        rates.join(last, id_col)
+        .where(
+            (F.col("_last_ut") + F.col("revisit_seconds")) <= as_of_ut
+        )
+        .select(id_col, "revisit_seconds")
+    )

@@ -71,3 +71,23 @@ def test_change_rate_tiebreak_total_order(spark):
     out = change_rates(df, tiebreak_col="cap_id").collect()[0]
     # order d2, d1, d2 -> 2 transitions
     assert out.n_changes == 2
+
+
+def test_due_for_recrawl(spark):
+    from crawler_spark.operators.freshness import due_for_recrawl
+
+    rows = [
+        # fast-changing page, last seen 01-02; revisit clamps to 1h
+        ("fast", "2024-01-01 00:00:00", "1"),
+        ("fast", "2024-01-01 12:00:00", "2"),
+        ("fast", "2024-01-02 00:00:00", "3"),
+        # unchanged page -> 30-day ceiling, not due
+        ("slow", "2024-01-01 00:00:00", "x"),
+        ("slow", "2024-01-02 00:00:00", "x"),
+    ]
+    caps = _caps(spark, rows)
+    due = due_for_recrawl(caps, "2024-01-03 00:00:00")
+    assert [r.url for r in due.collect()] == ["fast"]
+    # a month later the unchanged page comes due too
+    due2 = due_for_recrawl(caps, "2024-02-05 00:00:00")
+    assert sorted(r.url for r in due2.collect()) == ["fast", "slow"]

@@ -324,3 +324,29 @@ def test_vectorized_robots_udf_matches_serial_spec(spark):
     for r in got.itertuples(index=False):
         want = cfg.robots_allowed(r.host or "", _url_path(r.url or ""))
         assert bool(r.ok) == want, (r.host, r.url, r.ok, want)
+
+
+def test_sitemaps_from_bodies(spark):
+    """Sitemap: directives are group-independent, case-blind, and
+    comment-tolerant; non-directive lines never match."""
+    from crawler_spark.functions.robots import sitemaps_from_bodies
+
+    body = (
+        "User-agent: *\nDisallow: /p/\n"
+        "Sitemap: http://a.test/s1.xml\n"
+        "  sitemap:\thttp://a.test/s2.xml  # comment\n"
+        "SITEMAP:http://a.test/s3.xml\r\n"
+        "NotASitemap: http://a.test/no.xml\n"
+        "Sitemap: # only a comment\n"
+    )
+    df = spark.createDataFrame(
+        [("a.test", body), ("b.test", None)], "host string, body string"
+    )
+    got = sorted(
+        (r.host, r.sitemap_url) for r in sitemaps_from_bodies(df).collect()
+    )
+    assert got == [
+        ("a.test", "http://a.test/s1.xml"),
+        ("a.test", "http://a.test/s2.xml"),
+        ("a.test", "http://a.test/s3.xml"),
+    ]
