@@ -24,6 +24,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# must equal crawler_spark.functions.textops.PUNCT_CLASS (entry keeps
+# crawler_spark imports lazy by design; tests/test_registry.py pins the
+# two literals together)
 PUNCT_RE = r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"
 STOP10 = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
 
@@ -1539,17 +1542,23 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
     """Unrolled power-iteration CTEs mirroring `q_link_pagerank` exactly:
     same synthetic edge rule, out-degree with multiplicity, uniform
     dangling-mass fold, and n-scaled 6-dp output."""
+    # n appears via CROSS JOIN of 1-row CTEs, never as a scalar subquery
+    # inside a per-row expression — DuckDB re-evaluates the latter per
+    # row through the unrolled chain (measured 40 s vs 0.5 s at sf0.01)
     head = """
         WITH nn AS (
-            SELECT CAST(count(*) AS DOUBLE) AS cnt FROM documents
+            SELECT CAST(count(*) AS DOUBLE) AS cnt,
+                   count(*) AS icnt
+            FROM documents
         ), edges AS (
             SELECT doc_id AS src,
                    unnest([
-                       (doc_id * 7 + 1) % CAST((SELECT cnt FROM nn) AS BIGINT),
-                       (doc_id * 13 + 2) % CAST((SELECT cnt FROM nn) AS BIGINT),
-                       (doc_id * 31 + 3) % CAST((SELECT cnt FROM nn) AS BIGINT)
+                       (doc_id * 7 + 1) % nn.icnt,
+                       (doc_id * 13 + 2) % nn.icnt,
+                       (doc_id * 31 + 3) % nn.icnt
                    ]) AS dst
-            FROM documents WHERE doc_id % 5 <> 0
+            FROM documents CROSS JOIN nn
+            WHERE doc_id % 5 <> 0
         ), nodes AS (
             SELECT src AS node FROM edges
             UNION
@@ -1560,7 +1569,8 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
         ), nc AS (
             SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes
         ), r0 AS (
-            SELECT node, 1.0 / (SELECT cnt FROM nc) AS rank FROM nodes
+            SELECT node, 1.0 / nc.cnt AS rank
+            FROM nodes CROSS JOIN nc
         )"""
     body = []
     prev = "r0"
@@ -1572,12 +1582,14 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
             WHERE deg.src IS NULL
         ), r{i} AS (
             SELECT n.node,
-                   {1.0 - damping} / (SELECT cnt FROM nc)
+                   {1.0 - damping} / nc.cnt
                    + {damping} * (
-                       coalesce(c.contrib, 0)
-                       + (SELECT dm FROM d{i - 1}) / (SELECT cnt FROM nc)
+                       coalesce(c.contrib, 0) + d.dm / nc.cnt
                    ) AS rank
-            FROM nodes n LEFT JOIN (
+            FROM nodes n
+            CROSS JOIN nc
+            CROSS JOIN d{i - 1} d
+            LEFT JOIN (
                 SELECT e.dst AS node, sum(r.rank / dg.d) AS contrib
                 FROM edges e
                 JOIN {prev} r ON e.src = r.node
@@ -1587,10 +1599,9 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
         )""")
         prev = f"r{i}"
     tail = f"""
-        SELECT node,
-               CAST(round(rank * (SELECT cnt FROM nn), 6) AS DOUBLE)
-                   AS rank_scaled
-        FROM {prev}
+        SELECT r.node,
+               CAST(round(r.rank * nn.cnt, 6) AS DOUBLE) AS rank_scaled
+        FROM {prev} r CROSS JOIN nn
     """
     return head + "".join(body) + tail
 
@@ -1600,8 +1611,9 @@ def _sentiment_portable_oracle_sql() -> str:
     `sentiment_portable` exactly; lexicon and stopwords are inlined from
     the same `functions.lexicons` tables the engine uses."""
     from crawler_spark.functions.lexicons import AFINN, STOPWORDS
+    from crawler_spark.functions.textops import PUNCT_CLASS
 
-    punct = r"[!\"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]"
+    punct = PUNCT_CLASS.replace("'", "''")  # SQL string-literal quoting
     stops = ", ".join(
         "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
     )

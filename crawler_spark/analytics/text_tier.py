@@ -92,8 +92,7 @@ def sentiment_portable(
     codegen — at 100 TB this scans and never exchanges.
     """
     from crawler_spark.functions.lexicons import AFINN, STOPWORDS
-
-    punct = r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"
+    from crawler_spark.functions.textops import PUNCT_CLASS as punct
     toks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.coalesce(text_col, F.lit("")), punct, "")),

@@ -234,6 +234,12 @@ def run_crawl(
     seen-log re-check is the correctness authority, the filter only
     bounds how much of it each round reads. Resume with the same
     ``seen_filter`` the store was written with."""
+    if config.round_capacity < 0:
+        # a negative cap would silently schedule nothing here while the
+        # serial oracle's list slice would keep all-but-the-last rows
+        raise ValueError(
+            f"round_capacity must be >= 0, got {config.round_capacity}"
+        )
     store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
     robots_ok = _robots_filter_udf(spark, config)
     budget_df, budget_default = _budget_df(spark, config)

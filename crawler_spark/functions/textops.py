@@ -36,7 +36,12 @@ from crawler_spark.functions.lexicons import AFINN, STOPWORDS
 
 _SPACES = re.compile(r"\s+")
 _NEWLINES = re.compile(r"(\r\n|\n|\r)", re.M)
-_PUNCT = re.compile(r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]")
+# THE ASCII punctuation class (reference text.ts:9) — public so the
+# relational twins (text_tier.sentiment_portable) and their SQL oracles
+# reuse the identical pattern instead of drifting copies; the class uses
+# only syntax shared by Python re, Java regex and RE2
+PUNCT_CLASS = r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"
+_PUNCT = re.compile(PUNCT_CLASS)
 _WORD_SPLIT = re.compile(r"[^A-Za-z0-9_]+")
 
 

@@ -25,7 +25,7 @@ set to ``retract_urls`` to schedule the recrawl.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,7 @@ def change_rates(
     min_revisit_seconds: float = 3600.0,
     max_revisit_seconds: float = 30 * 86400.0,
     tiebreak_col: str | None = None,
+    include_last_capture: bool = False,
 ) -> DataFrame:
     """Per-page change statistics + revisit schedule from captures.
 
@@ -46,6 +47,9 @@ def change_rates(
     ``rate_per_day`` is λ̂ scaled to changes/day; ``revisit_seconds`` is
     1/λ̂ clamped to [min, max] (λ̂ = 0 ⇒ max — an unchanging page is
     still revisited at the band ceiling, the standard staleness bound).
+    ``include_last_capture=True`` appends ``last_capture_ut`` (unix
+    seconds of the newest capture) — it rides the same aggregate, which
+    is what keeps :func:`due_for_recrawl` a single pass.
     """
     # the capture order must be TOTAL per page or the lag() transition
     # flags are partition-order-dependent — pass tiebreak_col whenever
@@ -69,6 +73,7 @@ def change_rates(
             ).otherwise(0)
         ).alias("n_changes"),
         (F.max("_ut") - F.min("_ut")).cast("double").alias("_span"),
+        F.max("_ut").alias("last_capture_ut"),
     )
     n_obs = (F.col("n_captures") - 1).cast("double")
     avg_int = F.col("_span") / n_obs
@@ -98,6 +103,7 @@ def change_rates(
             .otherwise(lam * F.lit(86400.0))
             .alias("rate_per_day"),
             revisit.alias("revisit_seconds"),
+            *(["last_capture_ut"] if include_last_capture else []),
         )
     )
 
@@ -120,18 +126,11 @@ def due_for_recrawl(
     """
     rates = change_rates(
         captures, id_col=id_col, ts_col=ts_col, digest_col=digest_col,
-        **rate_kwargs,
-    )
-    last = captures.groupBy(id_col).agg(
-        F.max(F.unix_timestamp(ts_col)).alias("_last_ut")
+        include_last_capture=True, **rate_kwargs,
     )
     as_of_ut = F.unix_timestamp(
-        F.lit(as_of) if isinstance(as_of, str) else as_of
+        as_of if isinstance(as_of, Column) else F.lit(as_of)
     )
-    return (
-        rates.join(last, id_col)
-        .where(
-            (F.col("_last_ut") + F.col("revisit_seconds")) <= as_of_ut
-        )
-        .select(id_col, "revisit_seconds")
-    )
+    return rates.where(
+        (F.col("last_capture_ut") + F.col("revisit_seconds")) <= as_of_ut
+    ).select(id_col, "revisit_seconds")

@@ -68,9 +68,13 @@ def pagerank(
         .select("node", F.coalesce("deg", F.lit(0.0)).alias("deg"))
         .localCheckpoint(eager=False)
     )
-    n_row = nd.agg(F.count("*").cast("double").alias("n"))
-    ranks = nd.crossJoin(F.broadcast(n_row)).select(
-        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    # ONE driver-side count before the loop (also materializes nd's
+    # checkpoint): n is invariant, and folding it in as a literal keeps
+    # every iteration's plan free of a repeated count-aggregate — the
+    # no-collect rule is about per-iteration round-trips, not this
+    n = float(nd.count())
+    ranks = nd.select(
+        "node", "deg", (F.lit(1.0) / F.lit(n)).alias("rank")
     ).localCheckpoint(eager=False)
 
     for _ in range(n_iter):
@@ -85,16 +89,15 @@ def pagerank(
         ranks = (
             nd.join(contribs, nd["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
                 "deg",
                 (
-                    F.lit(1.0 - damping) / F.col("n")
+                    F.lit(1.0 - damping) / F.lit(n)
                     + F.lit(damping)
                     * (
                         F.coalesce("contrib", F.lit(0.0))
-                        + F.col("dm") / F.col("n")
+                        + F.col("dm") / F.lit(n)
                     )
                 ).alias("rank"),
             )

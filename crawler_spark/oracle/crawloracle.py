@@ -127,6 +127,10 @@ def crawl_oracle(
     status, retry_after. ``seeds`` are canonical URLs, priority = list
     order.
     """
+    if config.round_capacity < 0:
+        raise ValueError(
+            f"round_capacity must be >= 0, got {config.round_capacity}"
+        )
     by_url = {
         r.url: r for r in corpus.itertuples(index=False)
     }

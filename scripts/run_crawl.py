@@ -93,6 +93,8 @@ def main() -> None:
     ap.add_argument("--write-partitions", type=int, default=8,
                     help="files per round table; 0 = natural partitioning")
     args = ap.parse_args()
+    if args.round_capacity < 0:
+        ap.error("--round-capacity must be >= 0")
     if args.crawl_delay_budgets and not args.robots_dir:
         ap.error("--crawl-delay-budgets requires --robots-dir "
                  "(delays come from the fetched robots bodies)")

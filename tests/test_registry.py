@@ -32,3 +32,14 @@ def test_window_is_fully_used():
     """At least WINDOW oracle-backed queries exist — the gate window
     should never run below capacity again."""
     assert len(em.oracle_sql()) >= WINDOW
+
+
+def test_entry_punct_literal_matches_engine():
+    """__spark_entry__.PUNCT_RE must stay byte-equal to the engine's
+    PUNCT_CLASS (entry keeps crawler_spark imports lazy, so the class is
+    duplicated as a literal there)."""
+    import __spark_entry__ as em
+
+    from crawler_spark.functions.textops import PUNCT_CLASS
+
+    assert em.PUNCT_RE == PUNCT_CLASS
