@@ -91,3 +91,62 @@ def test_due_for_recrawl(spark):
     # a month later the unchanged page comes due too
     due2 = due_for_recrawl(caps, "2024-02-05 00:00:00")
     assert sorted(r.url for r in due2.collect()) == ["fast", "slow"]
+
+
+def test_due_set_feeds_retraction_e2e(spark, tmp_path):
+    """The documented composition end-to-end: crawl → capture history →
+    due_for_recrawl → retract_urls → resume refetches exactly the due
+    set (changed pages come due at their fast revisit interval,
+    unchanged pages sit at the 30-day ceiling)."""
+    from crawler_spark import (
+        CrawlConfig,
+        CrawlStore,
+        due_for_recrawl,
+        retract_urls,
+        run_crawl,
+    )
+    from crawler_spark.fixtures.doccorpus import corpus_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = corpus_from_documents(docs).cache()
+    seeds = [
+        r.url for r in corpus.select("url").orderBy("url").limit(2).collect()
+    ]
+    root = str(tmp_path / "store")
+    run_crawl(
+        spark, corpus, seeds, CrawlConfig(budgets={"*": 50}, max_rounds=2),
+        root, bloom_buckets=8, bloom_bits=1 << 16,
+    )
+    store = CrawlStore(spark, root)
+    pages = store.read_pages().select("url").distinct().cache()
+    victims = sorted(r.url for r in pages.orderBy("url").limit(2).collect())
+
+    # two captures a day apart; only the victims changed digests
+    c1 = pages.select(
+        "url",
+        F.lit("2024-01-01 00:00:00").alias("ts_s"),
+        F.lit("d1").alias("digest"),
+    )
+    c2 = pages.select(
+        "url",
+        F.lit("2024-01-02 00:00:00").alias("ts_s"),
+        F.when(F.col("url").isin(victims), F.lit("d2"))
+        .otherwise(F.lit("d1"))
+        .alias("digest"),
+    )
+    caps = c1.union(c2).withColumn("warc_ts", F.to_timestamp("ts_s"))
+    due = due_for_recrawl(caps, "2024-01-05 00:00:00")
+    due_urls = sorted(r.url for r in due.collect())
+    assert due_urls == victims
+
+    retract_urls(spark, root, due_urls)
+    run_crawl(
+        spark, corpus, seeds, CrawlConfig(budgets={"*": 50}, max_rounds=4),
+        root, bloom_buckets=8, bloom_bits=1 << 16, resume=True,
+    )
+    counts = (
+        store.read_pages().groupBy("url").count().toPandas()
+        .set_index("url")["count"].to_dict()
+    )
+    for u, n in counts.items():
+        assert n == (2 if u in due_urls else 1), (u, n)
