@@ -795,6 +795,66 @@ def q_cdx_index(spark, sf):
     return cdx_index(src)
 
 
+def q_url_trap_flags(spark, sf):
+    """Crawler-trap detection (`functions.traps.url_trap_flags`) over a
+    deterministic URL mix built from doc_id — each residue class
+    exercises one trap shape (mirror loop, calendar, deep path, session
+    id by name AND by 32-hex value, parameter/query explosion, clean).
+    The oracle mirrors construction and every flag in SQL."""
+    from crawler_spark.functions.traps import url_trap_flags
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pad = "x" * 120
+    path = (
+        F.when(i % 6 == 0, F.lit("/a/b/a/c/a/d"))
+        .when(
+            i % 6 == 1,
+            F.concat(
+                F.lit("/2024/"), ((i % 12) + 1).cast("string"),
+                F.lit("/"), ((i % 28) + 1).cast("string"),
+            ),
+        )
+        .when(i % 6 == 2, F.lit("/p1/p2/p3/p4/p5/p6/p7/p8/p9"))
+        .when(
+            i % 6 == 3,
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("/doc?sid=s"), i.cast("string")),
+            ).otherwise(
+                F.concat(F.lit("/doc?k="), F.md5(i.cast("string")))
+            ),
+        )
+        .when(
+            i % 6 == 4,
+            F.concat(
+                F.lit(
+                    "/doc?q1=1&q2=2&q3=3&q4=4&q5=5&q6=6&q7=7&q8=8&q9=9"
+                    "&pad="
+                ),
+                F.lit(pad),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/doc/"), i.cast("string")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (i % 5).cast("string"), F.lit(".test"), path
+        ).alias("url"),
+    )
+    out = url_trap_flags(urls)
+    return out.select(
+        "doc_id", "url",
+        F.col("depth").cast("int").alias("depth"),
+        F.col("n_params").cast("int").alias("n_params"),
+        "deep_path", "repeated_segments", "many_params", "long_query",
+        "has_session_id", "date_segments",
+        F.col("trap_score").cast("int").alias("trap_score"),
+        "is_trap",
+    )
+
+
 def q_recrawl_schedule(spark, sf):
     """Freshness scheduling (`operators.freshness.change_rates`): the
     Cho–Garcia-Molina bias-corrected change-rate estimator over a
@@ -1515,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "recrawl_schedule": q_recrawl_schedule,
         "robots_sitemaps": q_robots_sitemaps,
+        "url_trap_flags": q_url_trap_flags,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -2954,6 +3015,92 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(text, '')) AS digest,
                    CAST(len(coalesce(text, '')) AS BIGINT) AS length
             FROM keyed
+        """,
+        # crawler-trap flags over the deterministic URL mix
+        # (see q_url_trap_flags — construction + every flag mirrored)
+        "url_trap_flags": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test'
+                       || CASE doc_id % 6
+                          WHEN 0 THEN '/a/b/a/c/a/d'
+                          WHEN 1 THEN '/2024/'
+                               || CAST((doc_id % 12) + 1 AS VARCHAR) || '/'
+                               || CAST((doc_id % 28) + 1 AS VARCHAR)
+                          WHEN 2 THEN '/p1/p2/p3/p4/p5/p6/p7/p8/p9'
+                          WHEN 3 THEN CASE WHEN doc_id % 2 = 0
+                               THEN '/doc?sid=s' || CAST(doc_id AS VARCHAR)
+                               ELSE '/doc?k=' || md5(CAST(doc_id AS VARCHAR))
+                               END
+                          WHEN 4 THEN
+                               '/doc?q1=1&q2=2&q3=3&q4=4&q5=5&q6=6&q7=7'
+                               || '&q8=8&q9=9&pad=' || repeat('x', 120)
+                          ELSE '/doc/' || CAST(doc_id AS VARCHAR)
+                          END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       regexp_replace(
+                           url, '^[a-z][a-z0-9+.\-]*://[^/]*', ''
+                       ) AS after
+                FROM src
+            ), pq AS (
+                SELECT doc_id, url,
+                       CASE WHEN contains(after, '?')
+                            THEN substr(after, 1, instr(after, '?') - 1)
+                            ELSE after END AS path,
+                       CASE WHEN contains(after, '?')
+                            THEN substr(after, instr(after, '?') + 1)
+                            ELSE '' END AS query
+                FROM parts
+            ), feat AS (
+                SELECT doc_id, url,
+                       list_filter(string_split(path, '/'),
+                                   s -> s <> '') AS segs,
+                       list_filter(string_split(query, '&'),
+                                   p -> p <> '') AS params,
+                       query
+                FROM pq
+            ), flags AS (
+                SELECT doc_id, url,
+                       len(segs) AS depth,
+                       len(params) AS n_params,
+                       len(segs) > 8 AS deep_path,
+                       (len(segs) - len(list_distinct(segs))) >= 2
+                           AS repeated_segments,
+                       len(params) > 8 AS many_params,
+                       len(query) > 100 AS long_query,
+                       (len(list_filter(params, p ->
+                            lower(string_split(p, '=')[1]) IN
+                            ('sid', 'sessionid', 'session_id',
+                             'phpsessid', 'jsessionid', 'aspsessionid',
+                             'cfid', 'cftoken', 'sess'))) > 0
+                        OR len(list_filter(params, p ->
+                            regexp_full_match(
+                                list_extract(string_split(p, '='),
+                                             len(string_split(p, '='))),
+                                '[0-9a-fA-F]{32,}'))) > 0)
+                           AS has_session_id,
+                       len(list_filter(segs, s ->
+                            regexp_full_match(
+                                s, '(19|20)[0-9]{2}|[0-9]{1,2}'))) >= 2
+                           AS date_segments
+                FROM feat
+            )
+            SELECT doc_id, url,
+                   CAST(depth AS INT) AS depth,
+                   CAST(n_params AS INT) AS n_params,
+                   deep_path, repeated_segments, many_params, long_query,
+                   has_session_id, date_segments,
+                   CAST(CAST(deep_path AS INT) + CAST(repeated_segments AS INT)
+                        + CAST(many_params AS INT) + CAST(long_query AS INT)
+                        + CAST(has_session_id AS INT)
+                        + CAST(date_segments AS INT) AS INT) AS trap_score,
+                   (CAST(deep_path AS INT) + CAST(repeated_segments AS INT)
+                    + CAST(many_params AS INT) + CAST(long_query AS INT)
+                    + CAST(has_session_id AS INT)
+                    + CAST(date_segments AS INT)) >= 2 AS is_trap
+            FROM flags
         """,
         # robots Sitemap: directives from the deterministic fixture
         # (see q_robots_sitemaps — same construction + transform in SQL)
