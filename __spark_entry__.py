@@ -1502,6 +1502,111 @@ def q_doc_language_id(spark, sf):
     return language_id(d)
 
 
+def _redirect_edges(spark, sf):
+    """Deterministic redirect map over doc ids: every d with d % 16 != 0
+    redirects to d-1 (chains up to 15 hops ending at a multiple of 16),
+    EXCEPT d % 160 == 8 which redirects to d+7 — closing {8..15} (mod
+    160) into an 8-node loop, the redirect-cycle trap class."""
+    return (
+        _read(spark, sf, "documents")
+        .where(F.col("doc_id") % 16 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.when(F.col("doc_id") % 160 == 8, F.col("doc_id") + 7)
+            .otherwise(F.col("doc_id") - 1)
+            .alias("dst"),
+        )
+    )
+
+
+def q_redirect_resolution(spark, sf):
+    """3xx-chain resolution by pointer jumping
+    (`operators.redirects.resolve_redirects`, O(log max_hops) self-
+    joins): every redirect source → its chain terminal + exact hop
+    count, loops flagged. The oracle walks the same synthetic map with
+    a bounded recursive CTE."""
+    from crawler_spark.operators.redirects import resolve_redirects
+
+    return resolve_redirects(_redirect_edges(spark, sf), max_hops=32)
+
+
+def q_hits_scores(spark, sf):
+    """HITS hub/authority (`operators.graphrank.hits`, 6 L1-normalized
+    iterations) over the same synthetic doc-id link graph as
+    `link_pagerank`; the oracle runs the identical unrolled iterations.
+    Scores are n-scaled before 6-dp rounding, like rank_scaled."""
+    from crawler_spark.operators.graphrank import hits
+
+    d = _read(spark, sf, "documents")
+    n = d.count()
+    e = d.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 1) % n,
+                (F.col("doc_id") * 13 + 2) % n,
+                (F.col("doc_id") * 31 + 3) % n,
+            )
+        ).alias("dst"),
+    )
+    out = hits(e, n_iter=6)
+    return out.select(
+        "node",
+        F.round(F.col("hub") * n, 6).cast("double").alias("hub"),
+        F.round(F.col("auth") * n, 6).cast("double").alias("auth"),
+    )
+
+
+def q_chunk_dedup(spark, sf):
+    """CCNet-style corpus-wide repeated-passage removal
+    (`operators.passages.repeated_chunk_filter`): fixed 3-word chunks,
+    first occurrence in (doc_id, chunk_idx) order kept, per-doc survival
+    stats. portable=True selects the md5-prefix chunk hash the DuckDB
+    oracle reproduces (production default: xxhash64)."""
+    from crawler_spark.operators.passages import repeated_chunk_filter
+
+    d = _read_wide(spark, sf, "documents")
+    return repeated_chunk_filter(d, chunk_words=3, portable=True)
+
+
+def q_host_mirrors(spark, sf):
+    """Mirror-host detection (`operators.passages.host_mirror_pairs`):
+    hosts ranked by Jaccard over their distinct 2-word-chunk hash sets,
+    via a posting-list self-join on chunk hash. Exact (uncapped) here
+    for oracle parity; the df-cap contract is exercised in tests."""
+    from crawler_spark.operators.passages import host_mirror_pairs
+
+    d = _read_wide(spark, sf, "documents")
+    out = host_mirror_pairs(d, chunk_words=2, portable=True)
+    return out.select(
+        "host_a",
+        "host_b",
+        "n_shared",
+        F.round("jaccard", 6).cast("double").alias("jaccard"),
+    )
+
+
+def q_training_shards(spark, sf):
+    """Token-budget shard packing (`operators.packing.pack_shards`,
+    budget 500): documents laid end-to-end per language in doc_id order,
+    shard = floor(tokens_before / budget) — computed with the two-phase
+    weighted prefix sum, not a per-language window."""
+    from crawler_spark.operators.packing import pack_shards
+
+    return pack_shards(_read(spark, sf, "documents"), budget=500)
+
+
+def q_term_search(spark, sf):
+    """Disjunctive TF-IDF ranked retrieval (`analytics.search.
+    tfidf_topk`): top-20 documents for a 4-term query, broadcast
+    semi-join against postings, smoothed idf, (score desc, doc_id)
+    total order."""
+    from crawler_spark.analytics.search import tfidf_topk
+
+    d = _read_wide(spark, sf, "documents")
+    return tfidf_topk(d, ["join", "spark", "table", "window"], k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
     # entries in registry order, so the first 50 are all oracle-backed —
@@ -1576,6 +1681,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "robots_sitemaps": q_robots_sitemaps,
         "url_trap_flags": q_url_trap_flags,
+        "redirect_resolution": q_redirect_resolution,
+        "hits_scores": q_hits_scores,
+        "chunk_dedup": q_chunk_dedup,
+        "host_mirrors": q_host_mirrors,
+        "training_shards": q_training_shards,
+        "term_search": q_term_search,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -1663,6 +1774,68 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
         SELECT r.node,
                CAST(round(r.rank * nn.cnt, 6) AS DOUBLE) AS rank_scaled
         FROM {prev} r CROSS JOIN nn
+    """
+    return head + "".join(body) + tail
+
+
+def _hits_oracle_sql(n_iter: int = 6) -> str:
+    """Unrolled L1-normalized HITS iterations mirroring `q_hits_scores`:
+    same synthetic edge rule as `_pagerank_oracle_sql`, hub init 1.0,
+    auth-then-hub update order, n-scaled 6-dp output."""
+    head = """
+        WITH nn AS MATERIALIZED (
+            SELECT CAST(count(*) AS DOUBLE) AS cnt,
+                   count(*) AS icnt
+            FROM documents
+        ), edges AS MATERIALIZED (
+            SELECT doc_id AS src,
+                   unnest([
+                       (doc_id * 7 + 1) % nn.icnt,
+                       (doc_id * 13 + 2) % nn.icnt,
+                       (doc_id * 31 + 3) % nn.icnt
+                   ]) AS dst
+            FROM documents CROSS JOIN nn
+            WHERE doc_id % 5 <> 0
+        ), nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ), h0 AS MATERIALIZED (
+            SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes
+        )"""
+    body = []
+    for i in range(1, n_iter + 1):
+        body.append(f"""
+        , a{i}r AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.hub) AS s
+            FROM edges e JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY e.dst
+        ), a{i}t AS MATERIALIZED (
+            SELECT sum(s) AS t FROM a{i}r
+        ), a{i} AS (
+            SELECT n.node, coalesce(r.s, 0) / t.t AS auth
+            FROM nodes n
+            LEFT JOIN a{i}r r ON r.node = n.node
+            CROSS JOIN a{i}t t
+        ), h{i}r AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.auth) AS s
+            FROM edges e JOIN a{i} a ON a.node = e.dst
+            GROUP BY e.src
+        ), h{i}t AS MATERIALIZED (
+            SELECT sum(s) AS t FROM h{i}r
+        ), h{i} AS (
+            SELECT n.node, coalesce(r.s, 0) / t.t AS hub
+            FROM nodes n
+            LEFT JOIN h{i}r r ON r.node = n.node
+            CROSS JOIN h{i}t t
+        )""")
+    tail = f"""
+        SELECT h.node,
+               CAST(round(h.hub * nn.cnt, 6) AS DOUBLE) AS hub,
+               CAST(round(a.auth * nn.cnt, 6) AS DOUBLE) AS auth
+        FROM h{n_iter} h
+        JOIN a{n_iter} a ON a.node = h.node
+        CROSS JOIN nn
     """
     return head + "".join(body) + tail
 
@@ -3203,5 +3376,152 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens
             FROM ex e JOIN vocab v USING (tok)
             GROUP BY e.doc_id
+        """,
+        # bounded recursive walk over the same synthetic redirect map
+        # (see q_redirect_resolution / _redirect_edges)
+        "redirect_resolution": """
+            WITH RECURSIVE edges AS (
+                SELECT doc_id AS src,
+                       CASE WHEN doc_id % 160 = 8 THEN doc_id + 7
+                            ELSE doc_id - 1 END AS dst
+                FROM documents WHERE doc_id % 16 <> 0
+            ), walk AS (
+                SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops
+                FROM edges
+                UNION ALL
+                SELECT w.src, e.dst, w.hops + 1
+                FROM walk w JOIN edges e ON e.src = w.cur
+                WHERE w.hops < 40
+            ), term AS (
+                SELECT w.src, w.cur, w.hops
+                FROM walk w LEFT JOIN edges e ON e.src = w.cur
+                WHERE e.src IS NULL
+            )
+            SELECT s.src AS src_id,
+                   t.cur AS final_id,
+                   t.hops AS hops,
+                   t.src IS NULL AS is_cycle
+            FROM (SELECT DISTINCT src FROM edges) s
+            LEFT JOIN term t ON t.src = s.src
+        """,
+        # 6 unrolled L1-normalized HITS iterations over the same
+        # synthetic doc-id link graph as link_pagerank (see q_hits_scores)
+        "hits_scores": _hits_oracle_sql(),
+        # 3-word-chunk repeated-passage removal, md5-prefix chunk hash
+        # (see q_chunk_dedup / operators.passages.repeated_chunk_filter)
+        "chunk_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       unnest(l) AS word,
+                       unnest(generate_series(1, len(l))) AS ord
+                FROM toks
+            ), c AS (
+                SELECT doc_id,
+                       CAST((ord - 1) // 3 AS BIGINT) AS chunk_idx,
+                       string_agg(word, ' ' ORDER BY ord) AS chunk,
+                       count(*) AS n_words
+                FROM w GROUP BY doc_id, (ord - 1) // 3
+            ), r AS (
+                SELECT doc_id, n_words,
+                       row_number() OVER (
+                           PARTITION BY substr(md5(chunk), 1, 16)
+                           ORDER BY doc_id, chunk_idx
+                       ) AS rn
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN rn = 1 THEN n_words ELSE 0 END)
+                        AS BIGINT) AS kept_words
+            FROM r GROUP BY doc_id
+        """,
+        # host-pair Jaccard over distinct 2-word-chunk hash sets
+        # (see q_host_mirrors / operators.passages.host_mirror_pairs)
+        "host_mirrors": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       unnest(l) AS word,
+                       unnest(generate_series(1, len(l))) AS ord
+                FROM toks
+            ), c AS (
+                SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY ord) AS chunk
+                FROM w GROUP BY doc_id, (ord - 1) // 2
+            ), hc AS (
+                SELECT DISTINCT d.source AS host,
+                       substr(md5(c.chunk), 1, 16) AS ch
+                FROM c JOIN documents d USING (doc_id)
+            ), sz AS (
+                SELECT host, count(*) AS n FROM hc GROUP BY host
+            ), inter AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       count(*) AS n_shared
+                FROM hc a JOIN hc b ON a.ch = b.ch AND a.host < b.host
+                GROUP BY a.host, b.host
+            )
+            SELECT i.host_a, i.host_b,
+                   CAST(i.n_shared AS BIGINT) AS n_shared,
+                   CAST(round(i.n_shared * 1.0
+                              / (sa.n + sb.n - i.n_shared), 6)
+                        AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.host = i.host_a
+            JOIN sz sb ON sb.host = i.host_b
+        """,
+        # per-language running token sum cut every 500 tokens
+        # (see q_training_shards / operators.packing.pack_shards)
+        "training_shards": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST((sum(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id
+                        ) - n_tokens) // 500 AS BIGINT) AS shard_id
+            FROM t
+        """,
+        # smoothed TF-IDF disjunctive retrieval, top-20
+        # (see q_term_search / analytics.search.tfidf_topk)
+        "term_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS dl,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), q AS (
+                SELECT unnest(['join', 'spark', 'table', 'window'])
+                    AS term
+            ), tf AS (
+                SELECT t.doc_id, t.term,
+                       count(*) AS n, min(t.dl) AS dl
+                FROM toks t JOIN q ON q.term = t.term
+                GROUP BY t.doc_id, t.term
+            ), nd AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            ), df AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(round(sum(
+                       (tf.n * 1.0 / tf.dl)
+                       * (ln((nd.n + 1) / (df.df + 1)) + 1)
+                   ), 6) AS DOUBLE) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN nd
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 20
         """,
     }

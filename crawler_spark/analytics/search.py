@@ -1,0 +1,83 @@
+"""Ranked retrieval over the split-terms inverted index (TF-IDF top-k).
+
+The reference builds per-term index collections (``index.ts`` /
+``splitTerms``: one document list per term) but ships no query side —
+lookups happen ad hoc in Mongo. This module supplies the query
+operator a term index exists FOR: given a bag of query terms, rank
+documents by summed TF-IDF and return the top-k, the textbook
+disjunctive (OR) ranked retrieval.
+
+Spark-first design: the query is a handful of terms — a *broadcast*
+semi-join against the posting lists, never a shuffle of the corpus.
+Per-document length and per-term document frequency are corpus-level
+aggregates a real deployment precomputes once (they are exactly the
+``split_terms`` output this module consumes); scoring then touches only
+the posting rows of the query terms. The final top-k is a single
+ordered ``limit`` — Spark executes that as a TakeOrdered over partial
+per-partition heaps, no global sort materialization.
+
+Scoring (kept to expressions any engine reproduces bit-for-bit):
+``tf = n_term_in_doc / n_tokens_in_doc``,
+``idf = ln((N + 1) / (df + 1)) + 1``  (smoothed, sklearn-style),
+``score = Σ_terms tf·idf``, ties broken by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a disjunctive term query, by TF-IDF sum.
+
+    Tokenization is whitespace split (the corpus tables are already
+    clean text; HTML goes through ``functions.html`` first). Returns
+    ``(doc_id, n_hits, score)`` — ``n_hits`` = how many distinct query
+    terms matched, ``score`` rounded to 6 dp for cross-engine compare.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    # doc length rides each posting row as per-row array arithmetic — no
+    # corpus-wide length groupBy and no join back to the full corpus; the
+    # only shuffle in this operator is the tf aggregation of query-term
+    # hits, which the broadcast semi-join has already shrunk
+    words = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    )
+    n_docs = docs.count()  # one scalar; a deployment caches it with the index
+    hits = toks.join(F.broadcast(q), "term")
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("n"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.round(
+                F.sum(
+                    (F.col("n") / F.col("dl"))
+                    * (
+                        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+                        + 1.0
+                    )
+                ),
+                6,
+            ).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

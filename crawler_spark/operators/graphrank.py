@@ -106,6 +106,74 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge list.
+
+    Returns ``(node, hub, auth)`` for every node appearing as a source
+    or destination. The crawl scheduler uses the two scores differently
+    from PageRank's single signal: high-*hub* hosts (directories, link
+    farms, sitemap-like indexes) are where frontier *discovery* is
+    cheapest, high-*auth* hosts are what the corpus wants fetched first.
+    Parallel edges count with multiplicity, matching ``pagerank`` above.
+
+    Each iteration is two shuffles (auth: groupBy dst; hub: groupBy
+    src) plus two 1-row broadcast normalizers — L1 normalization, not
+    L2, so the oracle's unrolled SQL needs no sqrt and every engine
+    sums the same magnitudes. A node with no in-edges has auth 0, no
+    out-edges hub 0. Fixed ``n_iter`` keeps the result a pure function
+    of the input (same rationale as ``pagerank``); iterations are
+    ``localCheckpoint``-ed to reset lineage.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(
+        eager=False
+    )
+    auth = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
 def host_ranks_from_links(
     links: DataFrame,
     n_iter: int = 8,

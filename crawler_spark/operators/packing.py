@@ -1,0 +1,98 @@
+"""Training-shard packing: assign documents to fixed token-budget shards.
+
+The last step of a training-data pipeline: after curation
+(``__spark_entry__.corpus_curation``) the corpus is exported as shards
+of ~``budget`` tokens each, per language, in a deterministic order — so
+a re-run (or a resumed export) produces byte-identical shard membership,
+the same determinism contract as ``operators.scrub.stratified_sample``.
+
+Semantics: documents are laid end-to-end in ``(lang, doc_id)`` order and
+cut every ``budget`` tokens; a document belongs to the shard its FIRST
+token lands in (documents are never split, so a shard can overflow by at
+most one document — the standard concat-then-chunk approximation).
+Equivalently ``shard_id = floor(tokens_before_doc / budget)``.
+
+Spark-first design: the naive formulation is a running token sum over
+``Window.partitionBy(lang).orderBy(doc_id)`` — one task per language,
+and a web corpus is ~half English, so that window is the textbook skew
+bottleneck. This module reuses ``operators.topk.with_global_seq``'s
+two-phase plan, generalized from row counts to WEIGHTED sums:
+range-partition by the total order, aggregate per-partition token sums
+per ``(partition, lang)`` (a tiny langs×partitions driver round-trip,
+not a data collect), prefix-sum those on the driver, then a
+partition-LOCAL running sum plus the broadcast offset. Every partition
+works in parallel regardless of language skew, and the result depends
+only on the total order, not on partition boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document a per-language training shard id.
+
+    ``tokens`` is the per-document token count expression (default:
+    whitespace word count of ``text``). Returns
+    ``(doc_id, lang, n_tokens, shard_id)`` with ``shard_id`` dense from
+    0 within each language.
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    if tokens is None:
+        tokens = F.size(F.split(F.col("text"), " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        tokens.cast("long").alias("n_tokens"),
+    )
+    # freeze partition-id assignment across the two jobs — see
+    # topk.with_global_seq for why this localCheckpoint is load-bearing
+    parted = (
+        base.repartitionByRange(num_partitions, "lang", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = (
+        parted.groupBy("_pid", "lang")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )  # langs × partitions rows — driver-side prefix sum, not a collect
+    acc: dict[str, int] = {}
+    offsets = []
+    for r in sorted(sums, key=lambda r: (r["lang"], r["_pid"])):
+        offsets.append((r["_pid"], r["lang"], acc.get(r["lang"], 0)))
+        acc[r["lang"]] = acc.get(r["lang"], 0) + r["t"]
+    off_df = spark.createDataFrame(
+        offsets, "_pid int, lang string, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(off_df), ["_pid", "lang"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(
+                (F.col("_off") + F.col("_cum") - F.col("n_tokens"))
+                / F.lit(float(budget))
+            ).alias("shard_id"),
+        )
+    )

@@ -1,0 +1,183 @@
+"""Passage-level corpus operators: repeated-chunk removal + mirror hosts.
+
+The reference dedupes whole text blocks within one page at extraction
+time (``text.ts`` keeps a block's first occurrence); a training-data
+pipeline needs the *cross-document* generalization — CCNet/RefinedWeb
+style removal of boilerplate passages that repeat across the corpus
+(headers, footers, cookie banners, licence blurbs), and its host-level
+aggregate: *mirror detection*, flagging host pairs that serve largely
+the same passages so the scheduler stops crawling the copy.
+
+Spark-first design, shared by both operators:
+
+  * chunking is pure per-row array algebra (``split`` → ``sequence`` →
+    ``slice`` → ``posexplode``) — whole-stage codegen, no Python;
+  * the ONLY thing that crosses a shuffle is ``(hash, ids, n_words)``:
+    the chunk text is hashed *before* the exchange, the same
+    never-shuffle-text rule as ``operators.dedup.dedup_exact``;
+  * dual hash family like ``dedup.minhash_signatures``: production
+    uses ``xxhash64`` (JVM, 8 bytes), ``portable=True`` uses an md5
+    prefix so a DuckDB oracle computes bit-identical keys;
+  * mirror pairs come from a posting-list self-join on chunk hash with
+    a document-frequency cap (``max_hosts_per_chunk``) — a chunk shared
+    by h hosts yields h² pair rows, so ubiquitous boilerplate ("all
+    rights reserved") must be capped, the exact df-cap contract of
+    ``dedup.ngram_jaccard_pairs``.
+
+At 100 TB: chunks ≈ 10× documents; the first-occurrence window and the
+per-host distinct both shuffle fixed-width rows keyed by a uniform
+hash. Nothing is quadratic except host *pairs per shared chunk*, which
+the df-cap bounds by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _chunk_hash_col(portable: bool):
+    if portable:
+        # md5 hex prefix — reproducible in any engine; oracle path only
+        return lambda c: F.substring(F.md5(c), 1, 16)
+    return lambda c: F.xxhash64(c).cast("string")
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk_words: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Explode documents into fixed-width word chunks.
+
+    Returns ``(doc_id, chunk_idx, chunk_hash, n_words)`` — one row per
+    ``chunk_words``-word window (last window ragged). The chunk *text*
+    never leaves this function: downstream operators join and group on
+    the hash alone.
+    """
+    h = _chunk_hash_col(portable)
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.slice(words, i * chunk_words + 1, chunk_words),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(chunks).alias("chunk_idx", "_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            h(F.array_join("_c", " ")).alias("chunk_hash"),
+            F.size("_c").alias("n_words"),
+        )
+    )
+
+
+def repeated_chunk_filter(
+    docs: DataFrame,
+    chunk_words: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-wide repeated-passage removal, first occurrence kept.
+
+    A chunk occurrence is *removed* when the identical chunk appeared
+    earlier in corpus order (ordered by ``(doc_id, chunk_idx)`` — a
+    total order, so re-runs remove the same occurrences). Returns per-
+    document survival stats:
+    ``(doc_id, n_chunks, n_removed, kept_words)``.
+
+    One shuffle, keyed by chunk hash; the window's sort key is unique
+    so first-occurrence choice is deterministic.
+    """
+    ch = doc_chunks(docs, chunk_words, id_col, text_col, portable)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_removed"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.col("n_words")).otherwise(0)
+            ).alias("kept_words"),
+        )
+    )
+
+
+def host_mirror_pairs(
+    docs: DataFrame,
+    chunk_words: int = 50,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hosts_per_chunk: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Host pairs ranked by passage-set Jaccard — mirror detection.
+
+    Each host is represented by its set of distinct chunk hashes;
+    ``jaccard = |A∩B| / |A∪B|`` over those sets. Only pairs sharing at
+    least one chunk are emitted (a mirror score of zero is not a
+    mirror). ``max_hosts_per_chunk`` drops chunks shared by more hosts
+    than the cap before pairing — boilerplate that everyone serves says
+    nothing about mirroring and is the only quadratic term; with the
+    cap the join is bounded by cap² pairs per chunk. When capped, the
+    intersection (and so the Jaccard) is an honest *lower bound*, the
+    same documented semantics as ``dedup.ngram_jaccard_pairs``.
+
+    Returns ``(host_a, host_b, n_shared, jaccard)``.
+    """
+    hc = (
+        doc_chunks(docs, chunk_words, id_col, text_col, portable)
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(host_col).alias("host")
+            ),
+            "doc_id",
+        )
+        .select("host", "chunk_hash")
+        .distinct()
+    )
+    sizes = hc.groupBy("host").agg(F.count("*").alias("n"))
+    posting = hc
+    if max_hosts_per_chunk is not None:
+        df_w = Window.partitionBy("chunk_hash")
+        posting = (
+            hc.withColumn("_df", F.count("*").over(df_w))
+            .where(F.col("_df") <= max_hosts_per_chunk)
+            .drop("_df")
+        )
+    a = posting.select(
+        F.col("host").alias("host_a"), F.col("chunk_hash").alias("h")
+    )
+    b = posting.select(
+        F.col("host").alias("host_b"), F.col("chunk_hash").alias("h")
+    )
+    inter = (
+        a.join(b, "h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -83,3 +83,60 @@ def test_host_ranks_from_links(spark):
     )
     for h, v in want.items():
         assert ranks[h] == pytest.approx(v, abs=1e-12)
+
+
+def _np_hits(edges, nodes, n_iter=6):
+    """Independent dense HITS with L1 normalization, hub init 1.0."""
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        for s, d in edges:
+            a[idx[d]] += h[idx[s]]
+        a /= a.sum()
+        h = np.zeros(n)
+        for s, d in edges:
+            h[idx[s]] += a[idx[d]]
+        h /= h.sum()
+    return (
+        {nd: h[idx[nd]] for nd in nodes},
+        {nd: a[idx[nd]] for nd in nodes},
+    )
+
+
+def test_hits_matches_numpy(spark, graph):
+    from crawler_spark.operators.graphrank import hits
+
+    edges, nodes = graph
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    rows = hits(df, n_iter=6).collect()
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["auth"] for r in rows}
+    want_h, want_a = _np_hits(edges, nodes, n_iter=6)
+    assert set(got_h) == set(nodes)
+    for n in nodes:
+        assert got_h[n] == pytest.approx(want_h[n], abs=1e-12)
+        assert got_a[n] == pytest.approx(want_a[n], abs=1e-12)
+    # L1 normalization: both score vectors sum to 1
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_sink_and_source_roles(spark):
+    """A pure directory node is all hub / zero auth; its targets are
+    the reverse. Parallel edges weigh double."""
+    from crawler_spark.operators.graphrank import hits
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 2)], "src: long, dst: long"
+    )
+    rows = {r["node"]: r for r in hits(df, n_iter=3).collect()}
+    assert rows[0]["hub"] == pytest.approx(1.0)
+    assert rows[0]["auth"] == 0.0
+    assert rows[1]["hub"] == 0.0
+    assert rows[2]["hub"] == 0.0
+    # node 2 receives two of the three unit edges
+    assert rows[2]["auth"] == pytest.approx(2.0 / 3.0)
+    assert rows[1]["auth"] == pytest.approx(1.0 / 3.0)

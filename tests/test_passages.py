@@ -1,0 +1,163 @@
+"""Passage-level operators vs pure-Python oracles (chunking, repeated-
+passage removal, host-mirror Jaccard, df-cap lower-bound contract)."""
+
+import hashlib
+
+import pytest
+
+
+def _py_chunks(text, k):
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + k]) for i in range(0, len(words), k)
+    ]
+
+
+def _md5p(s):
+    return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
+DOCS = [
+    # shared 3-word boilerplate "all rights reserved" at chunk offsets,
+    # aligned on the chunk grid so removal actually triggers
+    (0, "all rights reserved alpha beta gamma delta eps zeta", "h0"),
+    (1, "all rights reserved one two three four five six", "h0"),
+    (2, "one two three all rights reserved seven eight nine", "h1"),
+    (3, "totally unique text with no repeats at all here", "h1"),
+    (4, "all rights reserved alpha beta gamma delta eps zeta", "h2"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id: long, text: string, source: string"
+    )
+
+
+def test_doc_chunks_shapes_and_hashes(spark, docs_df):
+    from crawler_spark.operators.passages import doc_chunks
+
+    rows = doc_chunks(
+        docs_df, chunk_words=3, portable=True
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    for doc_id, text, _ in DOCS:
+        want = _py_chunks(text, 3)
+        got = by_doc[doc_id]
+        assert len(got) == len(want)
+        for i, chunk in enumerate(want):
+            assert got[i]["chunk_hash"] == _md5p(chunk)
+            assert got[i]["n_words"] == len(chunk.split(" "))
+
+
+def test_repeated_chunk_filter_first_occurrence(spark, docs_df):
+    from crawler_spark.operators.passages import repeated_chunk_filter
+
+    got = {
+        r["doc_id"]: r
+        for r in repeated_chunk_filter(
+            docs_df, chunk_words=3, portable=True
+        ).collect()
+    }
+    # python oracle: first occurrence by (doc_id, chunk_idx)
+    seen = {}
+    want = {}
+    for doc_id, text, _ in DOCS:
+        chunks = _py_chunks(text, 3)
+        n_removed = kept = 0
+        for idx, c in enumerate(chunks):
+            key = _md5p(c)
+            if key in seen:
+                n_removed += 1
+            else:
+                seen[key] = (doc_id, idx)
+                kept += len(c.split(" "))
+        want[doc_id] = (len(chunks), n_removed, kept)
+    for doc_id, (n_chunks, n_removed, kept) in want.items():
+        r = got[doc_id]
+        assert (r["n_chunks"], r["n_removed"], r["kept_words"]) == (
+            n_chunks, n_removed, kept,
+        )
+    # the duplicated boilerplate chunk was actually removed somewhere
+    assert sum(r["n_removed"] for r in got.values()) >= 2
+
+
+def test_production_and_portable_hash_agree_on_stats(spark, docs_df):
+    """xxhash64 and md5-prefix are different hash families but must
+    yield identical removal STATS (no collisions at this size)."""
+    from crawler_spark.operators.passages import repeated_chunk_filter
+
+    a = {
+        (r["doc_id"], r["n_chunks"], r["n_removed"], r["kept_words"])
+        for r in repeated_chunk_filter(
+            docs_df, chunk_words=3, portable=False
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_chunks"], r["n_removed"], r["kept_words"])
+        for r in repeated_chunk_filter(
+            docs_df, chunk_words=3, portable=True
+        ).collect()
+    }
+    assert a == b
+
+
+def test_host_mirror_pairs_jaccard(spark, docs_df):
+    from crawler_spark.operators.passages import host_mirror_pairs
+
+    got = {
+        (r["host_a"], r["host_b"]): (r["n_shared"], r["jaccard"])
+        for r in host_mirror_pairs(
+            docs_df, chunk_words=3, portable=True
+        ).collect()
+    }
+    # python oracle over distinct chunk-hash sets per host
+    sets = {}
+    for doc_id, text, host in DOCS:
+        sets.setdefault(host, set()).update(
+            _md5p(c) for c in _py_chunks(text, 3)
+        )
+    hosts = sorted(sets)
+    want = {}
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (
+                    inter, inter / len(sets[a] | sets[b])
+                )
+    assert set(got) == set(want)
+    for k, (n, j) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(j, abs=1e-12)
+    # h0 and h2 share an entire document → strongest mirror signal
+    assert max(want, key=lambda k: want[k][1]) == ("h0", "h2")
+
+
+def test_host_mirror_df_cap_is_lower_bound(spark, docs_df):
+    """Capping hosts-per-chunk only ever DROPS shared chunks: every
+    capped intersection ≤ the exact one, and ubiquitous chunks (on
+    more hosts than the cap) stop contributing entirely."""
+    from crawler_spark.operators.passages import host_mirror_pairs
+
+    exact = {
+        (r["host_a"], r["host_b"]): r["n_shared"]
+        for r in host_mirror_pairs(
+            docs_df, chunk_words=3, portable=True
+        ).collect()
+    }
+    capped = {
+        (r["host_a"], r["host_b"]): r["n_shared"]
+        for r in host_mirror_pairs(
+            docs_df, chunk_words=3, portable=True, max_hosts_per_chunk=2
+        ).collect()
+    }
+    for k, n in capped.items():
+        assert n <= exact[k]
+    # "all rights reserved" lives on all 3 hosts → dropped by cap=2
+    assert set(capped) != set(exact) or any(
+        capped[k] < exact[k] for k in capped
+    )
