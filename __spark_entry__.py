@@ -1596,6 +1596,17 @@ def q_training_shards(spark, sf):
     return pack_shards(_read(spark, sf, "documents"), budget=500)
 
 
+def q_temperature_sample(spark, sf):
+    """Temperature-based domain mixing (`operators.scrub.
+    temperature_sample`, alpha=0.5): per-language keep rates derived
+    from share^alpha rebalancing, md5-portable per-row selection — the
+    corpus never shuffles; only the language-count table moves."""
+    from crawler_spark.operators.scrub import temperature_sample
+
+    d = _read(spark, sf, "documents")
+    return temperature_sample(d, "doc_id", "lang", alpha=0.5, salt="t3")
+
+
 def q_term_search(spark, sf):
     """Disjunctive TF-IDF ranked retrieval (`analytics.search.
     tfidf_topk`): top-20 documents for a 4-term query, broadcast
@@ -1687,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirrors": q_host_mirrors,
         "training_shards": q_training_shards,
         "term_search": q_term_search,
+        "temperature_sample": q_temperature_sample,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -3523,5 +3535,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id
             LIMIT 20
+        """,
+        # share^alpha domain rebalancing with the portable md5 selector
+        # (see q_temperature_sample / operators.scrub.temperature_sample)
+        "temperature_sample": """
+            WITH cnt AS (
+                SELECT lang AS s, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY lang
+            ), tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt
+            ), w AS (
+                SELECT s, n, nn, pow(n / nn, 0.5) AS w
+                FROM cnt CROSS JOIN tot
+            ), ws AS (
+                SELECT sum(w) AS ww FROM w
+            ), rates AS (
+                SELECT s,
+                       CAST(round(least(1.0, (w / ws.ww) / (n / nn))
+                                  * 1000000.0) AS BIGINT) AS keep_p6
+                FROM w CROSS JOIN ws
+            )
+            SELECT d.doc_id, d.lang, r.keep_p6
+            FROM documents d JOIN rates r ON r.s = d.lang
+            WHERE CAST(list_sum(list_transform(range(1, 16),
+                      i -> (strpos('0123456789abcdef',
+                                   substr(md5(d.doc_id || 't3'), i, 1))
+                            - 1)::BIGINT
+                           * (1::BIGINT << (4*(15 - i))))) AS BIGINT)
+                  % 1000000 < r.keep_p6
         """,
     }

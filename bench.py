@@ -93,6 +93,14 @@ HEADLINE = [
     "link_pagerank",
     "doc_unigram_xent",
     "cdx_index",
+    # this session: redirect pointer-jumping + HITS (both iterative),
+    # repeated-passage removal, mirror hosts, shard packing, retrieval
+    "redirect_resolution",
+    "hits_scores",
+    "chunk_dedup",
+    "host_mirrors",
+    "training_shards",
+    "term_search",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
@@ -106,6 +114,8 @@ HEAVY = {
     "corpus_near_dedup",
     "semantic_dedup_ann",
     "link_pagerank",  # iterative: job-count-bound, noisiest of the set
+    "redirect_resolution",  # iterative (pointer jumping)
+    "hits_scores",  # iterative (12 shuffles)
 }
 
 

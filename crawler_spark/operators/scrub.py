@@ -90,6 +90,77 @@ def stratified_sample(
     return df.where(h < rate)
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_fraction: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain mixing: sample each stratum toward a
+    ``share^alpha`` distribution (multilingual/domain rebalancing à la
+    mBERT/XLM-R training mixes; alpha=1 keeps natural proportions,
+    alpha→0 approaches uniform).
+
+    For stratum d with natural share ``s_d = n_d / N``, the target share
+    is ``s_d^alpha / Σ s^alpha`` and the keep probability
+    ``p_d = min(1, target_fraction · target_share / s_d)`` — downsampling
+    over-represented strata (sampling is without replacement, so p is
+    capped at 1; true upsampling is a separate repeat step). Selection
+    uses the same engine-portable md5 hash as ``stratified_sample``, so
+    the chosen rows are a pure function of (id, salt, corpus
+    composition): re-runs at 100 TB select identical documents.
+
+    Plan shape: one strata-sized aggregation (partial map-side combine),
+    two 1-row reductions, then a broadcast join of the rate table back
+    onto the corpus and a per-row hash filter — the corpus itself never
+    shuffles. Returns kept rows as ``(id, stratum, keep_p6)`` where
+    ``keep_p6`` is the keep probability in parts-per-million (rounded —
+    the integer the hash is compared against, identical in the oracle).
+    """
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count("*").alias("_n")
+    )
+    # the rate table is strata-sized (languages/domains — dimension
+    # cardinality), so the unpartitioned windows below run over a
+    # handful of rows; the corpus-sized aggregation above them still
+    # partial-aggregates normally
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    rates = (
+        counts.withColumn("_tot", F.sum("_n").over(everything))
+        .withColumn(
+            "_w", F.pow(F.col("_n") / F.col("_tot"), F.lit(alpha))
+        )
+        .withColumn("_wsum", F.sum("_w").over(everything))
+        .select(
+            "_s",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_fraction)
+                    * (F.col("_w") / F.col("_wsum"))
+                    / (F.col("_n") / F.col("_tot")),
+                )
+                * F.lit(1000000.0)
+            ).cast("long").alias("keep_p6"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16, 10,
+    ).cast("long") % 1000000
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates["_s"])
+        .where(h < F.col("keep_p6"))
+        .select(F.col(id_col), F.col(strata_col), F.col("keep_p6"))
+    )
+
+
 def doc_ngrams(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
 ) -> DataFrame:

@@ -202,3 +202,76 @@ def test_exact_dedup_never_shuffles_text(spark):
     assert payloads, "expected at least one exchange in the dedup plan"
     for cols in payloads:
         assert "text" not in cols, cols
+
+
+def test_chunk_dedup_never_shuffles_text(spark):
+    """Repeated-passage removal hashes chunks BEFORE the exchange: the
+    shuffle carries (chunk_hash, ids, n_words), never chunk or doc
+    text — the dedup_exact contract applied at passage granularity."""
+    from crawler_spark.operators.passages import repeated_chunk_filter
+    from crawler_spark.plans.inspect import exchange_payload_columns
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = repeated_chunk_filter(docs, chunk_words=3)
+    payloads = exchange_payload_columns(df)
+    assert payloads, "expected exchanges in the chunk-dedup plan"
+    for cols in payloads:
+        assert "text" not in cols and "_c" not in cols, cols
+
+
+def test_host_mirrors_plan(spark):
+    """Mirror detection: the pair join is an equi join on chunk hash
+    (never cartesian), the size tables broadcast, and no exchange is
+    keyed by raw text."""
+    from crawler_spark.operators.passages import host_mirror_pairs
+    from crawler_spark.plans.inspect import (
+        exchange_partition_keys,
+        has_broadcast_join,
+        has_cartesian,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = host_mirror_pairs(docs, chunk_words=2)
+    assert not has_cartesian(df)
+    assert has_broadcast_join(df)
+    for cols in exchange_partition_keys(df):
+        assert "text" not in cols, cols
+
+
+def test_pack_shards_no_global_sort(spark):
+    """Shard packing must stay range-partitioned: no SinglePartition
+    exchange anywhere (the per-language window anti-plan collapses the
+    corpus into one task per language)."""
+    from crawler_spark.operators.packing import pack_shards
+    from crawler_spark.plans.inspect import simple_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = pack_shards(docs, budget=500, num_partitions=8)
+    plan = simple_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "RangePartitioning" in plan or "_pid" in plan, plan
+
+
+def test_term_search_broadcasts_query(spark):
+    """Retrieval must broadcast the query-term list (semi-join shrinks
+    postings before any shuffle) and never form a cartesian product."""
+    from crawler_spark.analytics.search import tfidf_topk
+    from crawler_spark.plans.inspect import has_broadcast_join, has_cartesian
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = tfidf_topk(docs, ["spark", "join"], k=10)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_redirect_resolution_plan(spark):
+    """Pointer jumping is equi self-joins on the current pointer —
+    no cartesian, and every exchange keyed by node/cur ids."""
+    from crawler_spark.operators.redirects import resolve_redirects
+    from crawler_spark.plans.inspect import has_cartesian
+
+    edges = spark.range(200).selectExpr(
+        "id AS src", "CASE WHEN id % 8 = 0 THEN id ELSE id - 1 END AS dst"
+    ).where("src != dst")
+    df = resolve_redirects(edges, max_hops=16)
+    assert not has_cartesian(df)

@@ -857,3 +857,49 @@ def test_unigram_cross_entropy(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """share^alpha rebalancing: minority strata keep everything, the
+    majority is downsampled at the exact computed rate; selection is a
+    pure function of (id, salt)."""
+    import hashlib
+    import math
+
+    from crawler_spark.operators.scrub import temperature_sample
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 900 else "zh"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = temperature_sample(df, "doc_id", "lang", alpha=0.5, salt="s")
+    got = {r["doc_id"]: r["keep_p6"] for r in out.collect()}
+
+    # python oracle for the per-stratum keep rate
+    counts = {"en": 800, "de": 100, "zh": 100}
+    total = 1000
+    wsum = sum((n / total) ** 0.5 for n in counts.values())
+    p6 = {
+        s: round(min(1.0, ((n / total) ** 0.5 / wsum) / (n / total)) * 1e6)
+        for s, n in counts.items()
+    }
+    assert p6["de"] == 1000000 and p6["zh"] == 1000000
+    assert p6["en"] < 1000000
+
+    def h(i):
+        v = int(hashlib.md5(f"{i}s".encode()).hexdigest()[:15], 16)
+        return v % 1000000
+
+    want = {
+        i: p6[lang] for i, lang in rows if h(i) < p6[lang]
+    }
+    assert got == want
+    # all minority rows kept; the majority actually thinned
+    assert sum(1 for i, l in rows if l != "en" and i in got) == 200
+    assert sum(1 for i, l in rows if l == "en" and i in got) < 800
+    # observed en rate within 5 points of the target (md5 uniformity)
+    en_rate = sum(1 for i, l in rows if l == "en" and i in got) / 800
+    assert math.isclose(en_rate, p6["en"] / 1e6, abs_tol=0.05)
+
+    # alpha=1: natural proportions, nothing dropped
+    kept = temperature_sample(df, "doc_id", "lang", alpha=1.0).count()
+    assert kept == 1000
