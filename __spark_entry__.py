@@ -1607,6 +1607,20 @@ def q_temperature_sample(spark, sf):
     return temperature_sample(d, "doc_id", "lang", alpha=0.5, salt="t3")
 
 
+def q_temperature_mix(spark, sf):
+    """With-replacement domain mixing (`operators.scrub.
+    temperature_mix`, alpha=0.3): minority languages emit repeated
+    copies, the majority thins, one integerized-probability formula —
+    output (doc_id, lang, copy) rows a shard packer consumes directly."""
+    from crawler_spark.operators.scrub import temperature_mix
+
+    d = _read(spark, sf, "documents")
+    out = temperature_mix(d, "doc_id", "lang", alpha=0.3, salt="m3")
+    return out.select(
+        "doc_id", "lang", F.col("copy").cast("long").alias("copy")
+    )
+
+
 def q_term_search(spark, sf):
     """Disjunctive TF-IDF ranked retrieval (`analytics.search.
     tfidf_topk`): top-20 documents for a 4-term query, broadcast
@@ -1699,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "term_search": q_term_search,
         "temperature_sample": q_temperature_sample,
+        "temperature_mix": q_temperature_mix,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -3563,5 +3578,45 @@ def oracle_sql() -> dict[str, str]:
                             - 1)::BIGINT
                            * (1::BIGINT << (4*(15 - i))))) AS BIGINT)
                   % 1000000 < r.keep_p6
+        """,
+        # uncapped share^alpha mixing: floor(p) copies + hash-fraction
+        # extra (see q_temperature_mix / operators.scrub.temperature_mix)
+        "temperature_mix": """
+            WITH cnt AS (
+                SELECT lang AS s, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY lang
+            ), tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt
+            ), w AS (
+                SELECT s, n, nn, pow(n / nn, 0.3) AS w
+                FROM cnt CROSS JOIN tot
+            ), ws AS (
+                SELECT sum(w) AS ww FROM w
+            ), rates AS (
+                SELECT s,
+                       CAST(round((w / ws.ww) / (n / nn)
+                                  * 1000000.0) AS BIGINT) AS p6
+                FROM w CROSS JOIN ws
+            ), hx AS (
+                SELECT d.doc_id, d.lang, r.p6,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           i -> (strpos('0123456789abcdef',
+                                        substr(md5(d.doc_id || 'm3'),
+                                               i, 1)) - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - i)))))
+                            AS BIGINT) % 1000000 AS h
+                FROM documents d JOIN rates r ON r.s = d.lang
+            ), cc AS (
+                SELECT doc_id, lang,
+                       p6 // 1000000
+                       + CASE WHEN h < p6 % 1000000 THEN 1 ELSE 0 END
+                           AS n_copies
+                FROM hx
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(generate_series(0, CAST(n_copies AS INT)
+                                                  - 1)) AS BIGINT)
+                       AS copy
+            FROM cc WHERE n_copies > 0
         """,
     }

@@ -119,34 +119,8 @@ def temperature_sample(
     ``keep_p6`` is the keep probability in parts-per-million (rounded —
     the integer the hash is compared against, identical in the oracle).
     """
-    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
-        F.count("*").alias("_n")
-    )
-    # the rate table is strata-sized (languages/domains — dimension
-    # cardinality), so the unpartitioned windows below run over a
-    # handful of rows; the corpus-sized aggregation above them still
-    # partial-aggregates normally
-    from pyspark.sql import Window
-
-    everything = Window.partitionBy()
-    rates = (
-        counts.withColumn("_tot", F.sum("_n").over(everything))
-        .withColumn(
-            "_w", F.pow(F.col("_n") / F.col("_tot"), F.lit(alpha))
-        )
-        .withColumn("_wsum", F.sum("_w").over(everything))
-        .select(
-            "_s",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(target_fraction)
-                    * (F.col("_w") / F.col("_wsum"))
-                    / (F.col("_n") / F.col("_tot")),
-                )
-                * F.lit(1000000.0)
-            ).cast("long").alias("keep_p6"),
-        )
+    rates = _temperature_rates(
+        df, strata_col, alpha, target_fraction, capped=True
     )
     h = F.conv(
         F.substring(
@@ -158,6 +132,95 @@ def temperature_sample(
         df.join(F.broadcast(rates), df[strata_col] == rates["_s"])
         .where(h < F.col("keep_p6"))
         .select(F.col(id_col), F.col(strata_col), F.col("keep_p6"))
+    )
+
+
+def _temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    target_fraction: float,
+    capped: bool,
+) -> DataFrame:
+    """``(_s, keep_p6)``: per-stratum keep probability in ppm, where
+    ``p = target_fraction · (s^alpha / Σ s^alpha) / s``. The rate table
+    is strata-sized (dimension cardinality), so the unpartitioned
+    windows below run over a handful of rows; the corpus-sized count
+    aggregation above them still partial-aggregates normally."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.count("*").alias("_n")
+    )
+    everything = Window.partitionBy()
+    p = (
+        F.lit(target_fraction)
+        * (F.col("_w") / F.col("_wsum"))
+        / (F.col("_n") / F.col("_tot"))
+    )
+    if capped:
+        p = F.least(F.lit(1.0), p)
+    return (
+        counts.withColumn("_tot", F.sum("_n").over(everything))
+        .withColumn(
+            "_w", F.pow(F.col("_n") / F.col("_tot"), F.lit(alpha))
+        )
+        .withColumn("_wsum", F.sum("_w").over(everything))
+        .select(
+            "_s",
+            F.round(p * F.lit(1000000.0)).cast("long").alias("keep_p6"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_fraction: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """``temperature_sample`` without the p≤1 cap: true with-replacement
+    mixing. Each row is emitted ``floor(p)`` times plus one more when
+    its portable hash falls under ``frac(p)`` — so under-represented
+    strata are UPSAMPLED (repeated epochs, the standard multilingual
+    training mix) and over-represented ones thinned, by the same single
+    formula: ``copies = p6 // 10^6 + (hash < p6 % 10^6)`` with
+    ``p6 = round(p · 10^6)``. Expected stratum sizes hit the share^alpha
+    targets exactly in expectation, and the realized copy counts are a
+    pure function of (id, salt, corpus composition).
+
+    Returns ``(id, stratum, copy)`` with ``copy`` 0-based, so output
+    rows stay unique and a downstream shard packer can treat each copy
+    as a document. Same plan shape as ``temperature_sample`` (strata-
+    sized rate table broadcast back; corpus never shuffles) plus a
+    per-row ``explode(sequence(...))`` that stays in codegen.
+    """
+    rates = _temperature_rates(
+        df, strata_col, alpha, target_fraction, capped=False
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16, 10,
+    ).cast("long") % 1000000
+    n_copies = (
+        F.floor(F.col("keep_p6") / F.lit(1000000))
+        + F.when(h < F.col("keep_p6") % 1000000, F.lit(1)).otherwise(F.lit(0))
+    ).alias("_copies")
+    return (
+        df.join(F.broadcast(rates), df[strata_col] == rates["_s"])
+        .select(F.col(id_col), F.col(strata_col), n_copies)
+        .where(F.col("_copies") > 0)
+        .select(
+            id_col,
+            strata_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_copies") - 1).cast("int"))
+            ).alias("copy"),
+        )
     )
 
 

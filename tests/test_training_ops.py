@@ -903,3 +903,41 @@ def test_temperature_sample_rates_and_determinism(spark):
     # alpha=1: natural proportions, nothing dropped
     kept = temperature_sample(df, "doc_id", "lang", alpha=1.0).count()
     assert kept == 1000
+
+
+def test_temperature_mix_upsamples_minorities(spark):
+    """Uncapped mixing: copies = floor(p) + (hash < frac(p)); minority
+    strata repeat, the majority thins, expectation hits share^alpha."""
+    import hashlib
+
+    from crawler_spark.operators.scrub import temperature_mix
+
+    rows = [(i, "en" if i < 900 else "zh") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = temperature_mix(df, "doc_id", "lang", alpha=0.2, salt="x")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+
+    counts = {"en": 900, "zh": 100}
+    total = 1000
+    wsum = sum((n / total) ** 0.2 for n in counts.values())
+    p6 = {
+        s: round(((n / total) ** 0.2 / wsum) / (n / total) * 1e6)
+        for s, n in counts.items()
+    }
+    assert p6["zh"] > 1000000 < p6["zh"]  # minority upsampled
+    assert p6["en"] < 1000000             # majority thinned
+
+    def h(i):
+        return int(hashlib.md5(f"{i}x".encode()).hexdigest()[:15], 16) % 1000000
+
+    for i, lang in rows:
+        n_copies = p6[lang] // 1000000 + (1 if h(i) < p6[lang] % 1000000 else 0)
+        if n_copies == 0:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == list(range(n_copies)), (i, lang)
+    # every zh doc appears at least floor(p) >= 1 times
+    zh_docs = [i for i, l in rows if l == "zh"]
+    assert all(i in got for i in zh_docs)
