@@ -101,6 +101,7 @@ HEADLINE = [
     "host_mirrors",
     "training_shards",
     "term_search",
+    "temperature_mix",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
@@ -149,17 +150,22 @@ def _bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    # EVERY query now runs twice with the MIN reported (both observations
+    # in query_runs): the shared host showed up to 9× single-run spread on
+    # arbitrary queries this round (e.g. 2.2 s vs 19.3 s for the same
+    # zero-shuffle plan), so a min-of-1 for "light" queries was noise,
+    # not measurement. HEAVY remains as documentation of which queries
+    # dominate the suite.
     for name in HEADLINE:
         fn = qs[name]
         times = []
-        for _ in range(2 if name in HEAVY else 1):
+        for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             times.append(round(time.perf_counter() - t0, 3))
         out[name] = min(times)
-        if len(times) > 1:
-            runs[name] = times
+        runs[name] = times
     return out, runs
 
 
