@@ -1621,6 +1621,17 @@ def q_temperature_mix(spark, sf):
     )
 
 
+def q_embedding_quantization(spark, sf):
+    """Int8 scalar quantization fidelity (`operators.quantize.
+    reconstruction_error`): per-dimension corpus min/max → uint8 codes
+    → per-vector MSE + max abs error via index-ordered folds; one
+    1-row broadcast stats join, zero corpus shuffle."""
+    from crawler_spark.operators.quantize import reconstruction_error
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
+    return reconstruction_error(e)
+
+
 def q_term_search(spark, sf):
     """Disjunctive TF-IDF ranked retrieval (`analytics.search.
     tfidf_topk`): top-20 documents for a 4-term query, broadcast
@@ -1714,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search": q_term_search,
         "temperature_sample": q_temperature_sample,
         "temperature_mix": q_temperature_mix,
+        "embedding_quantization": q_embedding_quantization,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -3618,5 +3630,38 @@ def oracle_sql() -> dict[str, str]:
                                                   - 1)) AS BIGINT)
                        AS copy
             FROM cc WHERE n_copies > 0
+        """,
+        # int8 scalar-quantization fidelity: same per-dim stats, codes,
+        # dequant and index-ordered error folds as operators/quantize.py
+        # (see q_embedding_quantization)
+        "embedding_quantization": """
+            WITH dims AS (
+                SELECT i, min(x) AS mn, max(x) AS mx
+                FROM (
+                    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                           unnest(generate_series(1, len(embedding)))
+                               AS i
+                    FROM embeddings
+                )
+                GROUP BY i
+            ), per AS (
+                SELECT e.vec_id, d.i, d.mn, d.mx,
+                       CAST(e.embedding[d.i] AS DOUBLE) AS x
+                FROM embeddings e CROSS JOIN dims d
+            ), errs AS (
+                SELECT vec_id,
+                       x - CASE WHEN mx = mn THEN mn
+                                ELSE mn + round((x - mn) / (mx - mn)
+                                                * 255.0)
+                                     / 255.0 * (mx - mn)
+                           END AS err
+                FROM per
+            )
+            SELECT vec_id,
+                   CAST(round(sum(err * err) / count(*), 9) AS DOUBLE)
+                       AS mse,
+                   CAST(round(max(abs(err)), 9) AS DOUBLE)
+                       AS max_abs_err
+            FROM errs GROUP BY vec_id
         """,
     }
