@@ -1621,6 +1621,17 @@ def q_temperature_mix(spark, sf):
     )
 
 
+def q_dup_span_stats(spark, sf):
+    """Exact-substring duplication coverage (`operators.passages.
+    duplicate_span_stats`, Lee et al. 2021 k-gram relaxation, k=3):
+    per-doc tokens covered by ≥k-token windows occurring twice anywhere
+    in the corpus; interval-merged by the lag trick, no k× explode."""
+    from crawler_spark.operators.passages import duplicate_span_stats
+
+    d = _read_wide(spark, sf, "documents")
+    return duplicate_span_stats(d, k=3, portable=True)
+
+
 def q_embedding_quantization(spark, sf):
     """Int8 scalar quantization fidelity (`operators.quantize.
     reconstruction_error`): per-dimension corpus min/max → uint8 codes
@@ -1726,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "temperature_mix": q_temperature_mix,
         "embedding_quantization": q_embedding_quantization,
+        "dup_span_stats": q_dup_span_stats,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -3663,5 +3675,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(max(abs(err)), 9) AS DOUBLE)
                        AS max_abs_err
             FROM errs GROUP BY vec_id
+        """,
+        # k-gram duplicate-span coverage, k=3, md5-prefix gram hash and
+        # the same lag interval merge (see q_dup_span_stats)
+        "dup_span_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> ''
+                       ) AS l
+                FROM documents
+            ), g AS (
+                SELECT doc_id, len(l) AS n_tokens,
+                       unnest(generate_series(0, len(l) - 3)) AS pos,
+                       l
+                FROM toks WHERE len(l) >= 3
+            ), hashed AS (
+                SELECT doc_id, pos,
+                       substr(md5(array_to_string(
+                           l[pos + 1 : pos + 3], ' ')), 1, 16) AS gh
+                FROM g
+            ), dup AS (
+                SELECT doc_id, pos
+                FROM (
+                    SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY gh) AS cnt
+                    FROM hashed
+                )
+                WHERE cnt >= 2
+            ), cover AS (
+                SELECT doc_id,
+                       count(*) AS n_dup_grams,
+                       sum(CASE WHEN prev IS NULL OR pos - prev >= 3
+                                THEN 3 ELSE pos - prev END)
+                           AS covered_tokens
+                FROM (
+                    SELECT doc_id, pos,
+                           lag(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                           ) AS prev
+                    FROM dup
+                )
+                GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, len(l) AS n_tokens,
+                       greatest(len(l) - 2, 0) AS n_grams
+                FROM toks
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_grams AS BIGINT) AS n_grams,
+                   CAST(coalesce(c.n_dup_grams, 0) AS BIGINT)
+                       AS n_dup_grams,
+                   CAST(coalesce(c.covered_tokens, 0) AS BIGINT)
+                       AS covered_tokens,
+                   CAST(round(CASE WHEN t.n_tokens = 0 THEN 0.0
+                                   ELSE coalesce(c.covered_tokens, 0)
+                                        * 1.0 / t.n_tokens END, 6)
+                        AS DOUBLE) AS dup_ratio
+            FROM totals t LEFT JOIN cover c ON c.doc_id = t.doc_id
         """,
     }

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.textcols import sliding_grams, word_tokens
+
 
 def _chunk_hash_col(portable: bool):
     if portable:
@@ -108,6 +110,87 @@ def repeated_chunk_filter(
                 F.when(F.col("rn") == 1, F.col("n_words")).otherwise(0)
             ).alias("kept_words"),
         )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication coverage à la Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"):
+    a token position is *covered* when it lies inside a ``k``-token
+    window whose exact text occurs at least twice in the corpus
+    (anywhere — another document or elsewhere in the same one). Unlike
+    ``repeated_chunk_filter``'s fixed grid, the window SLIDES, so
+    unaligned copies are caught.
+
+    The full suffix-array construction is replaced by the k-gram
+    relaxation every distributed implementation uses: duplicated spans
+    ≥ k tokens are found exactly; shorter repeats are ignored (k is the
+    minimum match length — Lee et al. use 50 BPE tokens).
+
+    Returns ``(doc_id, n_grams, n_dup_grams, covered_tokens,
+    dup_ratio)`` with ``dup_ratio = covered_tokens / n_tokens`` —
+    the per-document "how much of me exists elsewhere" signal a
+    curation pipeline thresholds on.
+
+    Two shuffles, both fixed-width: gram hashes (hashed BEFORE the
+    exchange — the never-shuffle-text rule) for the global duplicate
+    count, then (doc_id, pos) rows for the interval-merge window.
+    Coverage is computed by the lag trick — ``min(k, pos - prev_pos)``
+    new tokens per duplicated gram — NOT by exploding k offsets per
+    gram (a k× row blowup at corpus scale).
+    """
+    h = _chunk_hash_col(portable)
+    toks = word_tokens(F.col(text_col))
+    grams = sliding_grams(toks, k)
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.posexplode(grams).alias("pos", "_g"),
+    ).select("doc_id", "n_tokens", "pos", h(F.col("_g")).alias("gh"))
+    dup = (
+        g.withColumn("_cnt", F.count("*").over(Window.partitionBy("gh")))
+        .where(F.col("_cnt") >= 2)
+    )
+    lagw = Window.partitionBy("doc_id").orderBy("pos")
+    cover = (
+        dup.withColumn("_prev", F.lag("pos").over(lagw))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("pos") - F.col("_prev") >= k),
+                    F.lit(k),
+                ).otherwise(F.col("pos") - F.col("_prev"))
+            ).alias("covered_tokens"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0)).alias("n_grams"),
+    )
+    return totals.join(cover, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("n_tokens")
+            ),
+            6,
+        ).cast("double").alias("dup_ratio"),
     )
 
 

@@ -161,3 +161,80 @@ def test_host_mirror_df_cap_is_lower_bound(spark, docs_df):
     assert set(capped) != set(exact) or any(
         capped[k] < exact[k] for k in capped
     )
+
+
+def _py_span_stats(texts, k):
+    """Independent oracle: covered = tokens inside any k-window whose
+    text occurs >= 2 times in the corpus."""
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    grams = Counter()
+    pos = {}
+    for i, ws in toks.items():
+        pos[i] = [
+            " ".join(ws[p : p + k]) for p in range(len(ws) - k + 1)
+        ]
+        grams.update(pos[i])
+    out = {}
+    for i, ws in toks.items():
+        dup_pos = [p for p, g in enumerate(pos[i]) if grams[g] >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        n_grams = max(len(ws) - k + 1, 0)
+        out[i] = (
+            n_grams,
+            len(dup_pos),
+            len(covered),
+            round(len(covered) / len(ws), 6) if ws else 0.0,
+        )
+    return out
+
+
+def test_duplicate_span_stats_unaligned_copy(spark):
+    """A 20-token passage pasted at DIFFERENT offsets in two docs —
+    invisible to the fixed chunk grid, fully covered by sliding
+    k-grams; counts match the brute-force python oracle exactly."""
+    from crawler_spark.operators.passages import duplicate_span_stats
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    texts = {
+        0: "a0 b0 c0 " + shared + " d0 e0",
+        1: "x1 y1 z1 w1 v1 u1 t1 " + shared,
+        2: "plain unique text q r s t u v w x y z one two three four",
+        3: "self self self self self self self self self self self self",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_dup_grams"],
+            r["covered_tokens"], r["dup_ratio"],
+        )
+        for r in duplicate_span_stats(df, k=10).collect()
+    }
+    want = _py_span_stats(texts, 10)
+    assert got == want
+    # the shared passage is found in both hosts; doc 2 is clean;
+    # doc 3's self-repeat counts (within-doc duplication is duplication)
+    assert got[0][2] >= 20 and got[1][2] >= 20
+    assert got[2][2] == 0
+    assert got[3][2] == 12  # all twelve tokens covered by self-repeats
+
+
+def test_duplicate_span_stats_short_docs(spark):
+    """Docs shorter than k emit zero grams and zero coverage."""
+    from crawler_spark.operators.passages import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(0, "too short"), (1, "too short")],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in
+            duplicate_span_stats(df, k=10).collect()}
+    for r in rows.values():
+        assert (r["n_grams"], r["covered_tokens"], r["dup_ratio"]) == (
+            0, 0, 0.0,
+        )
