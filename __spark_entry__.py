@@ -1621,6 +1621,17 @@ def q_temperature_mix(spark, sf):
     )
 
 
+def q_doc_normalize(spark, sf):
+    """Unicode normalization pass (`functions.normalize.normalize_text`:
+    NFC via Arrow-batched UDF, control-strip + whitespace squeeze in
+    JVM regex). The oracle runs DuckDB's utf8proc `nfc_normalize` and
+    the same regex chain — full output bytes value-checked."""
+    from crawler_spark.functions.normalize import normalize_text
+
+    d = _read_wide(spark, sf, "documents")
+    return normalize_text(d)
+
+
 def q_dup_span_stats(spark, sf):
     """Exact-substring duplication coverage (`operators.passages.
     duplicate_span_stats`, Lee et al. 2021 k-gram relaxation, k=3):
@@ -1738,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "embedding_quantization": q_embedding_quantization,
         "dup_span_stats": q_dup_span_stats,
+        "doc_normalize": q_doc_normalize,
         # rows-only (kernel / crawl / sketch operators) — everything below
         # is golden/property-checked in pytest instead of SQL-checked
         "crawl_bfs": q_crawl_bfs,
@@ -3734,5 +3746,25 @@ def oracle_sql() -> dict[str, str]:
                                         * 1.0 / t.n_tokens END, 6)
                         AS DOUBLE) AS dup_ratio
             FROM totals t LEFT JOIN cover c ON c.doc_id = t.doc_id
+        """,
+        # NFC + control-strip + horizontal-whitespace squeeze + trim,
+        # byte-for-byte (see q_doc_normalize / functions/normalize.py)
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           nfc_normalize(text),
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'
+                       ),
+                       '[ \t]+', ' ', 'g'
+                   )) AS clean_text,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           nfc_normalize(text),
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'
+                       ),
+                       '[ \t]+', ' ', 'g'
+                   )) <> text AS changed
+            FROM documents
         """,
     }
