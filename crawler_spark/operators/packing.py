@@ -31,6 +31,57 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def export_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens: Column | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Write the corpus as ``lang=…/shard_id=…`` parquet — the training
+    export sink. Shard membership comes from ``pack_shards`` (a pure
+    function of the corpus), so re-running the export reproduces the
+    exact same shard contents — the resume/retry contract a 100 TB
+    export needs (a died-halfway job is simply rerun; overwrite mode
+    makes the retry idempotent).
+
+    Partitioning by (lang, shard_id) gives the trainer direct
+    per-shard file pruning; within a shard, rows are written sorted by
+    ``doc_id`` (``sortWithinPartitions``) so file contents are
+    deterministic too, not just membership. Returns a small manifest
+    ``{n_docs, n_shards, n_tokens}`` computed from the assignment
+    DataFrame already at hand — no second scan of the corpus.
+    """
+    assigned = pack_shards(
+        docs, budget, lang_col, id_col, tokens, num_partitions
+    )
+    manifest = assigned.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang", "shard_id").alias("n_shards"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).first()
+    (
+        docs.join(
+            assigned.select(
+                F.col("doc_id").alias(id_col), "shard_id", "n_tokens"
+            ),
+            id_col,
+        )
+        .repartition(F.col(lang_col), F.col("shard_id"))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy(lang_col, "shard_id")
+        .parquet(path)
+    )
+    return {
+        "n_docs": manifest["n_docs"],
+        "n_shards": manifest["n_shards"],
+        "n_tokens": manifest["n_tokens"],
+    }
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -155,3 +155,49 @@ def test_tfidf_topk_no_match_terms(spark):
     rows = tfidf_topk(df, ["a", "e", "zzz"], k=5).collect()
     got = {r["doc_id"]: r["n_hits"] for r in rows}
     assert got == {0: 1, 1: 1}
+
+
+def test_export_shards_layout_and_determinism(spark, tmp_path):
+    """Export writes lang=/shard_id= parquet, re-export reproduces the
+    exact same shard contents, and every shard respects the budget up
+    to its last document's tail."""
+    import os
+    import random
+
+    from crawler_spark.operators.packing import export_shards
+
+    rng = random.Random(9)
+    rows = [
+        (i, ["en", "de"][rng.randrange(2)],
+         "w " * rng.randrange(5, 60))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, lang: string, text: string"
+    ).withColumn("text", F.rtrim("text"))
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = export_shards(df, p1, budget=200)
+    m2 = export_shards(df, p2, budget=200)
+    assert m1 == m2
+    assert m1["n_docs"] == 300
+
+    # hive layout exists
+    langs = {d for d in os.listdir(p1) if d.startswith("lang=")}
+    assert langs == {"lang=en", "lang=de"}
+    shard_dirs = os.listdir(os.path.join(p1, "lang=en"))
+    assert all(d.startswith("shard_id=") for d in shard_dirs)
+
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    key = lambda r: (r["lang"], r["shard_id"], r["doc_id"])  # noqa: E731
+    ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+    assert m1["n_shards"] == a.select("lang", "shard_id").distinct().count()
+
+    # budget: shard total minus its largest doc is under budget
+    per = {}
+    for r in ra:
+        per.setdefault((r["lang"], r["shard_id"]), []).append(r["n_tokens"])
+    for toks in per.values():
+        assert sum(toks) - max(toks) < 200
