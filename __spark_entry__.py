@@ -1672,104 +1672,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-check out of it (tests/test_registry.py pins this). Further
     # oracle-backed extras sit right after the window, then rows-only.
     return {
-        # SQL-checked relational operators
+        # ---- the driver-graded window: the first 50 entries, all
+        # oracle-backed, one per operator family with every round-3
+        # operator included (crawl core, robots/traps/redirects,
+        # graph, freshness, streaming, temporal, dedup, similarity,
+        # quality, curation/sampling/packing) ----
         "url_seen_anti_join": q_url_seen_anti_join,
         "cooldown_anti_join": q_cooldown_anti_join,
         "politeness_topk": q_politeness_topk,
         "global_crawl_order": q_global_crawl_order,
-        "pricing_summary": q_pricing_summary,
-        "region_revenue": q_region_revenue,
-        "semi_join_customers": q_semi_join_customers,
-        "max_normalized_price": q_max_normalized_price,
-        "distinct_event_types": q_distinct_event_types,
-        "link_counts": q_link_counts,
-        "tags_topk_events": q_tags_topk_events,
+        "robots_rules": q_robots_rules,
+        "sitemap_urls": q_sitemap_urls,
+        "robots_sitemaps": q_robots_sitemaps,
+        "url_trap_flags": q_url_trap_flags,
+        "redirect_resolution": q_redirect_resolution,
+        "link_pagerank": q_link_pagerank,
+        "hits_scores": q_hits_scores,
+        "recrawl_schedule": q_recrawl_schedule,
+        "cdx_index": q_cdx_index,
+        "stream_frontier_ingest": q_stream_frontier_ingest,
+        "stream_host_budget": q_stream_host_budget,
         "round_windows": q_round_windows,
         "session_windows": q_session_windows,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "first_event_dedup": q_first_event_dedup,
-        "doc_term_frequency": q_doc_term_frequency,
-        "doc_tfidf": q_doc_tfidf,
-        "doc_trigram_tf": q_doc_trigram_tf,
-        "doc_tags_top3": q_doc_tags_top3,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_stats": q_doc_token_stats,
+        "minhash_portable": q_minhash_portable,
+        "simhash_portable": q_simhash_portable,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "chunk_dedup": q_chunk_dedup,
+        "dup_span_stats": q_dup_span_stats,
+        "minhash_collapse_portable": q_minhash_collapse_portable,
+        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
+        "simhash_near_dups_portable": q_simhash_near_dups_portable,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_join": q_knn_join,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "lsh_pairs_portable": q_lsh_pairs_portable,
+        "ivf_portable": q_ivf_portable,
+        "semantic_dedup_portable": q_semantic_dedup_portable,
+        "embedding_quantization": q_embedding_quantization,
         "doc_quality": q_doc_quality,
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_repetition": q_doc_repetition,
+        "doc_language_id": q_doc_language_id,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_unigram_xent": q_doc_unigram_xent,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "doc_normalize": q_doc_normalize,
+        "doc_fingerprint": q_doc_fingerprint,
         "corpus_curation": q_corpus_curation,
-        "doc_pii_redaction": q_doc_pii_redaction,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "temperature_sample": q_temperature_sample,
+        "temperature_mix": q_temperature_mix,
+        "training_shards": q_training_shards,
+        # ---- oracle-backed extras past the 50-entry gate window
+        # (value-checked by tools/check_correctness.py runs) ----
+        "combine_images": q_combine_images,
+        "distinct_event_types": q_distinct_event_types,
+        "doc_categories": q_doc_categories,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_lang_dist": q_doc_lang_dist,
         "doc_length_stats": q_doc_length_stats,
-        "doc_fingerprint": q_doc_fingerprint,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_portable": q_minhash_portable,
-        "dedup_clusters": q_dedup_clusters,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "multimodal_meta": q_multimodal_meta,
-        "image_counts": q_image_counts,
-        "combine_images": q_combine_images,
-        "doc_categories": q_doc_categories,
-        "split_terms": q_split_terms,
-        "knn_join": q_knn_join,
-        "doc_language_id": q_doc_language_id,
-        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-        "simhash_portable": q_simhash_portable,
-        "robots_rules": q_robots_rules,
-        "sitemap_urls": q_sitemap_urls,
-        "stream_frontier_ingest": q_stream_frontier_ingest,
-        "stream_host_budget": q_stream_host_budget,
-        # ---- entries below are OUTSIDE the driver's 50-entry window ----
-        # oracle-backed extras (value-checked by tools/check_correctness.py
-        # locally; the driver gate only grades positions 1-50)
-        "simhash_near_dups_portable": q_simhash_near_dups_portable,
-        "lsh_pairs_portable": q_lsh_pairs_portable,
-        "ivf_portable": q_ivf_portable,
-        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
-        "minhash_collapse_portable": q_minhash_collapse_portable,
-        "semantic_dedup_portable": q_semantic_dedup_portable,
-        "link_pagerank": q_link_pagerank,
+        "doc_pii_redaction": q_doc_pii_redaction,
         "doc_sentiment_portable": q_doc_sentiment_portable,
-        "doc_unigram_xent": q_doc_unigram_xent,
-        "cdx_index": q_cdx_index,
-        "recrawl_schedule": q_recrawl_schedule,
-        "robots_sitemaps": q_robots_sitemaps,
-        "url_trap_flags": q_url_trap_flags,
-        "redirect_resolution": q_redirect_resolution,
-        "hits_scores": q_hits_scores,
-        "chunk_dedup": q_chunk_dedup,
+        "doc_tags_top3": q_doc_tags_top3,
+        "doc_term_frequency": q_doc_term_frequency,
+        "doc_tfidf": q_doc_tfidf,
+        "doc_trigram_tf": q_doc_trigram_tf,
+        "first_event_dedup": q_first_event_dedup,
         "host_mirrors": q_host_mirrors,
-        "training_shards": q_training_shards,
+        "image_counts": q_image_counts,
+        "link_counts": q_link_counts,
+        "max_normalized_price": q_max_normalized_price,
+        "multimodal_meta": q_multimodal_meta,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "semi_join_customers": q_semi_join_customers,
+        "split_terms": q_split_terms,
+        "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
-        "temperature_sample": q_temperature_sample,
-        "temperature_mix": q_temperature_mix,
-        "embedding_quantization": q_embedding_quantization,
-        "dup_span_stats": q_dup_span_stats,
-        "doc_normalize": q_doc_normalize,
-        # rows-only (kernel / crawl / sketch operators) — everything below
-        # is golden/property-checked in pytest instead of SQL-checked
-        "crawl_bfs": q_crawl_bfs,
-        "extract_text": q_extract_text,
-        "extract_links": q_extract_links,
-        "extract_images": q_extract_images,
+        # ---- rows-only (kernel / crawl / sketch operators) —
+        # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
+        "corpus_near_dedup": q_corpus_near_dedup,
+        "crawl_bfs": q_crawl_bfs,
+        "cuckoo_seen": q_cuckoo_seen,
         "doc_sentiment": q_doc_sentiment,
         "doc_summaries": q_doc_summaries,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_sigs": q_simhash_sigs,
-        "simhash_near_dups": q_simhash_near_dups,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
-        "multimodal_features": q_multimodal_features,
-        "cuckoo_seen": q_cuckoo_seen,
         "doc_winnow_production": q_doc_winnow_production,
-        "corpus_near_dedup": q_corpus_near_dedup,
+        "extract_images": q_extract_images,
+        "extract_links": q_extract_links,
+        "extract_text": q_extract_text,
+        "ivf_ann": q_ivf_ann,
+        "lsh_ann": q_lsh_ann,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "multimodal_features": q_multimodal_features,
         "semantic_dedup_ann": q_semantic_dedup_ann,
+        "simhash_near_dups": q_simhash_near_dups,
+        "simhash_sigs": q_simhash_sigs,
     }
 
 
