@@ -28,7 +28,15 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+# Executor python workers resolve imports from PYTHONPATH, not the
+# driver's sys.path — without this, running the script from any cwd
+# other than the repo root fails in the first pandas-UDF stage with
+# ModuleNotFoundError. On a real cluster --py-files supersedes this.
+os.environ["PYTHONPATH"] = _REPO_ROOT + (
+    os.pathsep + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
 
 
 def parse_budgets(items: list[str]) -> dict[str, int]:
