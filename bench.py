@@ -102,6 +102,9 @@ HEADLINE = [
     "training_shards",
     "term_search",
     "temperature_mix",
+    "dup_span_stats",
+    "doc_normalize",
+    "embedding_quantization",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
