@@ -1382,6 +1382,44 @@ def q_stream_host_budget(spark, sf):
     )
 
 
+def q_stream_doc_curation(spark, sf):
+    """Streaming curation (training-tier twin of T6): quality gate +
+    content-hash dropDuplicatesWithinWatermark over a document stream.
+    The stream carries re-fetched duplicates (every 5th doc re-arrives
+    later under a new id); first arrival wins, so the dup copies must be
+    absent from the curated output."""
+    import os
+
+    from crawler_spark.streaming.curation import streamed_doc_curation
+
+    tmp = tempfile.mkdtemp(prefix="stream_cur_")
+    docs = _read(spark, sf, "documents").select("doc_id", "lang", "text")
+    base = docs.withColumn(
+        "fetch_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    dups = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .withColumn(
+            "fetch_ts",
+            F.timestamp_seconds(F.lit(1800000000) + F.col("doc_id")),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    cols = ["doc_id", "fetch_ts", "lang", "text"]
+    src = base.select(cols).unionByName(dups.select(cols))
+    d = os.path.join(tmp, "docs")
+    # one file in arrival order → deterministic first-wins dedup
+    src.orderBy("fetch_ts", "doc_id").coalesce(1).write.parquet(d)
+    q = streamed_doc_curation(
+        spark, d, f"{tmp}/out", f"{tmp}/ckpt",
+        watermark="3650 days", min_score=0.3, portable_hash=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "lang", "content_hash", "n_tokens", "score"
+    )
+
+
 def q_cuckoo_seen(spark, sf):
     """Cuckoo-filter seen set (the deletable bloom twin, north-rule
     "bloom/cuckoo"): add 2k urls, delete every third, probe a superset —
@@ -1753,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_terms": q_split_terms,
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
+        "stream_doc_curation": q_stream_doc_curation,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -2751,6 +2790,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, host, disc_sec, admit_seq
             FROM ranked WHERE admit_seq < 20
+        """,
+        "stream_doc_curation": r"""
+            WITH base AS (
+                SELECT doc_id, lang, text,
+                       1700000000 + doc_id AS ts_sec
+                FROM documents
+            ), dups AS (
+                SELECT doc_id + 1000000 AS new_id, lang, text,
+                       1800000000 + doc_id AS ts_sec
+                FROM documents WHERE doc_id % 5 = 0
+            ), src AS (
+                SELECT * FROM base
+                UNION ALL
+                SELECT new_id AS doc_id, lang, text, ts_sec FROM dups
+            ), feats AS (
+                SELECT doc_id, lang, ts_sec, md5(text) AS content_hash,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(text), '\S+'))
+                       END AS n_tokens,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text,
+                           '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]'))
+                           AS punct,
+                       len(list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           x -> x IN ('the','and','of','to','in','is','that',
+                                      'for','with','was')
+                       )) AS stop_hits
+                FROM src
+            ), scored AS (
+                SELECT doc_id, lang, ts_sec, content_hash, n_tokens,
+                       round(
+                           least(n_tokens / 20.0, 1.0)
+                           * greatest(0.0,
+                               1.0 - (punct * 1.0 / greatest(n_chars, 1)) * 4)
+                           * (CASE WHEN (stop_hits * 1.0
+                                         / greatest(n_tokens, 1)) >= 0.05
+                                    AND (stop_hits * 1.0
+                                         / greatest(n_tokens, 1)) <= 0.6
+                                   THEN 1.0 ELSE 0.5 END), 6) AS score
+                FROM feats
+            ), gated AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY content_hash
+                           ORDER BY ts_sec, doc_id) AS rn
+                FROM scored WHERE score >= 0.3
+            )
+            SELECT doc_id, lang, content_hash, n_tokens,
+                   CAST(score AS DOUBLE) AS score
+            FROM gated WHERE rn = 1
         """,
         "doc_winnow_fingerprints": r"""
             WITH toks AS (

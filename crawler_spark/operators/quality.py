@@ -56,6 +56,51 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_component_cols(
+    text: Column, stopwords: tuple[str, ...] = _LANG_MARKERS["en"]
+) -> dict[str, Column]:
+    """The quality-feature components as named Column expressions.
+
+    Pure column algebra (no select/agg/window), so the same expressions
+    drive batch ``quality_scores`` AND the streaming curation gate
+    (``streaming/curation.py``) — structured streaming accepts them
+    unchanged.
+    """
+    n_tokens = ws_token_count(text)
+    n_chars = F.length(text)
+    punct = F.regexp_count(
+        text, F.lit(r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]")
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(text), r"\s+"),
+            lambda t: t.isin(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "mean_token_len": n_chars / F.greatest(n_tokens, F.lit(1)),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "stop_ratio": stop_hits / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def quality_score_col() -> Column:
+    """Composite score in [0, 1] over the NAMED component columns
+    (``n_tokens``, ``punct_ratio``, ``stop_ratio`` must already exist):
+    length factor × (1 − punct excess) × stopword-band factor."""
+    length_factor = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    punct_factor = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4
+    )
+    stop_factor = F.when(
+        (F.col("stop_ratio") >= 0.05) & (F.col("stop_ratio") <= 0.6),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.5))
+    return F.round(length_factor * punct_factor * stop_factor, 6)
+
+
 def quality_scores(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -70,39 +115,13 @@ def quality_scores(
       - ``stop_ratio``: fraction of tokens in a small function-word list
         (natural English has ~0.2-0.5; keyword-stuffed or boilerplate text
         falls outside);
-      - ``score``: length factor × (1 − punct excess) × stopword-band
-        factor, clamped to [0, 1].
+      - ``score``: see ``quality_score_col``.
     """
-    c = F.col(text_col)
-    n_tokens = ws_token_count(c)
-    n_chars = F.length(c)
-    punct = F.regexp_count(c, F.lit(r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]"))
-    stop_hits = F.size(
-        F.filter(
-            F.split(F.lower(c), r"\s+"),
-            lambda t: t.isin(*[F.lit(s) for s in stopwords]),
-        )
-    )
+    comps = quality_component_cols(F.col(text_col), stopwords)
     out = df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("mean_token_len"),
-        (punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (stop_hits / F.greatest(n_tokens, F.lit(1))).alias("stop_ratio"),
+        F.col(id_col), *[v.alias(k) for k, v in comps.items()]
     )
-    length_factor = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
-    punct_factor = F.greatest(
-        F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4
-    )
-    stop_factor = F.when(
-        (F.col("stop_ratio") >= 0.05) & (F.col("stop_ratio") <= 0.6),
-        F.lit(1.0),
-    ).otherwise(F.lit(0.5))
-    return out.withColumn(
-        "score",
-        F.round(length_factor * punct_factor * stop_factor, 6),
-    )
+    return out.withColumn("score", quality_score_col())
 
 
 def language_id(
