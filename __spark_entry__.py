@@ -899,6 +899,101 @@ def q_doc_unigram_xent(spark, sf):
     )
 
 
+def q_doc_bigram_xent(spark, sf):
+    """CCNet fluency ladder, rung 2: per-doc cross-entropy under the
+    add-0.5-smoothed corpus *bigram* model
+    (`operators.quality.bigram_cross_entropy`) — catches shuffled-word
+    gibberish that unigram frequency cannot. Two hash-keyed corpus
+    shuffles (bigram counts, probability join); context totals and
+    vocabulary size broadcast."""
+    from crawler_spark.operators.quality import bigram_cross_entropy
+
+    d = _read_wide(spark, sf, "documents")
+    x = bigram_cross_entropy(d, alpha=0.5)
+    return x.select(
+        "doc_id",
+        F.round("bigram_xent", 6).cast("double").alias("bigram_xent"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+    )
+
+
+def _multiline_pages(spark, sf):
+    """Documents rendered as 4-line pages: two unique body lines plus a
+    per-source newsletter line and a per-lang copyright line — the
+    boilerplate shape repeated-line removal exists for. Identical
+    derivation in the DuckDB oracle."""
+    d = _read_wide(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.concat(
+                F.lit("subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter"),
+            ),
+            F.substring("text", 61, 60),
+            F.concat(
+                F.lit("copyright "), F.col("lang"), F.lit(" edition")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark, sf):
+    """RefinedWeb-style corpus-wide repeated-line removal
+    (`operators.lines.drop_repeated_lines`): drop every line that
+    appears in >= 5 distinct documents, rebuild each page from its
+    surviving lines in original order. The frequency shuffle ships
+    xxhash64 keys only; the rebuild groupBy is the single text-carrying
+    exchange (inherent — the output is the text)."""
+    from crawler_spark.operators.lines import drop_repeated_lines
+
+    return drop_repeated_lines(_multiline_pages(spark, sf), min_docs=5)
+
+
+def q_c4_filters(spark, sf):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over pages derived to
+    exercise every rule (`operators.lines.c4_clean`): line-level
+    terminal-punctuation / >=5-words / no-javascript retention plus the
+    lorem-ipsum, curly-brace, and <3-sentences page drops. Zero-shuffle
+    per-row column algebra inside whole-stage codegen."""
+    from crawler_spark.operators.lines import c4_clean
+
+    d = _read_wide(spark, sf, "documents")
+    did = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("the quick report covers "),
+                F.substring("text", 1, 40),
+                F.lit(" today."),
+            ),
+            F.substring("text", 41, 30),
+            F.lit("short line."),
+            F.when(
+                did % 7 == 0,
+                F.lit("enable javascript to view this page."),
+            ).otherwise(
+                F.lit("another fine sentence appears right here!")
+            ),
+            F.when(
+                did % 13 == 0,
+                F.lit("lorem ipsum dolor sit amet for padding."),
+            ).otherwise(
+                F.lit("closing remarks follow in the final section?")
+            ),
+            F.when(
+                did % 11 == 0, F.lit("config { display: none }")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(pages)
+
+
 def q_doc_sentiment_portable(spark, sf):
     """AFINN sentiment with the UNSTEMMED lexicon, pure column algebra
     (`analytics.text_tier.sentiment_portable`). Production
@@ -1767,8 +1862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         # ---- oracle-backed extras past the 50-entry gate window
         # (value-checked by tools/check_correctness.py runs) ----
+        "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
         "distinct_event_types": q_distinct_event_types,
+        "doc_bigram_xent": q_doc_bigram_xent,
         "doc_categories": q_doc_categories,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_lang_dist": q_doc_lang_dist,
@@ -1782,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_dedup": q_first_event_dedup,
         "host_mirrors": q_host_mirrors,
         "image_counts": q_image_counts,
+        "line_dedup": q_line_dedup,
         "link_counts": q_link_counts,
         "max_normalized_price": q_max_normalized_price,
         "multimodal_meta": q_multimodal_meta,
@@ -3531,6 +3629,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_tokens
             FROM ex e JOIN vocab v USING (tok)
             GROUP BY e.doc_id
+        """,
+        "doc_bigram_xent": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           tk -> len(tk) > 0
+                       ) AS l
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(l) < 2
+                              THEN CAST([] AS VARCHAR[])
+                              ELSE list_transform(range(1, len(l)),
+                                                  i -> l[i]) END) AS w1,
+                       unnest(CASE WHEN len(l) < 2
+                              THEN CAST([] AS VARCHAR[])
+                              ELSE list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i+1])
+                              END) AS bg
+                FROM toks
+            ), cnts AS (
+                SELECT w1, bg, count(*) AS c FROM pairs GROUP BY 1, 2
+            ), ctx AS (
+                SELECT w1, CAST(sum(c) AS DOUBLE) AS cw
+                FROM cnts GROUP BY 1
+            ), vv AS (
+                SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+                FROM (SELECT unnest(l) AS tok FROM toks)
+            ), probs AS (
+                SELECT c.bg,
+                       (c.c + 0.5) / (x.cw + 0.5 * (SELECT v FROM vv))
+                           AS p
+                FROM cnts c JOIN ctx x USING (w1)
+            )
+            SELECT e.doc_id,
+                   CAST(round(avg(-ln(p.p)), 6) AS DOUBLE)
+                       AS bigram_xent,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM pairs e JOIN probs p USING (bg)
+            GROUP BY e.doc_id
+        """,
+        # same 4-line page derivation as q_line_dedup/_multiline_pages
+        "line_dedup": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           substr(text, 1, 60),
+                           'subscribe to the ' || source || ' newsletter',
+                           substr(text, 61, 60),
+                           'copyright ' || lang || ' edition') AS text
+                FROM documents
+            ), raw AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS ls
+                FROM pages
+            ), numbered AS (
+                SELECT doc_id,
+                       unnest(range(0, len(ls))) AS pos,
+                       unnest(list_transform(ls, x -> trim(x))) AS line
+                FROM raw
+            ), lines AS (
+                SELECT * FROM numbered WHERE line <> ''
+            ), freq AS (
+                SELECT line, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY line
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l JOIN freq f USING (line)
+                WHERE f.df < 5
+            ), allcnt AS (
+                SELECT doc_id, count(*) AS n_all FROM lines GROUP BY 1
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos)
+                           AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(c.n_all, 0) - coalesce(a.n_kept, 0)
+                        AS BIGINT) AS n_dropped
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN allcnt c USING (doc_id)
+        """,
+        # same rule-exercising page derivation as q_c4_filters
+        "c4_filters": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           'the quick report covers '
+                               || substr(text, 1, 40) || ' today.',
+                           substr(text, 41, 30),
+                           'short line.',
+                           CASE WHEN doc_id % 7 = 0
+                                THEN 'enable javascript to view this page.'
+                                ELSE 'another fine sentence appears right here!'
+                           END,
+                           CASE WHEN doc_id % 13 = 0
+                                THEN 'lorem ipsum dolor sit amet for padding.'
+                                ELSE 'closing remarks follow in the final section?'
+                           END,
+                           CASE WHEN doc_id % 11 = 0
+                                THEN 'config { display: none }'
+                                ELSE '' END) AS text
+                FROM documents
+            ), kept AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           list_filter(
+                               list_transform(
+                                   string_split(text, chr(10)),
+                                   x -> trim(x)),
+                               x -> x <> ''),
+                           ln -> regexp_matches(ln, '[.!?"]$')
+                                 AND len(string_split_regex(ln, '\s+'))
+                                     >= 5
+                                 AND NOT contains(lower(ln),
+                                                  'javascript')
+                       ) AS ks
+                FROM pages
+            )
+            SELECT doc_id,
+                   array_to_string(ks, chr(10)) AS clean_text,
+                   CAST(len(ks) AS BIGINT) AS n_lines_kept,
+                   CAST(len(regexp_extract_all(
+                        array_to_string(ks, chr(10)), '[.!?]'))
+                        AS BIGINT) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum')
+                       AS has_lorem_ipsum,
+                   contains(text, '{') AS has_brace,
+                   (NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')
+                    AND len(regexp_extract_all(
+                            array_to_string(ks, chr(10)), '[.!?]'))
+                        >= 3) AS keep_doc
+            FROM kept
         """,
         # bounded recursive walk over the same synthetic redirect map
         # (see q_redirect_resolution / _redirect_edges)

@@ -449,6 +449,94 @@ def fingerprints(
     )
 
 
+def bigram_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus *bigram* model with
+    add-``alpha`` smoothing — the second rung of the CCNet-style fluency
+    ladder above ``unigram_cross_entropy`` (Wenzek et al. 2020 score with
+    an LM and drop the worst tail; a smoothed bigram model catches
+    shuffled-word gibberish that unigram frequency cannot).
+
+    ``xent = mean(-ln P(w2|w1))`` over the doc's bigrams, where
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha·V)`` with corpus
+    bigram counts ``c``, per-context totals ``c(w1 ·)`` and unigram
+    vocabulary size ``V``. Returns ``(id, bigram_xent, n_bigrams)``, one
+    row per doc with >= 1 bigram (>= 2 tokens).
+
+    Scale shape: TWO corpus-sized shuffles (the bigram-count groupBy with
+    map-side combine, then the probability equi-join of exploded doc
+    bigrams against that table) plus one vocab-count shuffle; the
+    context-total and vocabulary tables are zipfian-small and broadcast.
+    With ``hash_grams=True`` (production default) every exchanged key is
+    ``xxhash64`` (8 bytes) — gram *text* never crosses a shuffle; the
+    string-keyed path is semantically identical modulo 64-bit collisions
+    and mirrors the DuckDB oracle exactly.
+    """
+    toks = df.select(F.col(id_col), word_tokens(text_col).alias("_t"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_t") < 2,
+                F.array().cast("array<struct<w1:string,bg:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_t"), i),
+                            F.element_at(F.col("_t"), i + 1),
+                        ).alias("bg"),
+                    ),
+                )
+            )
+        ).alias("_p"),
+    )
+
+    def _k(c: Column) -> Column:
+        return F.xxhash64(c) if hash_grams else c
+
+    ex = pairs.select(
+        id_col,
+        _k(F.col("_p.bg")).alias("_kb"),
+        _k(F.col("_p.w1")).alias("_kw"),
+    )
+    bg_counts = ex.groupBy("_kb", "_kw").agg(F.count("*").alias("_c"))
+    ctx = bg_counts.groupBy("_kw").agg(F.sum("_c").alias("_cw"))
+    vocab_n = (
+        toks.select(F.explode("_t").alias("_tok"))
+        .select(_k(F.col("_tok")).alias("_kt"))
+        .agg(F.count_distinct("_kt").alias("_v"))
+    )
+    probs = (
+        bg_counts.join(F.broadcast(ctx), "_kw")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "_kb",
+            (
+                (F.col("_c") + F.lit(alpha))
+                / (F.col("_cw") + F.lit(alpha) * F.col("_v"))
+            ).alias("_p"),
+        )
+    )
+    return (
+        ex.select(id_col, "_kb")
+        .join(probs, "_kb")
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log("_p")).alias("bigram_xent"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def unigram_cross_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
