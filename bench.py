@@ -105,6 +105,11 @@ HEADLINE = [
     "dup_span_stats",
     "doc_normalize",
     "embedding_quantization",
+    # this session: corpus-wide repeated-line removal (RefinedWeb),
+    # C4 cleaning rules (zero-shuffle), smoothed bigram cross-entropy
+    "line_dedup",
+    "c4_filters",
+    "doc_bigram_xent",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries
@@ -120,6 +125,8 @@ HEAVY = {
     "link_pagerank",  # iterative: job-count-bound, noisiest of the set
     "redirect_resolution",  # iterative (pointer jumping)
     "hits_scores",  # iterative (12 shuffles)
+    "line_dedup",  # two corpus shuffles + text-carrying rebuild
+    "doc_bigram_xent",  # two corpus shuffles (gram counts + prob join)
 }
 
 

@@ -73,16 +73,22 @@ def _robots_filter_udf(spark: SparkSession, config: CrawlConfig):
     one vectorized ``str.startswith`` over the host's URL block — the
     per-round cost is Σ_host |rules(host)| × |links(host)|, flat in total
     rule count. Semantics identical to the serial spec
-    ``CrawlConfig.robots_allowed`` (longest prefix wins, allow wins
-    ties, default allow), asserted by a property test and the crawl
-    goldens."""
-    by_host: dict[str, list[tuple[str, bool]]] = {}
-    wild: list[tuple[str, bool]] = []
+    ``CrawlConfig.robots_allowed`` (longest pattern wins, allow wins
+    ties, default allow; RFC 9309 ``*``/``$`` patterns — present when the
+    rules were parsed with ``wildcards="exact"`` — match per §2.2.2 via a
+    vectorized anchored regex), asserted by property tests and the crawl
+    goldens. Rules are pre-compiled once here: each entry carries its
+    regex (None ⇒ plain-prefix ``startswith`` fast path)."""
+    from crawler_spark.functions.robots import pattern_to_regex
+
+    by_host: dict[str, list[tuple[str, bool, str | None]]] = {}
+    wild: list[tuple[str, bool, str | None]] = []
     for rhost, rule, allow in config.robots:
+        entry = (rule, bool(allow), pattern_to_regex(rule))
         if rhost == "*":
-            wild.append((rule, bool(allow)))
+            wild.append(entry)
         else:
-            by_host.setdefault(rhost, []).append((rule, bool(allow)))
+            by_host.setdefault(rhost, []).append(entry)
     bc = spark.sparkContext.broadcast((by_host, wild))
 
     @F.pandas_udf("boolean")
@@ -110,8 +116,11 @@ def _robots_filter_udf(spark: SparkSession, config: CrawlConfig):
             p = path.loc[idx]
             best_len = np.full(len(p), -1)
             best_allow = np.ones(len(p), dtype=bool)
-            for rule, allow in rules:
-                m = p.str.startswith(rule).to_numpy()
+            for rule, allow, rx in rules:
+                if rx is None:
+                    m = p.str.startswith(rule).to_numpy()
+                else:
+                    m = p.str.match(rx).to_numpy()
                 ln = len(rule)
                 upd = m & (
                     (ln > best_len) | ((ln == best_len) & allow)

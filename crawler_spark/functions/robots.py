@@ -14,12 +14,18 @@ This module compiles real robots.txt bodies into those tuples:
   ``User-agent`` lines stack onto one group; groups for other agents are
   ignored entirely.
 - ``Allow``/``Disallow`` values are treated as path prefixes. RFC 9309
-  wildcards are handled conservatively — never fetch what a plain prefix
-  rule denies: a ``Disallow`` pattern is truncated at its first ``*``
-  (and a trailing ``$`` dropped), which can only over-block; an ``Allow``
+  wildcards have two modes (``wildcards=`` on the parsers):
+  ``"conservative"`` (default) never fetches what a plain prefix rule
+  denies: a ``Disallow`` pattern is truncated at its first ``*`` (and a
+  trailing ``$`` dropped), which can only over-block; an ``Allow``
   pattern containing ``*`` or ``$`` is dropped entirely (truncating it
   would WIDEN the allow and could override a plain ``Disallow`` via
-  allow-wins-ties), which can only under-fetch.
+  allow-wins-ties), which can only under-fetch. ``"exact"`` keeps the
+  patterns verbatim and every evaluator (``CrawlConfig.robots_allowed``
+  serial spec, the driver's vectorized UDF) matches them per RFC 9309
+  §2.2.2: ``*`` spans any octets, a trailing ``$`` anchors the end, and
+  rule precedence is the octet length of the PATTERN text (allow wins
+  ties) — Google's reference matcher semantics.
 - empty ``Disallow:`` means allow-all (emitted as no rule); comments
   (``#``), CRLF, and case-insensitive field names handled.
 
@@ -33,6 +39,7 @@ construction.
 from __future__ import annotations
 
 import math
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -41,16 +48,47 @@ from pyspark.sql import DataFrame
 ROBOTS_RULE_SCHEMA = "host string, rule string, allow boolean"
 
 
-def _clean_pattern(value: str, allow: bool) -> str | None:
-    """Robots path pattern → enforceable prefix (None = unenforceable).
+def pattern_to_regex(pattern: str) -> str | None:
+    """RFC 9309 path pattern → anchored-at-start regex, or None when the
+    pattern is a plain prefix (no ``*``, no trailing ``$``) — the caller
+    should use the cheaper ``startswith`` path then."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    body, anchored = pattern, False
+    if body.endswith("$"):
+        body, anchored = body[:-1], True
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return rx + r"\Z" if anchored else rx
 
-    Wildcards/anchors are resolved in the never-over-fetch direction:
+
+def path_matches(pattern: str, path: str) -> bool:
+    """Does ``path`` match the RFC 9309 ``pattern``? Plain prefixes use
+    ``startswith``; ``*``/``$`` patterns match per §2.2.2. The serial
+    spec for both ``CrawlConfig.robots_allowed`` and the driver UDF."""
+    rx = pattern_to_regex(pattern)
+    if rx is None:
+        return path.startswith(pattern)
+    return re.match(rx, path) is not None
+
+
+def _clean_pattern(
+    value: str, allow: bool, wildcards: str = "conservative"
+) -> str | None:
+    """Robots path pattern → enforceable pattern (None = unenforceable).
+
+    ``wildcards="exact"`` keeps ``*``/``$`` verbatim (normalized to a
+    leading ``/`` or ``*``) for RFC 9309 §2.2.2 matching downstream.
+    The default resolves wildcards in the never-over-fetch direction:
     truncating a Disallow over-blocks (safe); truncating an Allow would
     widen it past what RFC 9309 grants, so wildcarded Allows are dropped.
     """
     v = value.strip()
     if not v:
         return None  # empty Disallow: allow all ⇒ no rule
+    if wildcards == "exact":
+        if not v.startswith(("/", "*")):
+            v = "/" + v
+        return v
     has_wild = "*" in v or v.endswith("$")
     if has_wild and allow:
         return None
@@ -131,16 +169,20 @@ def _select_group(
 
 
 def parse_robots_txt(
-    host: str, body: str, user_agent: str = "*"
+    host: str,
+    body: str,
+    user_agent: str = "*",
+    wildcards: str = "conservative",
 ) -> list[tuple[str, str, bool]]:
-    """Compile one robots.txt body into (host, prefix, allow) rules for
-    ``user_agent`` (RFC 9309 group selection)."""
+    """Compile one robots.txt body into (host, pattern, allow) rules for
+    ``user_agent`` (RFC 9309 group selection). ``wildcards="exact"``
+    preserves ``*``/``$`` patterns for exact §2.2.2 matching."""
     best = _select_group(body, user_agent)
     if best is None:
         return []
     out = []
     for value, allow in best[0]:
-        prefix = _clean_pattern(value, allow)
+        prefix = _clean_pattern(value, allow, wildcards)
         if prefix is not None:
             out.append((host, prefix, allow))
     return out
@@ -159,6 +201,7 @@ def rules_from_bodies(
     host_col: str = "host",
     body_col: str = "body",
     user_agent: str = "*",
+    wildcards: str = "conservative",
 ) -> DataFrame:
     """(host, body) → (host, rule, allow) rule table, parsed distributed."""
 
@@ -167,7 +210,7 @@ def rules_from_bodies(
             rows = {"host": [], "rule": [], "allow": []}
             for h, b in zip(pdf[host_col], pdf[body_col]):
                 for host, rule, allow in parse_robots_txt(
-                    h or "", b or "", user_agent
+                    h or "", b or "", user_agent, wildcards
                 ):
                     rows["host"].append(host)
                     rows["rule"].append(rule)

@@ -87,12 +87,17 @@ class CrawlConfig:
         return self.budget(host)
 
     def robots_allowed(self, host: str, path: str) -> bool:
-        """Longest-prefix rule wins; allow wins length ties; default allow."""
+        """Longest-pattern rule wins; allow wins length ties; default
+        allow. Plain prefixes match by ``startswith``; rules carrying
+        RFC 9309 wildcards (``parse_robots_txt(wildcards="exact")``)
+        match per §2.2.2 with precedence = pattern octet length."""
+        from crawler_spark.functions.robots import path_matches
+
         best_len, best_allow = -1, True
         for rhost, rule, allow in self.robots:
             if rhost != host and rhost != "*":
                 continue
-            if path.startswith(rule):
+            if path_matches(rule, path):
                 if len(rule) > best_len or (len(rule) == best_len and allow):
                     best_len, best_allow = len(rule), allow
         return best_allow

@@ -63,6 +63,12 @@ def main() -> None:
     ap.add_argument("--robots-dir", default=None,
                     help="optional parquet dir of fetched (host, body) "
                          "robots.txt pages")
+    ap.add_argument("--robots-wildcards", default="conservative",
+                    choices=("conservative", "exact"),
+                    help="RFC 9309 * / $ handling: 'conservative' "
+                         "(never over-fetch: truncate Disallow, drop "
+                         "wildcarded Allow) or 'exact' (full §2.2.2 "
+                         "pattern matching, longest-pattern precedence)")
     ap.add_argument("--crawl-delay-budgets", action="store_true",
                     help="derive per-host budgets from the robots bodies' "
                          "Crawl-delay lines (budget = round-seconds / "
@@ -138,7 +144,9 @@ def main() -> None:
         robots_df = spark.read.parquet(args.robots_dir)
         robots = [
             (r.host, r.rule, bool(r.allow))
-            for r in rules_from_bodies(robots_df).collect()
+            for r in rules_from_bodies(
+                robots_df, wildcards=args.robots_wildcards
+            ).collect()
         ]
         if args.crawl_delay_budgets:
             # second parse pass over the same bodies: both runs are

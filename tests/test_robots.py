@@ -290,6 +290,94 @@ def test_wildcard_allow_dropped_never_overrides_disallow():
     assert not cfg.robots_allowed("h", "/abc")  # RFC: denied; stays denied
 
 
+def test_exact_wildcards_rfc9309_matching():
+    """wildcards="exact" keeps * / $ patterns and matches them per RFC
+    9309 §2.2.2 (Google reference-matcher examples): * spans any octets,
+    trailing $ anchors the end, precedence = pattern octet length."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /fish*\n"
+        "Disallow: /*.php$\n"
+        "Allow: /fish/free\n"
+        "Disallow: /no-$\n"
+    )
+    rules = parse_robots_txt("h", body, wildcards="exact")
+    assert ("h", "/fish*", False) in rules
+    assert ("h", "/*.php$", False) in rules
+    cfg = CrawlConfig(robots=rules)
+    assert not cfg.robots_allowed("h", "/fishheads/yummy.html")
+    assert not cfg.robots_allowed("h", "/fish.php")
+    assert cfg.robots_allowed("h", "/Fish.asp")  # case-sensitive
+    assert not cfg.robots_allowed("h", "/folder/filename.php")
+    assert cfg.robots_allowed("h", "/filename.php5")  # $ anchors end
+    # longest-pattern precedence: Allow /fish/free (10) > /fish* (6)
+    assert cfg.robots_allowed("h", "/fish/free/recipes.html")
+    # literal-$ corner: '/no-$' anchors after '/no-'
+    assert not cfg.robots_allowed("h", "/no-")
+    assert cfg.robots_allowed("h", "/no-thing")
+
+
+def test_exact_wildcards_conservative_is_subset():
+    """Exact mode can only fetch a subset of what conservative mode
+    blocks-to-be-safe: anything conservative allows AND a Disallow
+    wildcard would catch, exact must deny; anything exact allows that
+    conservative denied is an over-block recovered."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /a/*/secret\n"
+        "Allow: /a/b*\n"
+    )
+    cons = CrawlConfig(robots=parse_robots_txt("h", body))
+    exact = CrawlConfig(
+        robots=parse_robots_txt("h", body, wildcards="exact")
+    )
+    # conservative truncates the Disallow to /a/ -> everything under /a/
+    # is blocked; exact recovers the non-secret subtree
+    assert not cons.robots_allowed("h", "/a/b/page")
+    assert exact.robots_allowed("h", "/a/b/page")
+    # both deny the actual secret path
+    assert not cons.robots_allowed("h", "/a/b/secret")
+    assert not exact.robots_allowed("h", "/a/x/secret")
+
+
+def test_vectorized_robots_udf_matches_serial_spec_wildcards(spark):
+    """UDF ≡ serial spec parity with RFC 9309 wildcard patterns mixed
+    into the rule table (exact mode)."""
+    import random
+
+    from crawler_spark.crawl.driver import _robots_filter_udf
+    from crawler_spark.oracle.crawloracle import _url_path
+
+    rng = random.Random(11)
+    hosts = [f"w{i}.test" for i in range(4)]
+    patterns = [
+        "/", "/a/", "/a/*/c", "/*.php$", "/fish*", "/x$", "/a/b",
+        "*/tail", "/q*z$",
+    ]
+    rules = [
+        (rng.choice(hosts + ["*"]), rng.choice(patterns), rng.random() < 0.5)
+        for _ in range(50)
+    ]
+    cfg = CrawlConfig(robots=rules)
+    paths = [
+        "", "/", "/a/b/c", "/a/zz/c", "/file.php", "/file.php5",
+        "/fishheads", "/x", "/x/", "/one/tail", "/qmiddlez", "/q?k=v",
+    ]
+    rows = [
+        (
+            rng.choice(hosts + ["unruled.test"]),
+            f"http://{'%s' % rng.choice(hosts)}{rng.choice(paths)}",
+        )
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    udf = _robots_filter_udf(spark, cfg)
+    got = df.withColumn("ok", udf("host", "url")).toPandas()
+    for r in got.itertuples(index=False):
+        want = cfg.robots_allowed(r.host or "", _url_path(r.url or ""))
+        assert bool(r.ok) == want, (r.host, r.url, r.ok, want)
+
+
 def test_vectorized_robots_udf_matches_serial_spec(spark):
     """The driver's grouped/vectorized robots filter must agree with the
     serial CrawlConfig.robots_allowed spec on randomized rules + URLs."""
