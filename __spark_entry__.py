@@ -663,6 +663,37 @@ def q_minhash_portable(spark, sf):
     )
 
 
+def q_incremental_dedup_portable(spark, sf):
+    """Incremental near-dup dedup — the recurring-crawl shape
+    (`operators.dedup.minhash_dedup_incremental`): docs with
+    doc_id % 3 == 0 'arrive this round', the rest are the already-signed
+    corpus; the round pays signatures for the new docs plus ONE banding
+    join against the stored corpus index, never re-pairing the corpus
+    with itself. Portable hash family so the full composed math is
+    value-checked by the oracle."""
+    from crawler_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
+    new = d.where(F.col("doc_id") % 3 == 0)
+    old = d.where(F.col("doc_id") % 3 != 0)
+    old_sigs = minhash_signatures(
+        word_shingles(old), n_hashes=64, portable=True
+    )
+    pairs, _new_sigs = minhash_dedup_incremental(
+        new, old_sigs, threshold=0.4, portable=True
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).cast("double").alias("est_jaccard"),
+        "vs_corpus",
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster resolution: near-dup PAIRS (embedding cosine ≥
     0.35, the oracle-checked exact pair set) → transitive closure →
@@ -1879,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_event_dedup": q_first_event_dedup,
         "host_mirrors": q_host_mirrors,
         "image_counts": q_image_counts,
+        "incremental_dedup_portable": q_incremental_dedup_portable,
         "line_dedup": q_line_dedup,
         "link_counts": q_link_counts,
         "max_normalized_price": q_max_normalized_price,
@@ -2710,6 +2742,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b,
                    CAST(round(n_agree / 64.0, 6) AS DOUBLE) AS est_jaccard
+            FROM agree WHERE n_agree / 64.0 >= 0.4
+        """,
+        # identical signature/band math as minhash_portable; the cand
+        # join keeps only pairs touching a 'new' doc (doc_id % 3 = 0),
+        # with the corpus side as id_a (new-new pairs ordered id_a<id_b)
+        "incremental_dedup_portable": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                FROM documents WHERE doc_id < 300
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(l) - 1),
+                                       i -> array_to_string(l[i:i+2], ' '))
+                              END) AS shingle
+                FROM toks
+            ), sh AS (
+                SELECT doc_id, shingle FROM shingles
+                WHERE length(shingle) > 0
+            ), hx AS (
+                SELECT doc_id, t.i,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                    substr(md5(t.i || '|' || shingle), j, 1))
+                                 - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM sh CROSS JOIN range(0, 64) AS t(i)
+            ), sigs AS (
+                SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band,
+                       string_agg(mh, '|' ORDER BY i) AS bkey
+                FROM sigs GROUP BY 1, 2
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND b.doc_id % 3 = 0
+                 AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+            ), agree AS (
+                SELECT c.id_a, c.id_b,
+                       sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                           AS n_agree
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(round(n_agree / 64.0, 6) AS DOUBLE) AS est_jaccard,
+                   (id_a % 3 <> 0) AS vs_corpus
             FROM agree WHERE n_agree / 64.0 >= 0.4
         """,
         "dedup_clusters": """

@@ -248,6 +248,40 @@ def collapse_identical_signatures(
     return reps, members
 
 
+def band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Slim LSH bucket rows ``(id, band, bhash)`` of a signature table —
+    the join side of every banding path and the PERSISTABLE index an
+    incremental crawl appends to per round (see
+    :func:`minhash_dedup_incremental`). Carrying only (id, band, bhash)
+    keeps the explode/window/self-join stages off the ~0.5 KB signature
+    arrays."""
+
+    def bkey(b: int):
+        cols = [F.col("sig")[b * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if portable:
+            # join-key as a plain string of the band's values — the
+            # SQL-reproducible form (xxhash64 is Spark-only)
+            return F.concat_ws("|", *cols)
+        return F.xxhash64(*cols).cast("string")
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bkey(b).alias("bhash"))
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(id_col, "b.band", "b.bhash")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -270,38 +304,19 @@ def lsh_candidate_pairs(
     several independent bands. Standard production LSH trade."""
     n_hashes = n_bands * rows_per_band
 
-    def bkey(b: int):
-        cols = [F.col("sig")[b * rows_per_band + r]
-                for r in range(rows_per_band)]
-        if portable:
-            # join-key as a plain string of the band's values — the
-            # SQL-reproducible form (xxhash64 is Spark-only)
-            return F.concat_ws("|", *cols)
-        return F.xxhash64(*cols).cast("string")
-
     # the signature table feeds THREE consumers (band explode + two
     # agreement joins); a lazy localCheckpoint materializes the expensive
     # 64-way aggregation exactly once (same pattern as
     # topk.with_global_seq — GC-cleaned, partition ids frozen)
     sigs = sigs.localCheckpoint(eager=False)
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"), bkey(b).alias("bhash")
-            )
-            for b in range(n_bands)
-        ]
-    )
-    # SLIM banding rows: (id, band, bhash) only. Carrying the 64-long
-    # signature arrays through the explode/window/self-join multiplies
-    # every band row (and every within-bucket join row — quadratic in
-    # bucket size) by ~0.5 KB and turns the stage memory-bandwidth
-    # bound; the agreement join below re-attaches signatures to the
-    # DEDUPED pairs instead, which is the small side of the funnel.
-    exploded = sigs.select(
-        F.col(id_col), F.explode(bands).alias("b")
-    ).select(id_col, "b.band", "b.bhash")
+    # SLIM banding rows (band_rows): carrying the 64-long signature
+    # arrays through the explode/window/self-join would multiply every
+    # band row (and every within-bucket join row — quadratic in bucket
+    # size) by ~0.5 KB and turn the stage memory-bandwidth bound; the
+    # agreement join below re-attaches signatures to the DEDUPED pairs
+    # instead, which is the small side of the funnel.
+    exploded = band_rows(sigs, id_col, n_bands, rows_per_band, portable)
     if max_bucket_size is not None:
         # window count over (band, bhash): one shuffle over slim rows
         w = Window.partitionBy("band", "bhash")
@@ -413,6 +428,114 @@ def minhash_dedup(
         sigs, id_col, n_bands, rows_per_band, max_bucket_size,
         portable=portable,
     ).where(F.col("est_jaccard") >= threshold)
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 10000,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs for the documents arriving THIS crawl round,
+    against an already-signed corpus AND each other — without re-pairing
+    the corpus against itself. Returns ``(pairs, new_sigs)``.
+
+    This is the recurring-crawl shape at 10^10 docs: the corpus-vs-
+    corpus pair set was resolved in earlier rounds; re-running
+    :func:`minhash_dedup` over old+new repays the whole quadratic-ish
+    banding funnel every round for pairs that cannot have changed.
+    Incrementally, each round costs signatures for the NEW docs plus one
+    banding join of (corpus ∪ new) bucket rows against the NEW bucket
+    rows — per-round work scales with the round, not the corpus, and the
+    signature store (``corpus_sigs`` ∪ returned ``new_sigs``) is the
+    only state carried forward. Store :func:`band_rows` of the corpus
+    alongside to skip even the corpus re-explode.
+
+    ``pairs`` columns: ``(id_a, id_b, est_jaccard, vs_corpus)`` where
+    ``id_b`` is always a new doc; ``vs_corpus`` marks corpus-side
+    ``id_a`` (new-new pairs have ``id_a < id_b``). EQUIVALENCE: with the
+    same cap, the pair set equals the full ``minhash_dedup(old ∪ new)``
+    restricted to pairs touching a new doc (orientation aside) — the
+    bucket-size guard counts corpus and new rows together, exactly like
+    the full run (property-tested). Requires new ids disjoint from
+    corpus ids (a crawl store's monotone doc ids satisfy this).
+    """
+    n_hashes = n_bands * rows_per_band
+    if portable:
+        sh = word_shingles(new_df, id_col, text_col, k)
+        new_sigs = minhash_signatures(sh, id_col, n_hashes, portable=True)
+    else:
+        sh = word_shingle_hashes(new_df, id_col, text_col, k)
+        new_sigs = minhash_signatures_from_hashes(sh, id_col, n_hashes)
+    # feeds banding + the agreement joins + the caller's store append
+    new_sigs = new_sigs.localCheckpoint(eager=False)
+
+    nb = band_rows(new_sigs, id_col, n_bands, rows_per_band, portable)
+    ob = band_rows(corpus_sigs, id_col, n_bands, rows_per_band, portable)
+    un = ob.withColumn("_new", F.lit(False)).unionByName(
+        nb.withColumn("_new", F.lit(True))
+    )
+    if max_bucket_size is not None:
+        # cap on the COMBINED bucket (corpus + new rows) — the same
+        # population the full run counts, keeping equivalence exact
+        w = Window.partitionBy("band", "bhash")
+        un = (
+            un.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    un = un.localCheckpoint(eager=False)  # feeds both join sides
+    a = un.alias("a")
+    b = un.where(F.col("_new")).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (
+                (~F.col("a._new"))
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (~F.col("a._new")).alias("vs_corpus"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    all_sigs = corpus_sigs.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    ).unionByName(
+        new_sigs.select(
+            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+        )
+    )
+    pairs = pairs.join(all_sigs, "id_a").join(
+        new_sigs.select(
+            F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+        ),
+        "id_b",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (agree / F.lit(n_hashes)).alias("est_jaccard"),
+        "vs_corpus",
+    ).where(F.col("est_jaccard") >= threshold)
+    return scored, new_sigs
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,58 @@ def test_minhash_finds_near_dups(spark, docs):
     assert 0.5 <= est <= 1.0
 
 
+def test_incremental_minhash_equals_full_run_restriction(spark, docs):
+    """minhash_dedup_incremental(new, corpus_sigs) must produce exactly
+    the full minhash_dedup(old ∪ new) pair set restricted to pairs
+    touching a new doc (orientation normalized), plus signatures for the
+    new docs identical to the full run's — the contract that lets a
+    recurring crawl dedup per-round without re-pairing the corpus."""
+    from crawler_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures_from_hashes,
+        word_shingle_hashes,
+    )
+
+    base = docs.select("doc_id", "text").where("doc_id < 80")
+    # make cross-set near-dups: clone some 'old' docs into 'new' ids
+    clones = base.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" tailword")).alias("text"),
+    )
+    full = base.unionByName(clones)
+    new_ids = {r.doc_id for r in clones.select("doc_id").collect()}
+
+    want = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): round(r.est_jaccard, 9)
+        for r in minhash_dedup(full, threshold=0.3).collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+
+    old_sigs = minhash_signatures_from_hashes(word_shingle_hashes(base))
+    pairs, new_sigs = minhash_dedup_incremental(
+        clones, old_sigs, threshold=0.3
+    )
+    got_rows = pairs.collect()
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): round(r.est_jaccard, 9)
+        for r in got_rows
+    }
+    assert want == got and want, (len(want), len(got))
+    # id_b is always new; vs_corpus marks corpus-side id_a
+    for r in got_rows:
+        assert r.id_b in new_ids
+        assert r.vs_corpus == (r.id_a not in new_ids)
+    # the returned signatures are the full run's signatures for new docs
+    full_sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures_from_hashes(
+            word_shingle_hashes(clones)
+        ).collect()
+    }
+    inc_sigs = {r.doc_id: tuple(r.sig) for r in new_sigs.collect()}
+    assert full_sigs == inc_sigs
+
+
 def test_minhash_no_pair_for_distinct_docs(spark):
     df = spark.createDataFrame(
         [
