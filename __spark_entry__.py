@@ -314,6 +314,20 @@ def q_doc_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_host_split(spark, sf):
+    """Host-disjoint train/eval split (`operators.scrub.
+    host_disjoint_split`): every host (the `source` column stands in
+    for the site) lands wholly in train or eval via the engine-portable
+    md5-prefix hash — near-dup pages from one site can never straddle
+    the split and leak eval text into training. Zero shuffle."""
+    from crawler_spark.operators.scrub import host_disjoint_split
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.col("source").alias("host")
+    )
+    return host_disjoint_split(d, eval_bps=2500, salt="hsplit")
+
+
 def q_session_windows(spark, sf):
     """Sessionization: per-user event sessions with a 30-minute
     inactivity gap via Spark's native session_window (the same operator
@@ -706,6 +720,27 @@ def q_dedup_clusters(spark, sf):
     e = _read(spark, sf, "embeddings").where(F.col("vec_id") < 200)
     pairs = cosine_pairs_exact(e, threshold=0.35)
     return dedup_clusters(pairs)
+
+
+def q_dedup_survivors(spark, sf):
+    """Quality-aware duplicate-cluster survivor selection
+    (`operators.dedup.cluster_survivors`): the same cosine-pair clusters
+    as `dedup_clusters`, but the member KEPT is the longest document
+    (vec_id keys the embedding of doc_id), ties to the lowest id — the
+    production knob where the canonical member is chosen by quality, not
+    arbitrarily. One node-keyed join + one cluster-keyed window."""
+    from crawler_spark.operators.dedup import (
+        cluster_survivors,
+        dedup_clusters,
+    )
+    from crawler_spark.operators.similarity import cosine_pairs_exact
+
+    e = _read(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    clusters = dedup_clusters(cosine_pairs_exact(e, threshold=0.35))
+    scores = _read(spark, sf, "documents").select(
+        F.col("doc_id"), F.length("text").alias("score")
+    )
+    return cluster_survivors(clusters, scores)
 
 
 def q_knn_bruteforce(spark, sf):
@@ -1895,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (value-checked by tools/check_correctness.py runs) ----
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
+        "dedup_survivors": q_dedup_survivors,
         "distinct_event_types": q_distinct_event_types,
         "doc_bigram_xent": q_doc_bigram_xent,
         "doc_categories": q_doc_categories,
@@ -1909,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_tf": q_doc_trigram_tf,
         "first_event_dedup": q_first_event_dedup,
         "host_mirrors": q_host_mirrors,
+        "host_split": q_host_split,
         "image_counts": q_image_counts,
         "incremental_dedup_portable": q_incremental_dedup_portable,
         "line_dedup": q_line_dedup,
@@ -2277,6 +2314,16 @@ def oracle_sql() -> dict[str, str]:
                            * (1::BIGINT << (4*(15 - i))))) AS BIGINT) % 100
                   < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
                          ELSE 10 END
+        """,
+        "host_split": """
+            SELECT doc_id, source AS host,
+                   CAST(list_sum(list_transform(range(1, 16),
+                       i -> (strpos('0123456789abcdef',
+                                    substr(md5(source || 'hsplit'), i, 1))
+                             - 1)::BIGINT
+                            * (1::BIGINT << (4*(15 - i))))) AS BIGINT)
+                       % 10000 < 2500 AS is_eval
+            FROM documents
         """,
         "session_windows": """
             WITH marked AS (
@@ -2819,6 +2866,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(r) AS canon_id,
                    node <> min(r) AS is_dup
             FROM reach GROUP BY node
+        """,
+        # same component closure as dedup_clusters, then survivor =
+        # longest document (ties -> lowest id) via one window
+        "dedup_survivors": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 200 AND b.vec_id < 200
+                  AND list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])
+                      ) >= 0.35
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON reach.node = e.dst
+            ), comp AS (
+                SELECT node, min(r) AS canon_id FROM reach GROUP BY node
+            ), scored AS (
+                SELECT c.node, c.canon_id, length(d.text) AS s
+                FROM comp c JOIN documents d ON d.doc_id = c.node
+            )
+            SELECT node, canon_id,
+                   row_number() OVER (
+                       PARTITION BY canon_id ORDER BY s DESC, node
+                   ) = 1 AS keep
+            FROM scored
         """,
         "knn_join": """
             WITH q AS (

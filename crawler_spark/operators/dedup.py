@@ -846,6 +846,42 @@ def dedup_clusters(
     )
 
 
+def cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick ONE survivor per duplicate cluster by QUALITY instead of by
+    min-id: the member with the highest score wins, ties break to the
+    lowest id. In production curation the cluster member kept is usually
+    the longest or highest-quality page, not an arbitrary canonical —
+    this is the knob (compose with :func:`dedup_clusters` output and any
+    score table, e.g. ``operators.quality.quality_scores`` or a plain
+    text length).
+
+    ``clusters`` is ``(node, canon_id, ...)``; ``scores`` maps
+    ``id_col`` → ``score_col``. Returns ``(node, canon_id, keep)`` with
+    exactly one ``keep=true`` row per cluster.
+
+    Scale shape: one equi-join on the uniform node id plus one
+    cluster-keyed window (clusters are tiny — pair-graph components),
+    no corpus-sized state.
+    """
+    joined = clusters.join(
+        scores.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("_s")
+        ),
+        "node",
+    )
+    w = Window.partitionBy("canon_id").orderBy(
+        F.col("_s").desc(), F.col("node")
+    )
+    return joined.withColumn("_rn", F.row_number().over(w)).select(
+        "node", "canon_id", (F.col("_rn") == 1).alias("keep")
+    )
+
+
 def near_dup_curation(
     df: DataFrame,
     id_col: str = "doc_id",

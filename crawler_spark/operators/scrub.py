@@ -90,6 +90,37 @@ def stratified_sample(
     return df.where(h < rate)
 
 
+def host_disjoint_split(
+    df: DataFrame,
+    host_col: str = "host",
+    eval_bps: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-free train/eval split for web corpora: every HOST (not
+    document) lands wholly in train or eval, so near-duplicate pages
+    from the same site — mirrors, templated boilerplate, syndicated
+    articles — can never straddle the split and leak eval content into
+    training (the standard web-data hygiene rule; cf. C4/Gopher eval
+    decontamination by document n-grams, which this complements at the
+    site level).
+
+    The side is ``md5(host || salt) % 10000 < eval_bps`` with the same
+    engine-portable md5-prefix hash as :func:`stratified_sample`:
+    deterministic across runs, engines, retries and partitionings, and
+    pure per-row column algebra — zero shuffle, no host table to join.
+    ``eval_bps`` is the eval share in basis points (1000 = 10%); change
+    ``salt`` for an independent split. Adds boolean ``is_eval``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(host_col).cast("string"), F.lit(salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long") % 10000
+    return df.withColumn("is_eval", h < F.lit(eval_bps))
+
+
 def temperature_sample(
     df: DataFrame,
     id_col: str,

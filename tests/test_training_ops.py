@@ -128,6 +128,60 @@ def test_incremental_minhash_equals_full_run_restriction(spark, docs):
     assert full_sigs == inc_sigs
 
 
+def test_cluster_survivors_quality_pick(spark):
+    """Exactly one keep per cluster: highest score wins, ties break to
+    the lowest node id (the min-id canonical is NOT automatically the
+    survivor)."""
+    from crawler_spark.operators.dedup import cluster_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1, False), (2, 1, True), (3, 1, True),
+         (7, 7, False), (9, 7, True)],
+        "node long, canon_id long, is_dup boolean",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (9, 4.0)],
+        "doc_id long, score double",
+    )
+    out = {
+        r.node: r.keep
+        for r in cluster_survivors(clusters, scores).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 7: False, 9: True}
+
+
+def test_host_disjoint_split(spark, docs):
+    """Every host lands wholly on one side; the split is deterministic,
+    host-keyed (doc ids don't matter), and roughly sized by eval_bps."""
+    from crawler_spark.operators.scrub import host_disjoint_split
+
+    d = docs.select("doc_id", F.col("source").alias("host"))
+    out = host_disjoint_split(d, eval_bps=2500, salt="t").collect()
+    sides: dict[str, set] = {}
+    for r in out:
+        sides.setdefault(r.host, set()).add(r.is_eval)
+    assert all(len(s) == 1 for s in sides.values()), "host straddles split"
+    assert {True, False} == {next(iter(s)) for s in sides.values()} | {
+        True, False
+    }  # both sides non-degenerate checked below
+    n_eval_hosts = sum(1 for s in sides.values() if s == {True})
+    assert 0 < n_eval_hosts < len(sides)
+    # deterministic: re-run (different partitioning) → same assignment
+    again = {
+        r.host: r.is_eval
+        for r in host_disjoint_split(
+            d.repartition(7), eval_bps=2500, salt="t"
+        ).collect()
+    }
+    assert again == {h: next(iter(s)) for h, s in sides.items()}
+    # a different salt draws an independent split
+    other = {
+        r.host: r.is_eval
+        for r in host_disjoint_split(d, eval_bps=2500, salt="u").collect()
+    }
+    assert other != again
+
+
 def test_minhash_no_pair_for_distinct_docs(spark):
     df = spark.createDataFrame(
         [
