@@ -328,6 +328,30 @@ def q_host_split(spark, sf):
     return host_disjoint_split(d, eval_bps=2500, salt="hsplit")
 
 
+def q_snapshot_diff(spark, sf):
+    """Change-data-capture between two crawl snapshots
+    (`operators.freshness.snapshot_diff`): the 'new' crawl drops every
+    17th page, rewrites every 5th, and discovers a +10000 clone of every
+    13th — status added/removed/changed/unchanged per id from one
+    full-outer join on (id, content-hash); production exchanges 8-byte
+    xxhash64, the portable mode here mirrors md5 in the oracle."""
+    from crawler_spark.operators.freshness import snapshot_diff
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    new = d.where(did % 17 != 0).select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.where(did % 13 == 0).select(
+            (did + 10000).alias("doc_id"), "text"
+        )
+    )
+    return snapshot_diff(d, new, id_col="doc_id", portable=True)
+
+
 def q_session_windows(spark, sf):
     """Sessionization: per-user event sessions with a 30-minute
     inactivity gap via Spark's native session_window (the same operator
@@ -1955,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "semi_join_customers": q_semi_join_customers,
+        "snapshot_diff": q_snapshot_diff,
         "split_terms": q_split_terms,
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
@@ -2314,6 +2339,26 @@ def oracle_sql() -> dict[str, str]:
                            * (1::BIGINT << (4*(15 - i))))) AS BIGINT) % 100
                   < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25
                          ELSE 10 END
+        """,
+        # same old/new snapshot derivation as q_snapshot_diff
+        "snapshot_diff": """
+            WITH oldd AS (
+                SELECT doc_id, text FROM documents
+            ), newd AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 10000 AS doc_id, text
+                FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
         """,
         "host_split": """
             SELECT doc_id, source AS host,

@@ -134,3 +134,42 @@ def due_for_recrawl(
     return rates.where(
         (F.col("last_capture_ut") + F.col("revisit_seconds")) <= as_of_ut
     ).select(id_col, "revisit_seconds")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    content_cols: tuple[str, ...] = ("text",),
+    portable: bool = False,
+) -> DataFrame:
+    """Change-data-capture between two crawl snapshots: one row per id
+    present in either, with ``status`` ∈ added / removed / changed /
+    unchanged — the diff that feeds incremental downstream work (re-run
+    extraction/curation only on added+changed; retract removed).
+
+    Content identity is a hash of ``content_cols`` — ``xxhash64`` in
+    production so the full-outer join exchanges (id, 8-byte hash), never
+    page text; ``portable=True`` uses md5 (the engine-portable family)
+    so the DuckDB oracle can mirror the comparison byte-for-byte. One
+    shuffle per side on the uniform id key, then a full-outer equi-join.
+    """
+    def keyed(df: DataFrame, out: str) -> DataFrame:
+        h = (
+            F.md5(F.concat_ws("\x1f", *content_cols))
+            if portable
+            else F.xxhash64(*content_cols).cast("string")
+        )
+        return df.select(F.col(id_col), h.alias(out))
+
+    j = keyed(old, "_h_old").join(
+        keyed(new, "_h_new"), id_col, "full_outer"
+    )
+    return j.select(
+        id_col,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

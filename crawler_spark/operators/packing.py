@@ -82,6 +82,64 @@ def export_shards(
     }
 
 
+def export_jsonl(
+    docs: DataFrame,
+    path: str,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens: Column | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """The same deterministic ``lang=…/shard_id=…`` shard layout as
+    :func:`export_shards`, written as JSON-Lines text files — the wire
+    format most LLM training loaders consume directly.
+
+    One JSON object per line; keys are the document's columns plus
+    ``n_tokens``, serialized in sorted column order so the BYTES are a
+    pure function of the corpus (same resume/retry contract as the
+    parquet sink: membership from ``pack_shards``, rows sorted by id
+    within each shard, overwrite-idempotent). Returns the same manifest
+    ``{n_docs, n_shards, n_tokens}``.
+    """
+    assigned = pack_shards(
+        docs, budget, lang_col, id_col, tokens, num_partitions
+    )
+    manifest = assigned.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang", "shard_id").alias("n_shards"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).first()
+    joined = docs.join(
+        assigned.select(
+            F.col("doc_id").alias(id_col), "shard_id", "n_tokens"
+        ),
+        id_col,
+    )
+    payload_cols = sorted(
+        c for c in joined.columns if c not in (lang_col, "shard_id")
+    )
+    (
+        joined.repartition(F.col(lang_col), F.col("shard_id"))
+        .sortWithinPartitions(id_col)
+        .select(
+            F.col(lang_col),
+            F.col("shard_id"),
+            F.to_json(
+                F.struct(*[F.col(c) for c in payload_cols])
+            ).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy(lang_col, "shard_id")
+        .text(path)
+    )
+    return {
+        "n_docs": manifest["n_docs"],
+        "n_shards": manifest["n_shards"],
+        "n_tokens": manifest["n_tokens"],
+    }
+
+
 def pack_shards(
     docs: DataFrame,
     budget: int,

@@ -150,3 +150,31 @@ def test_due_set_feeds_retraction_e2e(spark, tmp_path):
     )
     for u, n in counts.items():
         assert n == (2 if u in due_urls else 1), (u, n)
+
+
+def test_snapshot_diff_statuses_and_hash_paths_agree(spark):
+    """CDC statuses are exact on a crafted old/new pair, and the
+    production xxhash64 path agrees with the portable md5 path."""
+    from crawler_spark.operators.freshness import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "same"), ("b", "will change"), ("c", "goes away")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "same"), ("b", "changed now"), ("d", "brand new")],
+        "url string, text string",
+    )
+    want = {
+        "a": "unchanged",
+        "b": "changed",
+        "c": "removed",
+        "d": "added",
+    }
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == want
+    portable = {
+        r.url: r.status
+        for r in snapshot_diff(old, new, portable=True).collect()
+    }
+    assert portable == want

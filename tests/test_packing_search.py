@@ -201,3 +201,57 @@ def test_export_shards_layout_and_determinism(spark, tmp_path):
         per.setdefault((r["lang"], r["shard_id"]), []).append(r["n_tokens"])
     for toks in per.values():
         assert sum(toks) - max(toks) < 200
+
+
+def test_export_jsonl_roundtrip_matches_parquet_sink(spark, tmp_path):
+    """The JSONL sink writes the SAME shard membership and document
+    content as the parquet sink (read back via spark.read.json), in the
+    same lang=/shard_id= layout, with byte-deterministic re-export."""
+    import json
+    import os
+    import random
+
+    from crawler_spark.operators.packing import export_jsonl, export_shards
+
+    rng = random.Random(13)
+    rows = [
+        (i, ["en", "de"][rng.randrange(2)], "w " * rng.randrange(5, 60))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, lang: string, text: string"
+    ).withColumn("text", F.rtrim("text"))
+
+    pq, j1, j2 = (str(tmp_path / d) for d in ("pq", "j1", "j2"))
+    mp = export_shards(df, pq, budget=150)
+    m1 = export_jsonl(df, j1, budget=150)
+    m2 = export_jsonl(df, j2, budget=150)
+    assert mp == m1 == m2
+
+    back = spark.read.json(f"{j1}/lang=*/shard_id=*/*", )
+    # partition dirs aren't parsed by the glob read — reattach from the
+    # parquet sink via doc_id to compare membership + content
+    pqr = {
+        r["doc_id"]: (r["lang"], r["shard_id"], r["text"], r["n_tokens"])
+        for r in spark.read.parquet(pq).collect()
+    }
+    jr = {r["doc_id"]: (r["text"], r["n_tokens"]) for r in back.collect()}
+    assert set(jr) == set(pqr)
+    for did, (lang, shard, text, ntok) in pqr.items():
+        assert jr[did] == (text, ntok)
+
+    # byte determinism: concatenated sorted lines identical across runs
+    def all_lines(root):
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                if f.endswith(".txt"):
+                    with open(os.path.join(dirpath, f)) as fh:
+                        out.extend(fh.read().splitlines())
+        return sorted(out)
+
+    l1, l2 = all_lines(j1), all_lines(j2)
+    assert l1 == l2 and l1
+    # every line is a json object with sorted keys present
+    obj = json.loads(l1[0])
+    assert set(obj) == {"doc_id", "n_tokens", "text"}
