@@ -275,3 +275,26 @@ def test_redirect_resolution_plan(spark):
     ).where("src != dst")
     df = resolve_redirects(edges, max_hops=16)
     assert not has_cartesian(df)
+
+
+def test_snapshot_diff_exchanges_hashes_not_text(spark):
+    """The CDC full-outer join must exchange (id, 8-byte content hash):
+    no Exchange in the production plan carries or keys on the text
+    column (the hash projection happens BEFORE the shuffle)."""
+    from crawler_spark.operators.freshness import snapshot_diff
+    from crawler_spark.plans.inspect import (
+        exchange_partition_keys,
+        exchange_payload_columns,
+    )
+
+    old = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new = old.where(F.col("doc_id") % 2 == 0)
+    df = snapshot_diff(old, new, id_col="doc_id")
+    payloads = exchange_payload_columns(df)
+    assert payloads, "expected exchanges in the CDC plan"
+    for cols in payloads:
+        assert "text" not in cols, cols
+    for cols in exchange_partition_keys(df):
+        assert "text" not in cols, cols
