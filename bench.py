@@ -106,10 +106,12 @@ HEADLINE = [
     "doc_normalize",
     "embedding_quantization",
     # this session: corpus-wide repeated-line removal (RefinedWeb),
-    # C4 cleaning rules (zero-shuffle), smoothed bigram cross-entropy
+    # C4 cleaning rules (zero-shuffle), smoothed bigram cross-entropy,
+    # snapshot CDC between crawls
     "line_dedup",
     "c4_filters",
     "doc_bigram_xent",
+    "snapshot_diff",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

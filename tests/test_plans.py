@@ -298,3 +298,19 @@ def test_snapshot_diff_exchanges_hashes_not_text(spark):
         assert "text" not in cols, cols
     for cols in exchange_partition_keys(df):
         assert "text" not in cols, cols
+
+
+def test_bigram_xent_hash_keyed_and_broadcast_side_tables(spark):
+    """Production bigram cross-entropy must broadcast the context-total
+    table (zipfian-small) and never key an exchange on gram text: the
+    hash mode's exchanged keys are the 8-byte xxhash64 columns."""
+    from crawler_spark.operators.quality import bigram_cross_entropy
+    from crawler_spark.plans.inspect import exchange_partition_keys
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bigram_cross_entropy(docs, hash_grams=True)
+    assert has_broadcast_join(df)
+    keys = exchange_partition_keys(df)
+    assert keys, "expected exchanges in the bigram-xent plan"
+    for cols in keys:
+        assert "text" not in cols, cols
