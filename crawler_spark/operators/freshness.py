@@ -155,20 +155,27 @@ def snapshot_diff(
     shuffle per side on the uniform id key, then a full-outer equi-join.
     """
     def keyed(df: DataFrame, out: str) -> DataFrame:
+        # concat_ws skips NULLs, so a null content column hashes like ''
+        # (and presence is carried by an explicit flag, not by hash
+        # nullability — a null-text row must not read as absent)
         h = (
             F.md5(F.concat_ws("\x1f", *content_cols))
             if portable
-            else F.xxhash64(*content_cols).cast("string")
+            else F.xxhash64(F.concat_ws("\x1f", *content_cols)).cast(
+                "string"
+            )
         )
-        return df.select(F.col(id_col), h.alias(out))
+        return df.select(
+            F.col(id_col),
+            F.lit(True).alias(f"_in{out}"),
+            h.alias(f"_h{out}"),
+        )
 
-    j = keyed(old, "_h_old").join(
-        keyed(new, "_h_new"), id_col, "full_outer"
-    )
+    j = keyed(old, "_old").join(keyed(new, "_new"), id_col, "full_outer")
     return j.select(
         id_col,
-        F.when(F.col("_h_old").isNull(), F.lit("added"))
-        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),

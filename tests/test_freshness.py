@@ -158,11 +158,13 @@ def test_snapshot_diff_statuses_and_hash_paths_agree(spark):
     from crawler_spark.operators.freshness import snapshot_diff
 
     old = spark.createDataFrame(
-        [("a", "same"), ("b", "will change"), ("c", "goes away")],
+        [("a", "same"), ("b", "will change"), ("c", "goes away"),
+         ("e", None), ("f", None)],
         "url string, text string",
     )
     new = spark.createDataFrame(
-        [("a", "same"), ("b", "changed now"), ("d", "brand new")],
+        [("a", "same"), ("b", "changed now"), ("d", "brand new"),
+         ("e", "filled in"), ("f", None)],
         "url string, text string",
     )
     want = {
@@ -170,6 +172,8 @@ def test_snapshot_diff_statuses_and_hash_paths_agree(spark):
         "b": "changed",
         "c": "removed",
         "d": "added",
+        "e": "changed",  # null -> text is a CHANGE, not an add
+        "f": "unchanged",  # null on both sides
     }
     got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
     assert got == want
