@@ -2356,7 +2356,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                    CASE WHEN o.doc_id IS NULL THEN 'added'
                         WHEN n.doc_id IS NULL THEN 'removed'
-                        WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                        WHEN md5(coalesce(o.text, ''))
+                             <> md5(coalesce(n.text, '')) THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
         """,

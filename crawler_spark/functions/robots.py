@@ -71,21 +71,37 @@ def path_matches(pattern: str, path: str) -> bool:
     return re.match(rx, path) is not None
 
 
+# patterns with more stars than this fall back to conservative handling
+# even in exact mode: each '*' compiles to a backtracking '.*' in the
+# vectorized matcher, and a hostile robots.txt stuffing dozens of stars
+# into one rule ('/*a*a*a*a…') could otherwise stall an executor task on
+# long non-matching paths (RFC 9309 §2.3 explicitly allows enforcing
+# parsing limits). Real-world rules use 1-3 stars.
+MAX_EXACT_WILDCARDS = 8
+
+
 def _clean_pattern(
     value: str, allow: bool, wildcards: str = "conservative"
 ) -> str | None:
     """Robots path pattern → enforceable pattern (None = unenforceable).
 
     ``wildcards="exact"`` keeps ``*``/``$`` verbatim (normalized to a
-    leading ``/`` or ``*``) for RFC 9309 §2.2.2 matching downstream.
-    The default resolves wildcards in the never-over-fetch direction:
-    truncating a Disallow over-blocks (safe); truncating an Allow would
-    widen it past what RFC 9309 grants, so wildcarded Allows are dropped.
+    leading ``/`` or ``*``) for RFC 9309 §2.2.2 matching downstream;
+    patterns exceeding ``MAX_EXACT_WILDCARDS`` stars fall back to the
+    conservative path (ReDoS guard). The default ("conservative")
+    resolves wildcards in the never-over-fetch direction: truncating a
+    Disallow over-blocks (safe); truncating an Allow would widen it past
+    what RFC 9309 grants, so wildcarded Allows are dropped.
     """
+    if wildcards not in ("conservative", "exact"):
+        raise ValueError(
+            f"wildcards must be 'conservative' or 'exact', got "
+            f"{wildcards!r}"
+        )
     v = value.strip()
     if not v:
         return None  # empty Disallow: allow all ⇒ no rule
-    if wildcards == "exact":
+    if wildcards == "exact" and v.count("*") <= MAX_EXACT_WILDCARDS:
         if not v.startswith(("/", "*")):
             v = "/" + v
         return v

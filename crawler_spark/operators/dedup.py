@@ -868,14 +868,19 @@ def cluster_survivors(
     cluster-keyed window (clusters are tiny — pair-graph components),
     no corpus-sized state.
     """
+    # LEFT join: a cluster member missing from the score table must
+    # still receive a keep decision (it sorts after every scored member
+    # via nulls-last), and a wholly-unscored cluster still keeps its
+    # lowest-id member — "exactly one keep per cluster" holds always.
     joined = clusters.join(
         scores.select(
             F.col(id_col).alias("node"), F.col(score_col).alias("_s")
         ),
         "node",
+        "left",
     )
     w = Window.partitionBy("canon_id").orderBy(
-        F.col("_s").desc(), F.col("node")
+        F.col("_s").desc_nulls_last(), F.col("node")
     )
     return joined.withColumn("_rn", F.row_number().over(w)).select(
         "node", "canon_id", (F.col("_rn") == 1).alias("keep")

@@ -155,15 +155,16 @@ def snapshot_diff(
     shuffle per side on the uniform id key, then a full-outer equi-join.
     """
     def keyed(df: DataFrame, out: str) -> DataFrame:
-        # concat_ws skips NULLs, so a null content column hashes like ''
-        # (and presence is carried by an explicit flag, not by hash
-        # nullability — a null-text row must not read as absent)
+        # NULL content columns hash as '' — coalesced EXPLICITLY,
+        # because concat_ws would otherwise drop a NULL column together
+        # with its separator and ('x', NULL) would collide with
+        # (NULL, 'x'). Presence is carried by an explicit flag, not by
+        # hash nullability — a null-text row must not read as absent.
+        joined = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c), F.lit("")) for c in content_cols]
+        )
         h = (
-            F.md5(F.concat_ws("\x1f", *content_cols))
-            if portable
-            else F.xxhash64(F.concat_ws("\x1f", *content_cols)).cast(
-                "string"
-            )
+            F.md5(joined) if portable else F.xxhash64(joined).cast("string")
         )
         return df.select(
             F.col(id_col),

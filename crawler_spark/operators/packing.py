@@ -54,15 +54,37 @@ def export_shards(
     ``{n_docs, n_shards, n_tokens}`` computed from the assignment
     DataFrame already at hand — no second scan of the corpus.
     """
+    sharded, manifest = _assign_with_manifest(
+        docs, budget, lang_col, id_col, tokens, num_partitions
+    )
+    sharded.write.mode("overwrite").partitionBy(
+        lang_col, "shard_id"
+    ).parquet(path)
+    return manifest
+
+
+def _assign_with_manifest(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str,
+    id_col: str,
+    tokens: Column | None,
+    num_partitions: int | None,
+) -> tuple[DataFrame, dict]:
+    """Shared half of both export sinks: shard assignment joined back to
+    the corpus, repartitioned by (lang, shard) and sorted by id within
+    each shard, plus the `{n_docs, n_shards, n_tokens}` manifest
+    (computed from the assignment already at hand — no second corpus
+    scan)."""
     assigned = pack_shards(
         docs, budget, lang_col, id_col, tokens, num_partitions
     )
-    manifest = assigned.agg(
+    m = assigned.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang", "shard_id").alias("n_shards"),
         F.sum("n_tokens").alias("n_tokens"),
     ).first()
-    (
+    sharded = (
         docs.join(
             assigned.select(
                 F.col("doc_id").alias(id_col), "shard_id", "n_tokens"
@@ -71,14 +93,11 @@ def export_shards(
         )
         .repartition(F.col(lang_col), F.col("shard_id"))
         .sortWithinPartitions(id_col)
-        .write.mode("overwrite")
-        .partitionBy(lang_col, "shard_id")
-        .parquet(path)
     )
-    return {
-        "n_docs": manifest["n_docs"],
-        "n_shards": manifest["n_shards"],
-        "n_tokens": manifest["n_tokens"],
+    return sharded, {
+        "n_docs": m["n_docs"],
+        "n_shards": m["n_shards"],
+        "n_tokens": m["n_tokens"],
     }
 
 
@@ -102,27 +121,14 @@ def export_jsonl(
     within each shard, overwrite-idempotent). Returns the same manifest
     ``{n_docs, n_shards, n_tokens}``.
     """
-    assigned = pack_shards(
+    sharded, manifest = _assign_with_manifest(
         docs, budget, lang_col, id_col, tokens, num_partitions
     )
-    manifest = assigned.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("lang", "shard_id").alias("n_shards"),
-        F.sum("n_tokens").alias("n_tokens"),
-    ).first()
-    joined = docs.join(
-        assigned.select(
-            F.col("doc_id").alias(id_col), "shard_id", "n_tokens"
-        ),
-        id_col,
-    )
     payload_cols = sorted(
-        c for c in joined.columns if c not in (lang_col, "shard_id")
+        c for c in sharded.columns if c not in (lang_col, "shard_id")
     )
     (
-        joined.repartition(F.col(lang_col), F.col("shard_id"))
-        .sortWithinPartitions(id_col)
-        .select(
+        sharded.select(
             F.col(lang_col),
             F.col("shard_id"),
             F.to_json(
@@ -133,11 +139,7 @@ def export_jsonl(
         .partitionBy(lang_col, "shard_id")
         .text(path)
     )
-    return {
-        "n_docs": manifest["n_docs"],
-        "n_shards": manifest["n_shards"],
-        "n_tokens": manifest["n_tokens"],
-    }
+    return manifest
 
 
 def pack_shards(

@@ -111,9 +111,17 @@ def host_disjoint_split(
     ``eval_bps`` is the eval share in basis points (1000 = 10%); change
     ``salt`` for an independent split. Adds boolean ``is_eval``.
     """
+    # NULL hosts (malformed/relative URLs) coalesce to '' so they get a
+    # deterministic side instead of is_eval=NULL — a NULL flag would
+    # drop those rows from BOTH splits' filters silently.
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.col(host_col).cast("string"), F.lit(salt))),
+            F.md5(
+                F.concat(
+                    F.coalesce(F.col(host_col).cast("string"), F.lit("")),
+                    F.lit(salt),
+                )
+            ),
             1, 15,
         ),
         16, 10,

@@ -340,6 +340,28 @@ def test_exact_wildcards_conservative_is_subset():
     assert not exact.robots_allowed("h", "/a/x/secret")
 
 
+def test_exact_wildcards_redos_guard_and_mode_validation():
+    """A star-stuffed pattern (hostile robots.txt) falls back to
+    conservative handling even in exact mode — never compiled into a
+    backtracking-prone regex — and unknown modes raise instead of
+    silently selecting conservative."""
+    import pytest as _pytest
+
+    stuffed = "/" + "*a" * 12  # 12 stars > MAX_EXACT_WILDCARDS
+    body = f"User-agent: *\nDisallow: {stuffed}\nAllow: {stuffed}z\n"
+    rules = parse_robots_txt("h", body, wildcards="exact")
+    # Disallow truncated at its first star (conservative over-block);
+    # the wildcarded Allow is dropped entirely
+    assert rules == [("h", "/", False)]
+    # sane star counts still match exactly in the same parse
+    body2 = "User-agent: *\nDisallow: /a/*/b\n"
+    assert parse_robots_txt("h", body2, wildcards="exact") == [
+        ("h", "/a/*/b", False)
+    ]
+    with _pytest.raises(ValueError, match="wildcards"):
+        parse_robots_txt("h", body2, wildcards="Exact")
+
+
 def test_vectorized_robots_udf_matches_serial_spec_wildcards(spark):
     """UDF ≡ serial spec parity with RFC 9309 wildcard patterns mixed
     into the rule table (exact mode)."""
