@@ -1605,6 +1605,52 @@ def q_stream_doc_curation(spark, sf):
     )
 
 
+def q_stream_near_dedup(spark, sf):
+    """Streaming NEAR-dup suppression (`streaming.curation.
+    streamed_near_dedup`): every 7th doc re-arrives later with reversed
+    token order and doubled spaces — different bytes, identical token
+    multiset, identical simhash — so the exact content hash would pass
+    it but the signature state drops it. First in-watermark arrival per
+    simhash wins; the oracle replays the same portable signature math
+    relationally."""
+    import os
+
+    from crawler_spark.streaming.curation import streamed_near_dedup
+
+    tmp = tempfile.mkdtemp(prefix="stream_nd_")
+    docs = _read(spark, sf, "documents").select("doc_id", "lang", "text")
+    base = docs.withColumn(
+        "fetch_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    shuffled = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.reverse(F.split(F.col("text"), " ")), "  "
+            ),
+        )
+        .withColumn(
+            "fetch_ts",
+            F.timestamp_seconds(F.lit(1800000000) + F.col("doc_id")),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    cols = ["doc_id", "fetch_ts", "lang", "text"]
+    src = base.select(cols).unionByName(shuffled.select(cols))
+    d = os.path.join(tmp, "docs")
+    # one file in arrival order → deterministic first-wins dedup
+    src.orderBy("fetch_ts", "doc_id").coalesce(1).write.parquet(d)
+    q = streamed_near_dedup(
+        spark, d, f"{tmp}/out", f"{tmp}/ckpt", watermark="3650 days"
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "lang", "simhash", F.col("n_tokens").cast("long")
+        .alias("n_tokens")
+    )
+
+
 def q_cuckoo_seen(spark, sf):
     """Cuckoo-filter seen set (the deletable bloom twin, north-rule
     "bloom/cuckoo"): add 2k urls, delete every third, probe a superset —
@@ -1984,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
         "stream_doc_curation": q_stream_doc_curation,
+        "stream_near_dedup": q_stream_near_dedup,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -3493,6 +3540,59 @@ def oracle_sql() -> dict[str, str]:
         # banding has exact recall at hamming ≤ d + pairs exactly verified
         # ⇒ the banded result EQUALS this brute-force hamming join over
         # the same portable signatures
+        # same arrival fixture as q_stream_near_dedup; the signature CTEs
+        # mirror simhash_near_dups_portable's md5 majority-vote math
+        "stream_near_dedup": r"""
+            WITH src AS (
+                SELECT doc_id, 1700000000 + doc_id AS arr, lang, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 1800000000 + doc_id, lang,
+                       array_to_string(
+                           list_reverse(string_split(text, ' ')), '  ')
+                FROM documents WHERE doc_id % 7 = 0
+            ), toks AS (
+                SELECT doc_id, arr, lang,
+                       list_filter(
+                           string_split_regex(
+                               lower(trim(coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS l
+                FROM src
+            ), tok AS (
+                SELECT doc_id, unnest(l) AS t FROM toks WHERE len(l) > 0
+            ), h AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                        substr(md5(t), j, 1)) - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM tok
+            ), votes AS (
+                SELECT doc_id, b.i AS bit,
+                       sum(((h >> b.i) & 1) * 2 - 1) AS v
+                FROM h CROSS JOIN range(0, 60) AS b(i)
+                GROUP BY 1, 2
+            ), sigs AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0
+                                THEN (1::BIGINT << bit) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
+            ), rows_ AS (
+                SELECT t.doc_id, t.arr, t.lang,
+                       CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash,
+                       CAST(len(t.l) AS BIGINT) AS n_tokens
+                FROM toks t LEFT JOIN sigs s USING (doc_id)
+            )
+            SELECT doc_id, lang, simhash, n_tokens
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY simhash ORDER BY arr, doc_id
+                       ) AS rn
+                FROM rows_
+            ) WHERE rn = 1
+        """,
         "simhash_near_dups_portable": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -596,6 +596,48 @@ def simhash_signatures(
     return df.select(F.col(id_col), _simhash_udf(F.col(text_col)).alias("simhash"))
 
 
+def with_portable_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    n_bits: int = 60,
+) -> DataFrame:
+    """Append the SQL-portable simhash as a column, PRESERVING every
+    other column — pure per-row algebra (zero shuffle, no UDF), so it
+    drops into batch selects and Structured Streaming plans alike
+    (``streaming/curation.streamed_near_dedup`` keys its in-watermark
+    state on it).
+
+    The token-hash array is materialized as a temp column first so
+    codegen cannot re-expand the per-token md5 into all ``n_bits``
+    majority votes (same trick as the minhash base column).
+    """
+    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    tmp_hs, tmp_n = "_simhash_hs", "_simhash_n"
+    out = df.withColumn(tmp_hs, hs).withColumn(tmp_n, F.size(toks))
+
+    def vote(b: int):
+        ones = F.size(
+            F.filter(
+                F.col(tmp_hs),
+                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+                == F.lit(1),
+            )
+        )
+        return ones * 2 - F.col(tmp_n)
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sig = sig + F.when(
+            vote(b) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out.withColumn(out_col, sig).drop(tmp_hs, tmp_n)
+
+
 def simhash_portable_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -614,31 +656,9 @@ def simhash_portable_signatures(
     ``word_tokens`` (lower/split/filter-empties) so both engines tokenize
     identically; token multiplicity weights votes, as in the UDF path.
     """
-    toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    hs = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    return with_portable_simhash(df, text_col, "simhash", n_bits).select(
+        F.col(id_col), F.col("simhash")
     )
-    base = df.select(
-        F.col(id_col), hs.alias("_hs"), F.size(toks).alias("_n")
-    )
-
-    def vote(b: int):
-        ones = F.size(
-            F.filter(
-                F.col("_hs"),
-                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
-                == F.lit(1),
-            )
-        )
-        return ones * 2 - F.col("_n")
-
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        sig = sig + F.when(
-            vote(b) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return base.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(

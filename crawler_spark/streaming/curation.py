@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from crawler_spark.operators.quality import (
     quality_component_cols,
     quality_score_col,
+    ws_token_count,
 )
 
 DOC_STREAM_SCHEMA = (
@@ -78,6 +79,60 @@ def streamed_doc_curation(
     )
     writer = (
         gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streamed_near_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup suppression — the hamming-0 rung: each
+    arriving document gets a simhash signature (per-bit majority vote
+    over token hashes — word-order insensitive, multiplicity-weighted),
+    and only the FIRST in-watermark arrival per signature survives.
+    Re-crawled pages whose bytes differ but whose token multiset is
+    unchanged (reordered boilerplate, whitespace churn, fragment
+    reshuffles) collapse to one signature, strictly more suppression
+    than ``streamed_doc_curation``'s exact content hash; hamming 1-3
+    neighbors are the BATCH operator's job (``dedup.simhash_near_dups``
+    pigeonhole banding — banding needs a self-join, which streaming
+    state cannot express bounded).
+
+    The signature is the SQL-portable column-algebra simhash
+    (``dedup.with_portable_simhash`` — zero UDF, so the whole stream
+    stays in codegen and the DuckDB oracle can mirror it); state is one
+    64-bit key per distinct signature inside the watermark, evicted by
+    ``dropDuplicatesWithinWatermark`` exactly like the exact-hash gate.
+
+    Output rows: (doc_id, fetch_ts, lang, simhash, n_tokens), first
+    arrival per signature in arrival order.
+    """
+    from crawler_spark.operators.dedup import with_portable_simhash
+
+    src = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(docs_dir)
+    )
+    deduped = (
+        with_portable_simhash(src)
+        .withColumn("n_tokens", ws_token_count(F.col("text")))
+        .withWatermark("fetch_ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("doc_id", "fetch_ts", "lang", "simhash", "n_tokens")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -98,3 +98,34 @@ def test_portable_hash_matches_batch_md5(spark, tmp_path):
         .select("doc_id", F.md5("text").alias("h")).collect()
     }
     assert got == want
+
+
+def test_stream_near_dedup_collapses_reordered_text(spark, tmp_path):
+    """The simhash-keyed stream drops a later arrival whose BYTES differ
+    but whose token multiset is identical (reversed order, doubled
+    whitespace) — the case the exact content-hash gate passes — while
+    genuinely different docs survive."""
+    from crawler_spark.streaming.curation import streamed_near_dedup
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    t = lambda s: TS0 + dt.timedelta(seconds=s)  # noqa: E731
+    reordered = "  ".join(reversed(GOOD.split(" ")))
+    assert reordered != GOOD  # different bytes
+    _write_docs(d, [
+        (1, t(0), "en", GOOD),
+        (2, t(1), "en", GOOD2),
+        (3, t(2), "en", reordered),   # near-dup of 1 → dropped
+        (4, t(3), "en", GOOD + " extrasignalword"),  # real change → kept
+    ], "b0")
+    q = streamed_near_dedup(
+        spark, d, str(tmp_path / "out"), str(tmp_path / "ck"),
+        watermark="1 hour",
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 4]
+    # the survivor carries the shared signature doc 3 collided with
+    sig = {r.doc_id: r.simhash for r in out.collect()}
+    assert sig[1] != sig[4]
