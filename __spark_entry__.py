@@ -1912,6 +1912,18 @@ def q_dup_span_stats(spark, sf):
     return duplicate_span_stats(d, k=3, portable=True)
 
 
+def q_dup_span_removal(spark, sf):
+    """Exact-substring dedup with removal (`operators.passages.
+    remove_duplicate_spans`, k=3): tokens inside non-first occurrences
+    of duplicated k-grams are cut, exactly one copy of each duplicated
+    passage survives the corpus; per-doc rebuild from lag-merged
+    removal intervals (no k× offset explode)."""
+    from crawler_spark.operators.passages import remove_duplicate_spans
+
+    d = _read_wide(spark, sf, "documents")
+    return remove_duplicate_spans(d, k=3, portable=True)
+
+
 def q_embedding_quantization(spark, sf):
     """Int8 scalar quantization fidelity (`operators.quantize.
     reconstruction_error`): per-dimension corpus min/max → uint8 codes
@@ -2013,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_term_frequency": q_doc_term_frequency,
         "doc_tfidf": q_doc_tfidf,
         "doc_trigram_tf": q_doc_trigram_tf,
+        "dup_span_removal": q_dup_span_removal,
         "first_event_dedup": q_first_event_dedup,
         "host_mirrors": q_host_mirrors,
         "host_split": q_host_split,
@@ -4330,6 +4343,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-gram duplicate-span coverage, k=3, md5-prefix gram hash and
         # the same lag interval merge (see q_dup_span_stats)
+        # same k=3 gram/hash math as dup_span_stats; removal keeps the
+        # gram's globally-first occurrence (min (doc_id, pos) struct)
+        "dup_span_removal": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> ''
+                       ) AS l
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(l) - 3)) AS pos,
+                       l
+                FROM toks WHERE len(l) >= 3
+            ), hashed AS (
+                SELECT doc_id, pos,
+                       substr(md5(array_to_string(
+                           l[pos + 1 : pos + 3], ' ')), 1, 16) AS gh
+                FROM g
+            ), marked AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY gh) AS cnt,
+                       min(struct_pack(d := doc_id, p := pos))
+                           OVER (PARTITION BY gh) AS fst
+                FROM hashed
+            ), removals AS (
+                SELECT doc_id, pos FROM marked
+                WHERE cnt >= 2
+                  AND NOT (doc_id = fst.d AND pos = fst.p)
+            ), covered AS (
+                SELECT DISTINCT doc_id,
+                       unnest(generate_series(pos, pos + 2)) AS cp
+                FROM removals
+            ), tok AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(l) - 1)) AS tp,
+                       l
+                FROM toks WHERE len(l) > 0
+            ), keptt AS (
+                SELECT k.doc_id, k.tp, k.l[k.tp + 1] AS t
+                FROM tok k LEFT JOIN covered c
+                  ON c.doc_id = k.doc_id AND c.cp = k.tp
+                WHERE c.doc_id IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(t, ' ' ORDER BY tp) AS clean_text,
+                       count(*) AS n_kept
+                FROM keptt GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, len(l) AS n FROM toks
+            )
+            SELECT t0.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t0.n - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tot t0 LEFT JOIN agg a USING (doc_id)
+        """,
         "dup_span_stats": r"""
             WITH toks AS (
                 SELECT doc_id,

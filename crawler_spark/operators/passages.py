@@ -194,6 +194,96 @@ def duplicate_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact-substring dedup with REMOVAL — the other half of
+    :func:`duplicate_span_stats` (Lee et al. 2021 remove duplicated
+    substrings from the corpus, they don't just measure them): a token
+    is removed when it lies inside a duplicated ``k``-gram occurrence
+    that is NOT the gram's globally-first occurrence (min ``(doc_id,
+    pos)``), so exactly one copy of every duplicated passage survives
+    the corpus. Returns one row per doc:
+    ``(doc_id, clean_text, n_kept, n_removed)`` — ``clean_text`` is the
+    surviving NORMALIZED token stream (lower-cased, single-spaced; the
+    standard contract of token-level span dedup).
+
+    Scale shape: the gram table shuffles fixed-width hashes only (the
+    never-shuffle-text rule); removal intervals are lag-merged per doc
+    — never the k× per-gram offset explode — then carried back to the
+    doc row as a (start, end) array; the final token filter is one
+    per-row ``filter × exists`` pass over merged, disjoint intervals
+    (≤ n_tokens/k of them).
+    """
+    h = _chunk_hash_col(portable)
+    toks_col = word_tokens(F.col(text_col))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sliding_grams(toks_col, k)).alias("pos", "_g"),
+    ).select("doc_id", "pos", h(F.col("_g")).alias("gh"))
+    w = Window.partitionBy("gh")
+    marked = (
+        g.withColumn("_cnt", F.count("*").over(w))
+        .withColumn("_first", F.min(F.struct("doc_id", "pos")).over(w))
+    )
+    removals = marked.where(
+        (F.col("_cnt") >= 2)
+        & ~(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    ).select("doc_id", "pos")
+
+    # merge the [pos, pos+k-1] intervals per doc: lag-island detection,
+    # island id by running sum, one (start, end) row per island
+    lagw = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        removals.withColumn("_prev", F.lag("pos").over(lagw))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("pos") > F.col("_prev") + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                lagw.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+
+    base = docs.select(F.col(id_col).alias("doc_id"), toks_col.alias("_t"))
+    joined = base.join(spans, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_t")).otherwise(
+        F.filter(F.col("_t"), lambda t, i: ~covered(i))
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def host_mirror_pairs(
     docs: DataFrame,
     chunk_words: int = 50,

@@ -238,3 +238,61 @@ def test_duplicate_span_stats_short_docs(spark):
         assert (r["n_grams"], r["covered_tokens"], r["dup_ratio"]) == (
             0, 0, 0.0,
         )
+
+
+def _py_span_removal(texts, k):
+    """Brute-force reference for remove_duplicate_spans: a token is cut
+    iff it lies in a duplicated k-gram occurrence that is not the gram's
+    globally-first (min (doc, pos)) occurrence."""
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    occ = {}
+    for d in sorted(toks):
+        l = toks[d]
+        for p in range(len(l) - k + 1):
+            occ.setdefault(" ".join(l[p:p + k]), []).append((d, p))
+    cut = {d: set() for d in toks}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        first = min(sites)
+        for d, p in sites:
+            if (d, p) != first:
+                cut[d].update(range(p, p + k))
+    out = {}
+    for d, l in toks.items():
+        kept = [t for i, t in enumerate(l) if i not in cut[d]]
+        out[d] = (" ".join(kept), len(kept), len(l) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    """Removal equals the python reference on the unaligned-copy corpus:
+    the first occurrence of the shared passage survives, later ones are
+    cut, clean docs pass through untouched (normalized)."""
+    from crawler_spark.operators.passages import remove_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    texts = {
+        0: "a0 b0 c0 " + shared + " d0 e0",
+        1: "x1 y1 z1 w1 v1 u1 t1 " + shared,
+        2: "plain unique text q r s t u v w x y z one two three four",
+        3: "self self self self self self self self self self self self",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_spans(df, k=10).collect()
+    }
+    assert got == _py_span_removal(texts, 10)
+    # doc 0 holds the first occurrence -> intact; doc 1 loses the copy
+    assert "s0" in got[0][0] and "s19" in got[0][0]
+    assert got[1] == ("x1 y1 z1 w1 v1 u1 t1", 7, 20)
+    assert got[2][2] == 0  # clean doc untouched
+    # production and portable hash families agree
+    got_p = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_spans(df, k=10, portable=True).collect()
+    }
+    assert got_p == got
