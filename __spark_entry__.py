@@ -840,6 +840,45 @@ def q_extract_links(spark, sf):
     )
 
 
+def q_extract_anchors(spark, sf):
+    """Link discovery WITH anchor text over the mini-web
+    (`functions.html.extract_anchors_udf`): same kept-link filter,
+    canonicalization, and link_pos numbering as `extract_links` (joins
+    1:1 on (source, link_pos)), plus the anchor's cheerio-style cleaned
+    text — the training-data extension the reference drops
+    (`page.ts:121-128` keeps hrefs only)."""
+    from crawler_spark.fixtures.webgen import generate
+    from crawler_spark.functions.html import extract_anchors_udf
+
+    w = generate(seed=13, n_pages=60)
+    pdf = w.pages[w.pages.html.notnull()][["url", "html"]]
+    df = spark.createDataFrame(pdf, "url string, html binary")
+    return (
+        df.select(
+            F.col("url").alias("source"),
+            F.explode(extract_anchors_udf("html", "url")).alias("l"),
+        )
+        .select("source", "l.url", "l.host", "l.anchor_text", "l.link_pos")
+        .orderBy("source", "link_pos")
+    )
+
+
+def q_anchor_topk(spark, sf):
+    """Per-target top-3 anchor texts by distinct-source votes
+    (`operators.anchors.anchor_topk`), on the lineitem stand-in edge
+    relation (supplier→part links labeled by ship mode). One distinct
+    shuffle + map-side-combined agg; the top-k window runs on the
+    aggregated anchor vocabulary, never the raw edge table."""
+    from crawler_spark.operators.anchors import anchor_topk
+
+    li = _read(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.concat_ws(" ", "l_returnflag", "l_linestatus").alias("anchor"),
+    )
+    return anchor_topk(li, k=3)
+
+
 def q_doc_sentiment(spark, sf):
     """AFINN sentiment (Porter-stemmed lexicon) per document."""
     from crawler_spark.analytics.text_tier import sentiment_udf
@@ -1924,6 +1963,35 @@ def q_dup_span_removal(spark, sf):
     return remove_duplicate_spans(d, k=3, portable=True)
 
 
+def q_host_reputation(spark, sf):
+    """Per-host reputation rollup (`operators.quality.host_reputation`):
+    dup/short/length signals folded to the scheduler's unit — one
+    map-side-combined groupBy on host, broadcast-sized result that
+    feeds CrawlConfig.priority exactly like
+    `graphrank.host_ranks_from_links`."""
+    from crawler_spark.operators.quality import host_reputation
+
+    d = _read_wide(spark, sf, "documents")
+    return host_reputation(d)
+
+
+def q_decontaminate_spans(spark, sf):
+    """Span-level benchmark decontamination (`operators.passages.
+    remove_contaminated_spans`, k=8): tokens inside any 8-gram shared
+    with the benchmark set (every 50th doc stands in for the eval set,
+    the same derivation as `doc_decontaminate`) are CUT instead of
+    dropping the whole document; broadcast gram probe, lag-merged
+    removal intervals, per-doc rebuild."""
+    from crawler_spark.operators.passages import remove_contaminated_spans
+    from crawler_spark.operators.scrub import doc_ngrams
+
+    d = _read_wide(spark, sf, "documents")
+    bench = doc_ngrams(d.where(F.col("doc_id") % 50 == 0), n=8).select(
+        "ngram"
+    ).distinct()
+    return remove_contaminated_spans(d, bench, k=8)
+
+
 def q_embedding_quantization(spark, sf):
     """Int8 scalar quantization fidelity (`operators.quantize.
     reconstruction_error`): per-dimension corpus min/max → uint8 codes
@@ -2010,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         # ---- oracle-backed extras past the 50-entry gate window
         # (value-checked by tools/check_correctness.py runs) ----
+        "anchor_topk": q_anchor_topk,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
         "dedup_survivors": q_dedup_survivors,
@@ -2017,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_xent": q_doc_bigram_xent,
         "doc_categories": q_doc_categories,
         "doc_decontaminate": q_doc_decontaminate,
+        "decontaminate_spans": q_decontaminate_spans,
         "doc_lang_dist": q_doc_lang_dist,
         "doc_length_stats": q_doc_length_stats,
         "doc_pii_redaction": q_doc_pii_redaction,
@@ -2028,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "first_event_dedup": q_first_event_dedup,
         "host_mirrors": q_host_mirrors,
+        "host_reputation": q_host_reputation,
         "host_split": q_host_split,
         "image_counts": q_image_counts,
         "incremental_dedup_portable": q_incremental_dedup_portable,
@@ -2053,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentiment": q_doc_sentiment,
         "doc_summaries": q_doc_summaries,
         "doc_winnow_production": q_doc_winnow_production,
+        "extract_anchors": q_extract_anchors,
         "extract_images": q_extract_images,
         "extract_links": q_extract_links,
         "extract_text": q_extract_text,
@@ -2756,6 +2828,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # same ws-token mirror as doc_quality; distinct TEXT equals the
+        # engine's distinct xxhash64(text) absent 64-bit collisions;
+        # every ratio in integer micro-units (// = floor div) exactly
+        # as operators/quality.py host_reputation — no float rounding
+        "host_reputation": r"""
+            WITH base AS (
+                SELECT source AS host, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(text),
+                                                        '\S+'))
+                       END AS n_tok
+                FROM documents
+            ), agg AS (
+                SELECT host,
+                       count(*) AS n_docs,
+                       count(DISTINCT text) AS uniq,
+                       sum(CASE WHEN n_tok < 50 THEN 1
+                                ELSE 0 END) AS n_short,
+                       sum(n_tok) AS sum_tok
+                FROM base GROUP BY host
+            ), u AS (
+                SELECT host, n_docs,
+                       1000000 - uniq * 1000000 // n_docs AS dup_u,
+                       n_short * 1000000 // n_docs AS short_u,
+                       sum_tok * 1000000 // n_docs AS mean_u,
+                       1000000 - least(sum_tok * 2500 // n_docs,
+                                       1000000) AS sat_u
+                FROM agg
+            ), s AS (
+                SELECT *,
+                       (5 * dup_u + 3 * short_u + 2 * sat_u) // 10
+                           AS spam_u
+                FROM u
+            )
+            SELECT host,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(dup_u / 1000000.0 AS DOUBLE) AS dup_ratio,
+                   CAST(short_u / 1000000.0 AS DOUBLE) AS short_ratio,
+                   CAST(mean_u / 1000000.0 AS DOUBLE) AS mean_tokens,
+                   CAST(spam_u / 1000000.0 AS DOUBLE) AS spam_score,
+                   CAST((1000000 - spam_u) / 1000000.0 AS DOUBLE)
+                       AS reputation
+            FROM s
+        """,
+        # span-level decontamination: same benchmark derivation as
+        # doc_decontaminate (8-grams of every 50th doc), same removal
+        # tail as dup_span_removal — but the cut condition is gram ∈
+        # benchmark, no first-occurrence exception
+        "decontaminate_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> ''
+                       ) AS l
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(l) - 8)) AS pos,
+                       l
+                FROM toks WHERE len(l) >= 8
+            ), gt AS (
+                SELECT doc_id, pos,
+                       array_to_string(l[pos + 1 : pos + 8], ' ') AS gram
+                FROM grams
+            ), bench AS (
+                SELECT DISTINCT gram FROM gt WHERE doc_id % 50 = 0
+            ), removals AS (
+                SELECT g.doc_id, g.pos FROM gt g JOIN bench USING (gram)
+            ), covered AS (
+                SELECT DISTINCT doc_id,
+                       unnest(generate_series(pos, pos + 7)) AS cp
+                FROM removals
+            ), tok AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(l) - 1)) AS tp,
+                       l
+                FROM toks WHERE len(l) > 0
+            ), keptt AS (
+                SELECT k.doc_id, k.tp, k.l[k.tp + 1] AS t
+                FROM tok k LEFT JOIN covered c
+                  ON c.doc_id = k.doc_id AND c.cp = k.tp
+                WHERE c.doc_id IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(t, ' ' ORDER BY tp) AS clean_text,
+                       count(*) AS n_kept
+                FROM keptt GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, len(l) AS n FROM toks
+            )
+            SELECT t0.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t0.n - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tot t0 LEFT JOIN agg a USING (doc_id)
         """,
         "doc_repetition": r"""
             WITH lines AS (
@@ -3995,6 +4165,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.doc_id
         """,
         # same 4-line page derivation as q_line_dedup/_multiline_pages
+        # same normalization (collapse-ws / trim / lower), distinct
+        # (src,dst,anchor) votes, and (votes desc, anchor asc) tie order
+        # as operators/anchors.py (see q_anchor_topk)
+        "anchor_topk": r"""
+            WITH e AS (
+                SELECT l_partkey AS dst,
+                       lower(trim(regexp_replace(
+                           l_returnflag || ' ' || l_linestatus,
+                           '\s+', ' ', 'g')))
+                           AS anchor,
+                       l_suppkey AS src
+                FROM lineitem
+            ), votes AS (
+                SELECT dst, anchor, count(*) AS votes
+                FROM (SELECT DISTINCT dst, anchor, src
+                      FROM e WHERE anchor <> '')
+                GROUP BY dst, anchor
+            ), ranked AS (
+                SELECT dst, anchor, votes,
+                       row_number() OVER (
+                           PARTITION BY dst
+                           ORDER BY votes DESC, anchor ASC
+                       ) AS rank
+                FROM votes
+            )
+            SELECT dst, anchor, CAST(votes AS BIGINT) AS votes,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "line_dedup": r"""
             WITH pages AS (
                 SELECT doc_id,

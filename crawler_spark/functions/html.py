@@ -269,6 +269,41 @@ def extract_links_from(html: str, base_url: str) -> list[tuple[str, str, int]]:
     return out
 
 
+def extract_anchors_from(
+    html: str, base_url: str
+) -> list[tuple[str, str, str, int]]:
+    """Anchors in document order → (canon_url, host, anchor_text, link_pos).
+
+    The reference keeps only hrefs (``page.ts:121-128`` — anchor text is
+    discarded by ``prepareLinks``), so ``extract_links_from`` stays
+    byte-parity with it; this kernel is the training-data extension: the
+    anchor's cheerio-style ``.text()`` (descendant text concatenated,
+    then ``cleanText`` — the same normalization the reference applies to
+    text blocks, ``text.ts:55``) rides along with each kept link. Link
+    filtering, canonicalization, and ``link_pos`` numbering are
+    IDENTICAL to ``extract_links_from`` by construction, so the two
+    extractions join 1:1 on (page, link_pos).
+    """
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001
+        return []
+    out: list[tuple[str, str, str, int]] = []
+    pos = 0
+    for el in _iter_elements(root):
+        if el.tag != "a":
+            continue
+        href = el.attrs.get("href")
+        if href is None:
+            continue
+        canon = normalize_url(href, base_url)
+        if not canon:
+            continue
+        out.append((canon, get_hostname(canon), clean_text(node_text(el)), pos))
+        pos += 1
+    return out
+
+
 # --------------------------------------------------------------------------
 # Vectorized UDFs
 # --------------------------------------------------------------------------
@@ -297,6 +332,28 @@ def extract_links_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
     return pd.Series(
         [
             extract_links_from(_to_str(h), b or "") if h is not None else []
+            for h, b in zip(htmls, base_urls)
+        ]
+    )
+
+
+ANCHOR_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("anchor_text", T.StringType()),
+            T.StructField("link_pos", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(ANCHOR_STRUCT)
+def extract_anchors_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_anchors_from(_to_str(h), b or "") if h is not None else []
             for h, b in zip(htmls, base_urls)
         ]
     )

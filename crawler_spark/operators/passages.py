@@ -237,6 +237,21 @@ def remove_duplicate_spans(
             & (F.col("pos") == F.col("_first.pos"))
         )
     ).select("doc_id", "pos")
+    return _cut_spans(docs, removals, k, id_col, text_col)
+
+
+def _cut_spans(
+    docs: DataFrame,
+    removals: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared removal tail: ``removals`` rows ``(doc_id, pos)`` mark
+    k-token windows to cut; merge them into disjoint intervals per doc
+    (lag-island detection — never the k× per-gram offset explode) and
+    rebuild each doc's surviving normalized token stream."""
+    toks_col = word_tokens(F.col(text_col))
 
     # merge the [pos, pos+k-1] intervals per doc: lag-island detection,
     # island id by running sum, one (start, end) row per island
@@ -282,6 +297,49 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_col: str = "ngram",
+) -> DataFrame:
+    """Span-level benchmark decontamination — the removal counterpart
+    of ``scrub.contamination_flags`` (which only FLAGS documents): every
+    token inside a ``k``-gram that appears in the benchmark set is cut,
+    the rest of the document survives. Dropping whole contaminated
+    documents wastes the 99% of a long page that never touched the eval
+    set; span removal keeps it (the n-gram-overlap decontamination
+    practice of GPT-3 appendix C / Brown et al. 2020, applied as spans).
+
+    ``benchmark`` is a one-column DataFrame of word ``k``-grams
+    (dimension-sized by definition — eval sets are small — so it is
+    BROADCAST: the gram probe is a map-side semi-join, no shuffle of
+    the corpus gram table at all). Matching is on normalized gram text
+    (lower-cased, single-spaced — ``word_tokens`` semantics, the same
+    normalization ``doc_ngrams`` applies); unlike
+    :func:`remove_duplicate_spans` there is no first-occurrence
+    exception — contamination has no copy worth keeping.
+
+    Returns ``(doc_id, clean_text, n_kept, n_removed)``, the same
+    contract as :func:`remove_duplicate_spans`.
+    """
+    toks_col = word_tokens(F.col(text_col))
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sliding_grams(toks_col, k)).alias("pos", "_g"),
+    )
+    removals = g.join(
+        F.broadcast(
+            benchmark.select(F.col(bench_col).alias("_g")).distinct()
+        ),
+        "_g",
+        "left_semi",
+    ).select("doc_id", "pos")
+    return _cut_spans(docs, removals, k, id_col, text_col)
 
 
 def host_mirror_pairs(

@@ -569,3 +569,77 @@ def unigram_cross_entropy(
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def host_reputation(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    short_tokens: int = 50,
+    saturation_tokens: int = 400,
+) -> DataFrame:
+    """Per-host reputation rollup — the document-quality signal folded
+    up to the unit the SCHEDULER works in (politeness budgets, robots,
+    priorities are all per host; reference crawls per-host too,
+    ``crawl.ts`` worker loop). A host serving mostly duplicated or
+    trivially short pages should lose frontier priority before its
+    next million URLs are fetched; this rollup is the feedback signal,
+    the same broadcast-sized shape as ``graphrank.host_ranks_from_links``
+    (host universe ~10^7 at 100 TB: one map-side-combined groupBy, the
+    result joins the frontier as a broadcast).
+
+    Per host:
+
+      * ``n_docs``;
+      * ``dup_ratio`` — 1 − distinct(text)/n_docs, computed over
+        ``xxhash64(text)`` so the distinct-agg never shuffles text
+        (the never-shuffle-text rule; the oracle counts distinct text
+        itself, which is equal absent 64-bit collisions);
+      * ``short_ratio`` — fraction of docs under ``short_tokens``
+        whitespace tokens;
+      * ``mean_tokens``;
+      * ``spam_score`` = (5·dup + 3·short + 2·(1 −
+        min(mean_tokens, S)/S)) / 10 with S = ``saturation_tokens`` — a
+        documented, deterministic linear mix (weights are policy, not
+        truth: callers tune them); ``reputation`` = 1 − spam_score.
+
+    Every ratio is computed in integer MICRO-UNITS (floor of
+    value·10⁶) from the integer aggregates, so the mix never touches a
+    float until the final /10⁶ — float ``round()`` half-way cases land
+    on different sides in Spark (HALF_UP on decimal), DuckDB, and
+    python, and a 0.5/0.3/0.2 mix of 6-dp values hits a half-way case
+    on almost every odd last digit. Integer floor-division is bitwise
+    identical everywhere.
+    """
+    t = F.col(text_col)
+    n_tok = ws_token_count(t)
+    agg = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.xxhash64(t)).alias("_uniq"),
+        F.sum((n_tok < short_tokens).cast("long")).alias("_n_short"),
+        F.sum(n_tok.cast("long")).alias("_sum_tok"),
+    )
+    m = F.lit(1_000_000).cast("long")
+    dup_u = m - F.expr("_uniq * 1000000 div n_docs")
+    short_u = F.expr("_n_short * 1000000 div n_docs")
+    mean_u = F.expr("_sum_tok * 1000000 div n_docs")
+    # min(mean, S)/S in micro-units: floor(sum_tok·(10⁶/S) / n_docs),
+    # capped at 10⁶ — exact while S divides 10⁶
+    assert 1_000_000 % saturation_tokens == 0, "S must divide 10^6"
+    per = 1_000_000 // saturation_tokens
+    sat_u = m - F.least(
+        F.expr(f"_sum_tok * {per} div n_docs"), m
+    )
+    spam_u = F.floor(
+        (F.lit(5) * dup_u + F.lit(3) * short_u + F.lit(2) * sat_u) / 10
+    ).cast("long")
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (dup_u / m).cast("double").alias("dup_ratio"),
+        (short_u / m).cast("double").alias("short_ratio"),
+        (mean_u / m).cast("double").alias("mean_tokens"),
+        (spam_u / m).cast("double").alias("spam_score"),
+        ((m - spam_u) / m).cast("double").alias("reputation"),
+    )

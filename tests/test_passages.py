@@ -296,3 +296,69 @@ def test_remove_duplicate_spans_matches_bruteforce(spark):
         for r in remove_duplicate_spans(df, k=10, portable=True).collect()
     }
     assert got_p == got
+
+
+def _py_contaminated_removal(texts, bench_grams, k):
+    """Brute-force reference for remove_contaminated_spans: a token is
+    cut iff it lies in ANY k-gram occurrence matching the benchmark."""
+    out = {}
+    for d, t in texts.items():
+        l = t.lower().split()
+        cut = set()
+        for p in range(len(l) - k + 1):
+            if " ".join(l[p:p + k]) in bench_grams:
+                cut.update(range(p, p + k))
+        kept = [tok for i, tok in enumerate(l) if i not in cut]
+        out[d] = (" ".join(kept), len(kept), len(l) - len(kept))
+    return out
+
+
+def test_remove_contaminated_spans_matches_bruteforce(spark):
+    """Span decontamination equals the python reference: benchmark
+    k-grams are cut wherever they occur (no first-occurrence
+    exception), clean docs pass through normalized, and docs shorter
+    than k are never cut."""
+    from crawler_spark.operators.passages import remove_contaminated_spans
+
+    eval_q = "what is the capital of france and when was it founded"
+    texts = {
+        0: "intro words here " + eval_q + " trailing analysis text",
+        # the eval question twice in one doc — both occurrences cut
+        1: eval_q + " padding middle tokens " + eval_q,
+        2: "completely clean document with original prose only here",
+        3: "too short",  # < k tokens: zero grams, untouched
+    }
+    k = 5
+    bench_grams = set()
+    ws = eval_q.split()
+    for p in range(len(ws) - k + 1):
+        bench_grams.add(" ".join(ws[p:p + k]))
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    bench = spark.createDataFrame(
+        [(g,) for g in sorted(bench_grams)], "ngram: string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_contaminated_spans(df, bench, k=k).collect()
+    }
+    assert got == _py_contaminated_removal(texts, bench_grams, k)
+    # the whole eval question is gone from both contaminated docs
+    assert "capital" not in got[0][0] and "capital" not in got[1][0]
+    assert got[1][1] == 3  # only "padding middle tokens" survives
+    assert got[2][2] == 0 and got[3][2] == 0
+
+
+def test_remove_contaminated_spans_empty_benchmark(spark):
+    """An empty benchmark set removes nothing and normalizes only."""
+    from crawler_spark.operators.passages import remove_contaminated_spans
+
+    df = spark.createDataFrame(
+        [(0, "Keep  ALL   of this")], "doc_id: long, text: string"
+    )
+    bench = spark.createDataFrame([], "ngram: string")
+    [r] = remove_contaminated_spans(df, bench, k=3).collect()
+    assert (r["clean_text"], r["n_kept"], r["n_removed"]) == (
+        "keep all of this", 4, 0,
+    )

@@ -1055,3 +1055,39 @@ def test_temperature_mix_upsamples_minorities(spark):
     # every zh doc appears at least floor(p) >= 1 times
     zh_docs = [i for i, l in rows if l == "zh"]
     assert all(i in got for i in zh_docs)
+
+
+def test_host_reputation_signals(spark):
+    """host_reputation vs hand-computed signals: duplicated and short
+    pages sink a host's score; unique long-form content tops it."""
+    from crawler_spark.operators.quality import host_reputation
+
+    long_text = " ".join(f"w{i}" for i in range(400))
+    rows = [
+        # spammy: 3 docs, 2 identical, all short (5 tokens)
+        (0, "buy cheap pills now online", "spam.example"),
+        (1, "buy cheap pills now online", "spam.example"),
+        (2, "one two three four five", "spam.example"),
+        # clean: 2 unique long docs
+        (3, long_text, "good.example"),
+        (4, long_text + " extra tail token", "good.example"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    got = {r["host"]: r for r in host_reputation(df).collect()}
+
+    s = got["spam.example"]
+    assert s["n_docs"] == 3
+    # micro-unit integer arithmetic: dup_u = 10^6 - (2*10^6 div 3)
+    assert s["dup_ratio"] == 0.333334
+    assert s["short_ratio"] == 1.0
+    assert s["mean_tokens"] == 5.0
+    # spam_u = (5*333334 + 3*1000000 + 2*(10^6 - 15*2500 div 3)) div 10
+    assert s["spam_score"] == 0.664167
+    assert s["reputation"] == 0.335833
+
+    g = got["good.example"]
+    assert g["n_docs"] == 2
+    assert (g["dup_ratio"], g["short_ratio"]) == (0.0, 0.0)
+    # saturated length -> only the (zero) dup/short terms remain
+    assert g["spam_score"] == 0.0 and g["reputation"] == 1.0
+    assert g["reputation"] > s["reputation"]
