@@ -1333,6 +1333,44 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_pagerank_priority(spark, sf):
+    """The scheduler composition the graph signal exists for: PageRank
+    (same synthetic graph + 6 unrolled iterations as `link_pagerank`)
+    feeding a GLOBAL frontier pop order — rank desc, node asc — via
+    `operators.topk.with_global_seq` (range-partition + per-partition
+    window + broadcast offsets), never a single-partition window. This
+    is `CrawlConfig.priority` end-to-end as one value-checked plan; the
+    oracle wraps the identical unrolled-CTE pagerank in a row_number."""
+    from crawler_spark.operators.graphrank import pagerank
+    from crawler_spark.operators.topk import with_global_seq
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    dsts = F.array(
+        *[
+            (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)
+            for a, b in ((7, 1), (13, 2), (31, 3))
+        ]
+    )
+    edges = (
+        d.where(F.col("doc_id") % 5 != 0)
+        .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+    )
+    scaled = pagerank(edges, n_iter=6, damping=0.85).select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("rank") * F.lit(float(n)), 6)
+        .cast("double")
+        .alias("rank_scaled"),
+    )
+    # order on the ROUNDED rank (ties -> node asc) so engines agree
+    ordered = with_global_seq(
+        scaled.withColumn("_neg", -F.col("rank_scaled")),
+        ["_neg", "node"],
+        out="priority_seq",
+    )
+    return ordered.drop("_neg")
+
+
 def q_simhash_sigs(spark, sf):
     from crawler_spark.operators.dedup import simhash_signatures
 
@@ -2106,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_counts": q_link_counts,
         "max_normalized_price": q_max_normalized_price,
         "multimodal_meta": q_multimodal_meta,
+        "pagerank_priority": q_pagerank_priority,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
         "semi_join_customers": q_semi_join_customers,
@@ -3857,6 +3896,15 @@ def oracle_sql() -> dict[str, str]:
         # 6 unrolled power iterations over the deterministic synthetic
         # doc-id link graph (see q_link_pagerank docstring)
         "link_pagerank": _pagerank_oracle_sql(),
+        # the same unrolled pagerank wrapped in a global priority order
+        # (rank desc, node asc) — see q_pagerank_priority
+        "pagerank_priority": f"""
+            SELECT node, rank_scaled,
+                   CAST(row_number() OVER (
+                       ORDER BY rank_scaled DESC, node ASC
+                   ) - 1 AS BIGINT) AS priority_seq
+            FROM ({_pagerank_oracle_sql()}) pr
+        """,
         # unstemmed-AFINN sentiment pipeline (see q_doc_sentiment_portable)
         "doc_sentiment_portable": _sentiment_portable_oracle_sql(),
         # CDX/SURT capture index: same messy-URL construction + the

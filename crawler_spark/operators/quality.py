@@ -614,11 +614,21 @@ def host_reputation(
     """
     t = F.col(text_col)
     n_tok = ws_token_count(t)
-    agg = df.groupBy(F.col(host_col).alias("host")).agg(
+    # project the per-doc signals FIRST: the distinct-agg exchange then
+    # partitions on the derived (host, _th) attributes — fixed-width
+    # rows, the text column is pruned before anything shuffles
+    # (tests/test_plans.py asserts the exchange keys)
+    sig = df.select(
+        F.col(host_col).alias("host"),
+        F.xxhash64(t).alias("_th"),
+        (n_tok < short_tokens).cast("long").alias("_is_short"),
+        n_tok.cast("long").alias("_n_tok"),
+    )
+    agg = sig.groupBy("host").agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct(F.xxhash64(t)).alias("_uniq"),
-        F.sum((n_tok < short_tokens).cast("long")).alias("_n_short"),
-        F.sum(n_tok.cast("long")).alias("_sum_tok"),
+        F.countDistinct("_th").alias("_uniq"),
+        F.sum("_is_short").alias("_n_short"),
+        F.sum("_n_tok").alias("_sum_tok"),
     )
     m = F.lit(1_000_000).cast("long")
     dup_u = m - F.expr("_uniq * 1000000 div n_docs")

@@ -314,3 +314,49 @@ def test_bigram_xent_hash_keyed_and_broadcast_side_tables(spark):
     assert keys, "expected exchanges in the bigram-xent plan"
     for cols in keys:
         assert "text" not in cols, cols
+
+
+def test_anchor_topk_partial_agg_no_cartesian(spark):
+    """Anchor aggregation: map-side combine before the vote shuffle,
+    equi-joins only; the top-k window runs on the AGGREGATED relation
+    (windows never see the raw edge table — asserted by the window
+    sitting above the final HashAggregate in the plan text)."""
+    import __spark_entry__ as em
+
+    df = em.q_anchor_topk(spark, SF)
+    assert partial_aggregation_present(df)
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the window's child chain must contain the final aggregate —
+    # i.e. Window appears ABOVE (before, in toString order) the agg
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_decontaminate_spans_broadcast_probe(spark):
+    """The benchmark gram probe must be a BROADCAST semi-join: the
+    corpus gram table never shuffles for contamination matching."""
+    import __spark_entry__ as em
+
+    df = em.q_decontaminate_spans(spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+
+
+def test_host_reputation_shuffles_keys_not_text(spark):
+    """Host rollup: partial aggregation before every exchange, and the
+    two distinct-agg exchanges (by (host, text-hash), then by host) are
+    keyed by fixed-width columns — the text itself never shuffles."""
+    from crawler_spark.operators.quality import host_reputation
+    from crawler_spark.plans.inspect import (
+        exchange_count,
+        exchange_partition_keys,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = host_reputation(docs)
+    assert partial_aggregation_present(df)
+    # count(distinct) plans as two aggregate phases -> exactly 2
+    assert exchange_count(df) == 2
+    for cols in exchange_partition_keys(df):
+        assert "text" not in cols, cols
