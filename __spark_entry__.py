@@ -2001,6 +2001,37 @@ def q_dup_span_removal(spark, sf):
     return remove_duplicate_spans(d, k=3, portable=True)
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (`operators.selection.
+    dsir_logweights`, Xie et al. 2023): hashed unigram+bigram features
+    (10k buckets, md5-portable hash), add-1 smoothing; target = the
+    'en' slice of the corpus, raw = everything. Two count shuffles
+    with fixed-width bucket keys; the log-ratio table is broadcast."""
+    from crawler_spark.operators.selection import dsir_logweights
+
+    d = _read_wide(spark, sf, "documents")
+    w = dsir_logweights(
+        d, d.where(F.col("lang") == "en"), buckets=10_000, alpha=1.0,
+        portable=True,
+    )
+    return w.select(
+        "doc_id",
+        "n_feats",
+        F.round("logw", 6).cast("double").alias("logw"),
+    )
+
+
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail split per language by unigram
+    cross-entropy (`operators.selection.ccnet_buckets`, Wenzek et al.
+    2020): exact interpolated per-lang tercile cutoffs as aggregates
+    (never a corpus-wide sort), broadcast back for labeling."""
+    from crawler_spark.operators.selection import ccnet_buckets
+
+    d = _read_wide(spark, sf, "documents")
+    return ccnet_buckets(d)
+
+
 def q_host_reputation(spark, sf):
     """Per-host reputation rollup (`operators.quality.host_reputation`):
     dup/short/length signals folded to the scheduler's unit — one
@@ -2119,8 +2150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_topk": q_anchor_topk,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
+        "ccnet_buckets": q_ccnet_buckets,
         "dedup_survivors": q_dedup_survivors,
         "distinct_event_types": q_distinct_event_types,
+        "dsir_weights": q_dsir_weights,
         "doc_bigram_xent": q_doc_bigram_xent,
         "doc_categories": q_doc_categories,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2911,6 +2944,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 - spam_u) / 1000000.0 AS DOUBLE)
                        AS reputation
             FROM s
+        """,
+        # DSIR: same md5-prefix 15-hex-char bucket hash (mod 10k), same
+        # unigram+bigram feature bag, add-1 smoothing, natural logs —
+        # see operators/selection.py dsir_logweights / q_dsir_weights
+        "dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> ''
+                       ) AS l
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       unnest(list_concat(l,
+                           CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+                                ELSE list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1])
+                           END)) AS g
+                FROM toks
+            ), fb AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           i -> (strpos('0123456789abcdef',
+                                        substr(md5(g), i, 1)) - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - i)))))
+                            AS BIGINT) % 10000 AS b
+                FROM feats
+            ), rawc AS (
+                SELECT b, count(*) AS c FROM fb GROUP BY b
+            ), rawn AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS n FROM rawc
+            ), tgtc AS (
+                SELECT fb.b, count(*) AS c
+                FROM fb JOIN documents d ON d.doc_id = fb.doc_id
+                WHERE d.lang = 'en'
+                GROUP BY fb.b
+            ), tgtn AS (
+                SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n
+                FROM tgtc
+            ), ratio AS (
+                SELECT r.b,
+                       coalesce(ln((t.c + 1.0) / (tn.n + 10000.0)),
+                                ln(1.0 / (tn.n + 10000.0)))
+                       - ln((r.c + 1.0) / (rn.n + 10000.0)) AS lr
+                FROM rawc r
+                LEFT JOIN tgtc t USING (b)
+                CROSS JOIN rawn rn CROSS JOIN tgtn tn
+            ), scored AS (
+                SELECT fb.doc_id, count(*) AS n_feats,
+                       sum(ratio.lr) AS logw
+                FROM fb JOIN ratio USING (b)
+                GROUP BY fb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+                   CAST(round(coalesce(s.logw, 0.0), 6) AS DOUBLE)
+                       AS logw
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # same unigram-xent CTE as doc_unigram_xent; cutoffs are exact
+        # interpolated per-lang terciles of the 6dp-rounded xent
+        "ccnet_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           tk -> len(tk) > 0
+                       ) AS l
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, unnest(l) AS tok FROM toks
+            ), vocab AS (
+                SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
+            ), tot AS (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM vocab
+            ), xent AS (
+                SELECT e.doc_id,
+                       CAST(round(
+                           avg(-ln(v.cnt / (SELECT t FROM tot))), 6
+                       ) AS DOUBLE) AS xent
+                FROM ex e JOIN vocab v USING (tok)
+                GROUP BY e.doc_id
+            ), lx AS (
+                SELECT x.doc_id, d.lang, x.xent
+                FROM xent x JOIN documents d USING (doc_id)
+            ), cuts AS (
+                SELECT lang,
+                       quantile_cont(xent, 1.0/3.0) AS p33,
+                       quantile_cont(xent, 2.0/3.0) AS p66
+                FROM lx GROUP BY lang
+            )
+            SELECT lx.doc_id, lx.lang, lx.xent,
+                   CASE WHEN lx.xent <= c.p33 THEN 'head'
+                        WHEN lx.xent <= c.p66 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lx JOIN cuts c USING (lang)
         """,
         # span-level decontamination: same benchmark derivation as
         # doc_decontaminate (8-grams of every 50th doc), same removal
