@@ -767,6 +767,43 @@ def q_dedup_survivors(spark, sf):
     return cluster_survivors(clusters, scores)
 
 
+def q_dedup_soft_weights(spark, sf):
+    """Soft deduplication (`operators.dedup.soft_dedup_weights`): per-doc
+    TRAINING WEIGHT 1/cluster_size over the same embedding-cosine
+    clusters as `dedup_clusters`; documents outside any cluster weigh
+    1.0 — the SemDeDup/D4-style down-weighting alternative to removal.
+    The corpus never shuffles: cluster sizes come from one groupBy on the
+    pair-graph-sized cluster table, joined back on the uniform id."""
+    from crawler_spark.operators.dedup import (
+        dedup_clusters,
+        soft_dedup_weights,
+    )
+    from crawler_spark.operators.similarity import cosine_pairs_exact
+
+    e = _read(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    clusters = dedup_clusters(cosine_pairs_exact(e, threshold=0.35))
+    return soft_dedup_weights(_read(spark, sf, "documents"), clusters)
+
+
+def q_budget_allocation(spark, sf):
+    """Global round-budget apportionment (`operators.allocate.
+    allocate_budget`, Hamilton largest-remainder): hosts derived from
+    the events stream (user_id % 37), weight = pending count, budget
+    1000 — Σalloc == 1000 exactly, `granted` capped at pending. Weights
+    are integral counts, so the double-sum total is order-independent
+    and the oracle's quota arithmetic matches bit-for-bit."""
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pending = (
+        _read(spark, sf, "events")
+        .groupBy(
+            F.concat(F.lit("h"), F.col("user_id") % 37).alias("host")
+        )
+        .agg(F.count("*").alias("n_pending"))
+    )
+    return allocate_budget(pending, total_budget=1000)
+
+
 def q_knn_bruteforce(spark, sf):
     """Exact cosine top-10 against the vec_id=0 embedding (JVM-side)."""
     from crawler_spark.operators.similarity import cosine_topk
@@ -2148,10 +2185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-backed extras past the 50-entry gate window
         # (value-checked by tools/check_correctness.py runs) ----
         "anchor_topk": q_anchor_topk,
+        "budget_allocation": q_budget_allocation,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_soft_weights": q_dedup_soft_weights,
         "distinct_event_types": q_distinct_event_types,
         "dsir_weights": q_dsir_weights,
         "doc_bigram_xent": q_doc_bigram_xent,
@@ -3311,6 +3350,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(r) AS canon_id,
                    node <> min(r) AS is_dup
             FROM reach GROUP BY node
+        """,
+        # same component closure as dedup_clusters, then weight =
+        # 1/cluster_size for members, 1.0 for docs outside any cluster
+        "dedup_soft_weights": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE a.vec_id < 200 AND b.vec_id < 200
+                  AND list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])
+                      ) >= 0.35
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, reach.r
+                FROM edges e JOIN reach ON reach.node = e.dst
+            ), comp AS (
+                SELECT node, min(r) AS canon_id FROM reach GROUP BY node
+            ), sz AS (
+                SELECT canon_id, count(*) AS csz FROM comp GROUP BY 1
+            ), mw AS (
+                SELECT c.node, CAST(1.0 AS DOUBLE) / s.csz AS w
+                FROM comp c JOIN sz s USING (canon_id)
+            )
+            SELECT d.doc_id,
+                   CAST(round(coalesce(mw.w, 1.0), 6) AS DOUBLE) AS weight
+            FROM documents d LEFT JOIN mw ON mw.node = d.doc_id
+        """,
+        # Hamilton largest-remainder apportionment of a 1000-slot round
+        # budget across event-derived hosts, weight = pending count
+        "budget_allocation": """
+            WITH pend AS (
+                SELECT 'h' || (user_id % 37) AS host,
+                       count(*) AS n_pending
+                FROM events GROUP BY 1
+            ), tot AS (
+                SELECT sum(CAST(n_pending AS DOUBLE)) AS w FROM pend
+            ), based AS (
+                SELECT host, n_pending,
+                       floor(CAST(1000 AS DOUBLE)
+                             * CAST(n_pending AS DOUBLE) / tot.w) AS base,
+                       CAST(1000 AS DOUBLE)
+                           * CAST(n_pending AS DOUBLE) / tot.w
+                       - floor(CAST(1000 AS DOUBLE)
+                               * CAST(n_pending AS DOUBLE) / tot.w) AS rem
+                FROM pend CROSS JOIN tot
+            ), lo AS (
+                SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover
+                FROM based
+            ), seqd AS (
+                SELECT host, n_pending, base,
+                       row_number() OVER (ORDER BY rem DESC, host) - 1
+                           AS seq
+                FROM based
+            )
+            SELECT s.host,
+                   CAST(s.n_pending AS BIGINT) AS n_pending,
+                   CAST(s.base + CASE WHEN s.seq < lo.leftover
+                                      THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc,
+                   CAST(least(
+                       s.base + CASE WHEN s.seq < lo.leftover
+                                     THEN 1 ELSE 0 END,
+                       s.n_pending) AS BIGINT) AS granted
+            FROM seqd s CROSS JOIN lo
         """,
         # same component closure as dedup_clusters, then survivor =
         # longest document (ties -> lowest id) via one window

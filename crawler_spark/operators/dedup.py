@@ -907,6 +907,48 @@ def cluster_survivors(
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Soft deduplication: per-document TRAINING WEIGHT instead of removal.
+
+    Members of a near-dup cluster get weight ``1 / cluster_size``;
+    documents in no cluster keep weight ``1.0`` — the loss then sees each
+    duplicated content unit once in expectation while every individual
+    page (and its unique context: host, anchors, freshness) stays in the
+    corpus. This is the down-weighting alternative to dropping that
+    SemDeDup/D4-style curation pipelines expose as a knob next to hard
+    removal (compose ``clusters`` from :func:`dedup_clusters` over any
+    pair source: minhash, simhash, or embedding-cosine).
+
+    Scale shape: cluster sizes come from one ``groupBy`` on ``canon_id``
+    over the CLUSTER table (pair-graph components — orders of magnitude
+    smaller than the corpus), then one equi-join back to ``docs`` on the
+    uniformly-distributed id. The corpus itself never shuffles; with AQE
+    the member-weight side broadcasts when small.
+
+    Returns ``docs`` narrowed to ``(id_col, weight_col)`` with the weight
+    rounded to 6 dp (double).
+    """
+    sizes = clusters.groupBy("canon_id").agg(F.count("*").alias("_csz"))
+    member_w = (
+        clusters.join(sizes, "canon_id")
+        .select(
+            F.col("node").alias(id_col),
+            (F.lit(1.0) / F.col("_csz")).alias("_w"),
+        )
+    )
+    return docs.select(id_col).join(member_w, id_col, "left").select(
+        id_col,
+        F.round(F.coalesce(F.col("_w"), F.lit(1.0)), 6)
+        .cast("double")
+        .alias(weight_col),
+    )
+
+
 def near_dup_curation(
     df: DataFrame,
     id_col: str = "doc_id",

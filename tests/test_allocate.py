@@ -1,0 +1,110 @@
+"""Budget apportionment (operators/allocate.py) and soft dedup weights
+(operators/dedup.py: soft_dedup_weights).
+
+The reference caps per-host work with fixed budgets (crawl.ts:12, the
+5-worker pool); allocate_budget is the cluster-scale complement — one
+global round budget split across hosts by the Hamilton largest-remainder
+method. Soft dedup is the down-weighting alternative to dropping
+near-dup cluster members.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _pending(spark, rows):
+    return spark.createDataFrame(rows, "host string, n_pending long")
+
+
+def test_alloc_sums_to_budget_exactly(spark):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = _pending(
+        spark, [("a", 100), ("b", 50), ("c", 17), ("d", 3), ("e", 1)]
+    )
+    out = allocate_budget(pend, total_budget=101).collect()
+    assert sum(r.alloc for r in out) == 101
+    by_host = {r.host: r for r in out}
+    # proportionality: each alloc is floor or ceil of its exact quota
+    total_w = 171.0
+    for h, n in [("a", 100), ("b", 50), ("c", 17), ("d", 3), ("e", 1)]:
+        quota = 101.0 * n / total_w
+        assert by_host[h].alloc in (int(quota), int(quota) + 1)
+    # granted never exceeds pending
+    assert all(r.granted <= r.n_pending for r in out)
+    assert all(r.granted <= r.alloc for r in out)
+
+
+def test_budget_larger_than_pending_caps_granted(spark):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = _pending(spark, [("a", 2), ("b", 1)])
+    out = {r.host: r for r in allocate_budget(pend, 100).collect()}
+    assert sum(r.alloc for r in out.values()) == 100
+    assert out["a"].granted == 2 and out["b"].granted == 1
+
+
+def test_zero_weight_hosts_get_nothing(spark):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = _pending(spark, [("a", 10), ("empty", 0)])
+    out = {r.host: r for r in allocate_budget(pend, 7).collect()}
+    assert out["empty"].alloc == 0 and out["empty"].granted == 0
+    assert out["a"].alloc == 7
+
+
+def test_all_zero_weights_allocates_nothing(spark):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = _pending(spark, [("a", 0), ("b", 0)])
+    out = allocate_budget(pend, 10).collect()
+    assert all(r.alloc == 0 and r.granted == 0 for r in out)
+
+
+def test_weight_col_override_and_tie_break(spark):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    # equal weights, budget not divisible: remainder ties break by host
+    # ascending, so exactly the lexicographically-first hosts get +1
+    pend = spark.createDataFrame(
+        [("d", 5, 1.0), ("c", 5, 1.0), ("b", 5, 1.0), ("a", 5, 1.0)],
+        "host string, n_pending long, rep double",
+    )
+    out = {
+        r.host: r.alloc
+        for r in allocate_budget(pend, 6, weight_col="rep").collect()
+    }
+    assert out == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+@pytest.mark.parametrize("budget", [1, 7, 171, 1000])
+def test_alloc_total_invariant_property(spark, budget):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = _pending(
+        spark, [(f"h{i}", (i * 13) % 29 + 1) for i in range(23)]
+    )
+    out = allocate_budget(pend, budget).collect()
+    assert sum(r.alloc for r in out) == budget
+
+
+def test_soft_dedup_weights_cluster_mass(spark):
+    from crawler_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    # one 3-cluster {0,1,2} and one 2-cluster {5,6}; rest singletons
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)],
+        "node long, canon_id long",
+    )
+    out = {
+        r.doc_id: r.weight
+        for r in soft_dedup_weights(docs, clusters).collect()
+    }
+    assert out[0] == out[1] == out[2] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[5] == out[6] == 0.5
+    assert all(out[i] == 1.0 for i in (3, 4, 7, 8, 9))
+    # each cluster contributes ~1 unit of training mass, singletons 1 each
+    assert sum(out.values()) == pytest.approx(7.0, abs=1e-5)
