@@ -360,6 +360,37 @@ def run_crawl(
         eligible = eligible.join(F.broadcast(budget_df), "host", "left").withColumn(
             "_k", F.coalesce(F.col("_bk"), F.lit(budget_default))
         )
+        # -- optional global round budget (fair-share across hosts) -------
+        # Hamilton apportionment of config.global_budget over each host's
+        # consumable demand min(pending, politeness budget); the per-host
+        # cap becomes the grant. One host-dimension count-agg per round
+        # plus allocate_budget's two O(1) scalar jobs — the frontier
+        # itself never re-shuffles. Serial twin: oracle hamilton_grants
+        # (golden-matched); IEEE-double quota arithmetic is identical on
+        # both sides.
+        if config.global_budget:
+            from crawler_spark.operators.allocate import allocate_budget
+
+            demand = (
+                eligible.groupBy("host", "_k")
+                .agg(F.count("*").alias("_pend"))
+                .select(
+                    "host",
+                    F.least(
+                        F.col("_pend"), F.col("_k").cast("long")
+                    ).alias("n_pending"),
+                )
+            )
+            grants = allocate_budget(
+                demand, config.global_budget
+            ).select("host", F.col("granted").alias("_g"))
+            eligible = (
+                eligible.join(F.broadcast(grants), "host", "left")
+                .withColumn(
+                    "_k", F.coalesce(F.col("_g"), F.lit(0)).cast("int")
+                )
+                .drop("_g")
+            )
         scheduled = topk_per_group(
             eligible, ["host"], ["disc_round", "disc_seq"], F.col("_k"), salt=8
         ).drop("_bk", "_k", "_rank")

@@ -76,6 +76,14 @@ class CrawlConfig:
     # every host within the capacity cut.
     priority: dict[str, float] = field(default_factory=dict)
     round_capacity: int = 0
+    # fair-share alternative to round_capacity: ONE global page budget
+    # per round apportioned across eligible hosts by Hamilton largest
+    # remainder (weight = each host's consumable demand = min(pending,
+    # politeness budget)), so hot hosts cannot starve the tail the way
+    # the strict priority cut of round_capacity can. 0 = off. Grants are
+    # capped at demand; unconsumed slots roll to the next round's
+    # allocation rather than re-apportioning mid-round.
+    global_budget: int = 0
 
     def budget(self, host: str) -> int:
         return self.budgets.get(host, self.budgets.get("*", 1 << 30))
@@ -110,6 +118,35 @@ class CrawlResult:
     links: pd.DataFrame  # source, source_host, url, host, link_pos, round
     cooldown_events: pd.DataFrame  # round, host, expire_round
     text: pd.DataFrame  # url, text (extracted blocks newline-joined)
+
+
+def hamilton_grants(demand: dict[str, int], budget: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``budget`` across hosts.
+
+    Serial twin of ``operators.allocate.allocate_budget`` (the driver's
+    distributed path): quota = B·w/W in IEEE doubles, floor first, the
+    leftover units go to the largest fractional remainders (ties → host
+    ascending), every grant capped at the host's demand. Both sides do
+    the identical double arithmetic, so the golden tests can assert the
+    schedules match row-for-row.
+    """
+    live = {h: w for h, w in demand.items() if w > 0}
+    total_w = float(sum(live.values()))
+    if not live or total_w <= 0 or budget <= 0:
+        return {h: 0 for h in demand}
+    base: dict[str, int] = {}
+    rem: dict[str, float] = {}
+    for h, w in live.items():
+        quota = float(budget) * float(w) / total_w
+        base[h] = int(math.floor(quota))
+        rem[h] = quota - math.floor(quota)
+    leftover = max(0, budget - sum(base.values()))
+    order = sorted(live, key=lambda h: (-rem[h], h))
+    grants = {h: 0 for h in demand}
+    for i, h in enumerate(order):
+        alloc = base[h] + (1 if i < leftover else 0)
+        grants[h] = min(alloc, live[h])
+    return grants
 
 
 def _url_path(url: str) -> str:
@@ -170,11 +207,28 @@ def crawl_oracle(
             if cooldown.get(host, -1) < rnd
         ]
         eligible.sort()  # (disc_round, disc_seq)
+        caps: dict[str, int] | None = None
+        if config.global_budget:
+            # fair-share mode: each host's cap becomes its Hamilton grant
+            # (already ≤ its politeness budget via the demand cap)
+            pend: dict[str, int] = {}
+            for _, _, host, _ in eligible:
+                pend[host] = pend.get(host, 0) + 1
+            demand = {
+                h: min(n, config.budget_at(h, rnd))
+                for h, n in pend.items()
+            }
+            caps = hamilton_grants(demand, config.global_budget)
         taken: dict[str, int] = {}
         scheduled: list[tuple[int, int, str, str]] = []
         for pr, ps, host, url in eligible:
             k = taken.get(host, 0)
-            if k >= config.budget_at(host, rnd):
+            cap = (
+                caps.get(host, 0)
+                if caps is not None
+                else config.budget_at(host, rnd)
+            )
+            if k >= cap:
                 continue
             taken[host] = k + 1
             scheduled.append((pr, ps, host, url))

@@ -101,6 +101,11 @@ def main() -> None:
                     help="max pages per round across all hosts "
                          "(0 = unlimited); overflow stays in the "
                          "frontier with its priority")
+    ap.add_argument("--global-budget", type=int, default=0,
+                    help="fair-share mode: one global page budget per "
+                         "round apportioned across hosts by largest "
+                         "remainder (0 = off); unlike --round-capacity "
+                         "hot hosts cannot starve the tail")
     ap.add_argument("--snapshot-every", type=int, default=1,
                     help="write the frontier snapshot every N rounds "
                          "(merge-on-read between)")
@@ -109,6 +114,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.round_capacity < 0:
         ap.error("--round-capacity must be >= 0")
+    if args.global_budget < 0:
+        ap.error("--global-budget must be >= 0")
     if args.crawl_delay_budgets and not args.robots_dir:
         ap.error("--crawl-delay-budgets requires --robots-dir "
                  "(delays come from the fetched robots bodies)")
@@ -194,6 +201,7 @@ def main() -> None:
         round_seconds=args.round_seconds,
         priority=priority,
         round_capacity=args.round_capacity,
+        global_budget=args.global_budget,
     )
     stats = run_crawl(
         spark,

@@ -203,3 +203,74 @@ def test_priority_queue_with_capacity_golden(spark, small_web, tmp_path_factory)
     assert list(map(tuple, got[cols].itertuples(index=False))) == list(
         map(tuple, want[cols].itertuples(index=False))
     )
+
+
+def test_global_budget_fair_share_golden(spark, small_web, tmp_path_factory):
+    """Fair-share scheduler mode: one global round budget apportioned
+    across hosts by Hamilton largest remainder (CrawlConfig.global_budget
+    → operators.allocate.allocate_budget in the driver, hamilton_grants
+    in the serial oracle). Driver ≡ oracle on (round, seq, url) exactly;
+    the mode provably schedules differently from the strict-priority
+    round_capacity cut at the same total."""
+    w = small_web
+    cfg = CrawlConfig(
+        budgets={
+            r.host: int(r.budget_per_round)
+            for r in w.politeness.itertuples()
+        },
+        robots=[(r.host, r.rule, bool(r.allow)) for r in w.robots.itertuples()],
+        max_rounds=18,
+        global_budget=9,
+    )
+    seeds = w.seeds.url.tolist()
+    oracle = crawl_oracle(w.pages, seeds, cfg)
+
+    # the global budget is a hard per-round page cap
+    assert (oracle.crawl_order.groupby("round").size() <= 9).all()
+    # fair share ≠ strict-priority capacity cut at the same total
+    cap_cfg = CrawlConfig(
+        budgets=cfg.budgets, robots=cfg.robots, max_rounds=18,
+        round_capacity=9,
+    )
+    capped = crawl_oracle(w.pages, seeds, cap_cfg)
+    key = ["round", "seq"]
+    assert (
+        oracle.crawl_order.sort_values(key).url.tolist()
+        != capped.crawl_order.sort_values(key).url.tolist()
+    )
+
+    root = str(tmp_path_factory.mktemp("gbstore"))
+    corpus = _to_spark_corpus(spark, w.pages)
+    run_crawl(spark, corpus, seeds, cfg, root, bloom_buckets=8,
+              bloom_bits=1 << 16)
+    store = CrawlStore(spark, root)
+    got = (
+        store.read_pages()
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = oracle.crawl_order.sort_values(key).reset_index(drop=True)
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
+
+
+def test_hamilton_grants_match_allocate_budget(spark):
+    """The serial and distributed apportionments are the same function:
+    identical grants on a demand table with remainder ties."""
+    from crawler_spark.operators.allocate import allocate_budget
+    from crawler_spark.oracle.crawloracle import hamilton_grants
+
+    demand = {f"h{i}": (i * 7) % 11 for i in range(16)}  # includes zeros
+    for budget in (1, 5, 23, 60, 500):
+        want = hamilton_grants(demand, budget)
+        pend = spark.createDataFrame(
+            sorted(demand.items()), "host string, n_pending long"
+        )
+        got = {
+            r.host: r.granted
+            for r in allocate_budget(pend, budget).collect()
+        }
+        assert got == want, (budget, got, want)
