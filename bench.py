@@ -112,6 +112,10 @@ HEADLINE = [
     "c4_filters",
     "doc_bigram_xent",
     "snapshot_diff",
+    # this session: fair-share budget apportionment (the scheduler's
+    # global-budget mode on event-derived hosts) and soft dedup weights
+    "budget_allocation",
+    "dedup_soft_weights",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

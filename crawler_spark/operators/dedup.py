@@ -907,6 +907,53 @@ def cluster_survivors(
     )
 
 
+def plan_lsh_bands(
+    threshold: float,
+    n_hashes: int = 64,
+    fp_weight: float = 0.5,
+    steps: int = 1000,
+) -> tuple[int, int]:
+    """Choose the LSH banding ``(n_bands, rows_per_band)`` for a target
+    jaccard ``threshold``.
+
+    With ``b`` bands of ``r`` rows, a pair at jaccard ``s`` becomes a
+    candidate with probability ``1 - (1 - s^r)^b`` (the classic S-curve,
+    MMDS ch. 3). This picks the factorization ``b·r = n_hashes``
+    minimizing ``fp_weight · ∫₀ᵗ P(s) ds + (1-fp_weight) · ∫ₜ¹ (1-P(s)) ds``
+    — the false-positive mass below the threshold plus the false-negative
+    mass above it, numerically integrated (the same objective the public
+    datasketch library optimizes). Lower ``fp_weight`` when missed
+    near-dups cost more than extra candidate verification.
+
+    Pure driver-side arithmetic over the O(d(n)) divisor pairs — call it
+    once when configuring :func:`minhash_dedup` / :func:`minhash_signatures`
+    instead of hand-picking ``n_bands``/``rows_per_band``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_hashes < 2:
+        raise ValueError(f"n_hashes must be >= 2, got {n_hashes}")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        fp = fn = 0.0
+        dx = 1.0 / steps
+        for i in range(steps):
+            s = (i + 0.5) * dx
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * dx
+            else:
+                fn += (1.0 - p) * dx
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def soft_dedup_weights(
     docs: DataFrame,
     clusters: DataFrame,

@@ -108,3 +108,57 @@ def test_soft_dedup_weights_cluster_mass(spark):
     assert all(out[i] == 1.0 for i in (3, 4, 7, 8, 9))
     # each cluster contributes ~1 unit of training mass, singletons 1 each
     assert sum(out.values()) == pytest.approx(7.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LSH band planning (operators/dedup.py: plan_lsh_bands)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_lsh_bands_factorization_and_midpoint():
+    from crawler_spark.operators.dedup import plan_lsh_bands
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = plan_lsh_bands(t, n_hashes=64)
+        assert b * r == 64
+        # the S-curve midpoint (1/b)^(1/r) lands near the target
+        assert abs((1.0 / b) ** (1.0 / r) - t) < 0.25
+
+
+def test_plan_lsh_bands_threshold_monotonic():
+    from crawler_spark.operators.dedup import plan_lsh_bands
+
+    # a higher threshold needs LONGER bands (more rows per band) so
+    # low-similarity pairs stop colliding: r is non-decreasing in t
+    rows = [plan_lsh_bands(t, n_hashes=128)[1] for t in (0.2, 0.5, 0.8)]
+    assert rows == sorted(rows)
+
+
+def test_plan_lsh_bands_fp_weight_bites():
+    from crawler_spark.operators.dedup import plan_lsh_bands
+
+    # caring only about false positives pushes toward longer bands
+    # (fewer accidental candidates) than caring only about recall
+    b_fp, r_fp = plan_lsh_bands(0.5, 64, fp_weight=0.99)
+    b_fn, r_fn = plan_lsh_bands(0.5, 64, fp_weight=0.01)
+    assert r_fp >= r_fn
+    assert b_fp * r_fp == b_fn * r_fn == 64
+
+
+def test_plan_lsh_bands_default_matches_shipped_config():
+    from crawler_spark.operators.dedup import plan_lsh_bands
+
+    # the repo's long-standing 16x4 default for threshold ~0.5 corpora
+    # is what the planner derives from first principles
+    assert plan_lsh_bands(0.5, 64) == (16, 4)
+
+
+def test_plan_lsh_bands_validates():
+    import pytest as _pytest
+
+    from crawler_spark.operators.dedup import plan_lsh_bands
+
+    with _pytest.raises(ValueError):
+        plan_lsh_bands(0.0)
+    with _pytest.raises(ValueError):
+        plan_lsh_bands(0.5, n_hashes=1)
