@@ -1370,6 +1370,45 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_trustrank_scores(spark, sf):
+    """TrustRank (`operators.graphrank.trustrank`, 6 unrolled
+    iterations, damping 0.85): PageRank with the teleport restricted to
+    a TRUSTED seed set — the public spam-demotion priority signal
+    (Gyöngyi et al. 2004). Same synthetic link graph as `link_pagerank`;
+    trusted seeds are the graph nodes with node % 7 == 0. Dangling mass
+    folds back into the teleport (trust never leaks to unreachable
+    spam); nodes unreachable from the seeds score exactly 0. The oracle
+    runs the identical unrolled iterations; scores scaled by n before
+    6-dp rounding, like the other graph queries."""
+    from crawler_spark.operators.graphrank import trustrank
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    dsts = F.array(
+        *[
+            (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)
+            for a, b in ((7, 1), (13, 2), (31, 3))
+        ]
+    )
+    edges = (
+        d.where(F.col("doc_id") % 5 != 0)
+        .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 7 == 0)
+        .distinct()
+    )
+    scores = trustrank(edges, seeds, n_iter=6, damping=0.85)
+    return scores.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("trust") * F.lit(float(n)), 6)
+        .cast("double")
+        .alias("trust_scaled"),
+    )
+
+
 def q_pagerank_priority(spark, sf):
     """The scheduler composition the graph signal exists for: PageRank
     (same synthetic graph + 6 unrolled iterations as `link_pagerank`)
@@ -2224,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_terms": q_split_terms,
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
+        "trustrank_scores": q_trustrank_scores,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
         # ---- rows-only (kernel / crawl / sketch operators) —
@@ -2313,6 +2353,77 @@ def _pagerank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
     tail = f"""
         SELECT r.node,
                CAST(round(r.rank * nn.cnt, 6) AS DOUBLE) AS rank_scaled
+        FROM {prev} r CROSS JOIN nn
+    """
+    return head + "".join(body) + tail
+
+
+def _trustrank_oracle_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled TrustRank iterations mirroring `q_trustrank_scores`:
+    same synthetic edge rule as `_pagerank_oracle_sql`, teleport 1/|S| on
+    the node % 7 == 0 seed set, dangling mass folded into the teleport,
+    n-scaled 6-dp output."""
+    head = """
+        WITH nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS cnt,
+                   count(*) AS icnt
+            FROM documents
+        ), edges AS (
+            SELECT doc_id AS src,
+                   unnest([
+                       (doc_id * 7 + 1) % nn.icnt,
+                       (doc_id * 13 + 2) % nn.icnt,
+                       (doc_id * 31 + 3) % nn.icnt
+                   ]) AS dst
+            FROM documents CROSS JOIN nn
+            WHERE doc_id % 5 <> 0
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ), deg AS (
+            SELECT src, CAST(count(*) AS DOUBLE) AS d
+            FROM edges GROUP BY src
+        ), ns AS (
+            SELECT CAST(count(*) AS DOUBLE) AS cnt
+            FROM nodes WHERE node % 7 = 0
+        ), tvn AS (
+            SELECT node,
+                   CASE WHEN node % 7 = 0
+                        THEN CAST(1.0 AS DOUBLE) / ns.cnt
+                        ELSE CAST(0.0 AS DOUBLE) END AS tv
+            FROM nodes CROSS JOIN ns
+        ), r0 AS (
+            SELECT node, tv, tv AS trust FROM tvn
+        )"""
+    body = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        body.append(f"""
+        , d{i - 1} AS (
+            SELECT coalesce(sum(r.trust), 0) AS dm
+            FROM {prev} r LEFT JOIN deg ON r.node = deg.src
+            WHERE deg.src IS NULL
+        ), r{i} AS (
+            SELECT n.node, n.tv,
+                   {1.0 - damping} * n.tv
+                   + {damping} * (
+                       coalesce(c.contrib, 0) + d.dm * n.tv
+                   ) AS trust
+            FROM tvn n
+            CROSS JOIN d{i - 1} d
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(r.trust / dg.d) AS contrib
+                FROM edges e
+                JOIN {prev} r ON e.src = r.node
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst
+            ) c ON n.node = c.node
+        )""")
+        prev = f"r{i}"
+    tail = f"""
+        SELECT r.node,
+               CAST(round(r.trust * nn.cnt, 6) AS DOUBLE) AS trust_scaled
         FROM {prev} r CROSS JOIN nn
     """
     return head + "".join(body) + tail
@@ -4136,6 +4247,7 @@ def oracle_sql() -> dict[str, str]:
         # 6 unrolled power iterations over the deterministic synthetic
         # doc-id link graph (see q_link_pagerank docstring)
         "link_pagerank": _pagerank_oracle_sql(),
+        "trustrank_scores": _trustrank_oracle_sql(),
         # the same unrolled pagerank wrapped in a global priority order
         # (rank desc, node asc) — see q_pagerank_priority
         "pagerank_priority": f"""

@@ -106,6 +106,93 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyöngyi et al. 2004, public algorithm):
+    PageRank with the teleport restricted to a TRUSTED seed set, the
+    standard spam-demotion signal for crawl prioritization — link farms
+    earn rank only through paths from trusted hosts, not from the uniform
+    teleport they farm under plain PageRank.
+
+    ``seeds`` is a one-column DataFrame of trusted node ids (its first
+    column is used); seeds not present in the graph are ignored. Teleport
+    mass is ``1/|S∩nodes|`` on each live seed, 0 elsewhere; dangling mass
+    also folds back into the TELEPORT distribution (not uniformly), so
+    trust never leaks to unreachable spam. Returns ``(node, trust)``;
+    trust sums to 1 and is exactly 0 for nodes unreachable from the seeds.
+
+    Same scale shape as :func:`pagerank`: one hash-shuffle per iteration,
+    seeds broadcast onto the node table once, fixed ``n_iter`` so the
+    DuckDB oracle can run the identical unrolled iterations.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("_seed", F.lit(1))
+    )
+    nd = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0.0)).alias("deg"))
+        .join(F.broadcast(s), "node", "left")
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = nd.where(F.col("_seed").isNotNull()).count()
+    if n_seeds == 0:
+        raise ValueError("no trusted seed appears in the graph")
+    tv = F.when(
+        F.col("_seed").isNotNull(), F.lit(1.0) / F.lit(float(n_seeds))
+    ).otherwise(F.lit(0.0))
+    nd = nd.select("node", "deg", tv.alias("tv")).localCheckpoint(
+        eager=False
+    )
+    ranks = nd.select(
+        "node", "deg", "tv", F.col("tv").alias("trust")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("trust") / F.col("deg")).alias("contrib"))
+        )
+        dangling = ranks.where(F.col("deg") == 0.0).agg(
+            F.coalesce(F.sum("trust"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nd.join(contribs, nd["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                "tv",
+                (
+                    F.lit(1.0 - damping) * F.col("tv")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") * F.col("tv")
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "trust")
+
+
 def hits(
     edges: DataFrame,
     n_iter: int = 6,

@@ -140,3 +140,49 @@ def test_hits_sink_and_source_roles(spark):
     # node 2 receives two of the three unit edges
     assert rows[2]["auth"] == pytest.approx(2.0 / 3.0)
     assert rows[1]["auth"] == pytest.approx(1.0 / 3.0)
+
+
+def test_trustrank_demotes_spam_island(spark):
+    """TrustRank vs PageRank on a graph with a link-farm island: the
+    farm inflates its PageRank via the uniform teleport, but earns
+    ZERO trust because no path from the trusted seed reaches it."""
+    import numpy as np
+
+    from crawler_spark.operators.graphrank import pagerank, trustrank
+
+    # trusted chain 0→1→2 ; spam clique {10,11,12} linking to itself
+    edges = [(0, 1), (1, 2), (2, 0),
+             (10, 11), (11, 12), (12, 10),
+             (10, 12), (12, 11), (11, 10)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    seeds = spark.createDataFrame([(0,)], "node: long")
+
+    trust = {r["node"]: r["trust"] for r in trustrank(e, seeds, n_iter=20).collect()}
+    rank = {r["node"]: r["rank"] for r in pagerank(e, n_iter=20).collect()}
+
+    # mass conservation
+    assert sum(trust.values()) == pytest.approx(1.0, abs=1e-9)
+    # the clique farms plain PageRank...
+    assert sum(rank[n] for n in (10, 11, 12)) > 0.4
+    # ...but gets exactly zero trust (unreachable from the seed)
+    assert all(trust[n] == 0.0 for n in (10, 11, 12))
+    assert all(trust[n] > 0.2 for n in (0, 1, 2))
+
+    # numpy cross-check of the trusted component's stationary shares
+    a, n_it = 0.85, 20
+    tv = np.array([1.0, 0.0, 0.0])
+    m = np.array([[0, 1, 0], [0, 0, 1], [1, 0, 0]], dtype=float).T
+    r = tv.copy()
+    for _ in range(n_it):
+        r = (1 - a) * tv + a * (m @ r)  # no dangling in the 3-cycle
+    for i, node in enumerate((0, 1, 2)):
+        assert trust[node] == pytest.approx(r[i], abs=1e-9)
+
+
+def test_trustrank_requires_live_seed(spark):
+    from crawler_spark.operators.graphrank import trustrank
+
+    e = spark.createDataFrame([(0, 1)], "src: long, dst: long")
+    ghost = spark.createDataFrame([(99,)], "node: long")
+    with pytest.raises(ValueError):
+        trustrank(e, ghost, n_iter=2)
