@@ -1370,6 +1370,41 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_url_strip_tracking(spark, sf):
+    """Tracking-param stripping (`functions.urls.strip_tracking_params`,
+    zero-UDF column algebra): synthetic URLs over documents cover the
+    four shapes — no query, all-tracking query (loses the '?'), mixed
+    (trackers drop, the rest keep order), tracker-free (unchanged).
+    The oracle runs the same split/filter/rejoin in DuckDB with the
+    identical anchored regex."""
+    from crawler_spark.functions.urls import strip_tracking_params
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        F.col("doc_id") % 50,
+        F.lit(".test/p/"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("?utm_source=feed&utm_medium=rss&fbclid=abc"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("?id="), F.col("doc_id"),
+                F.lit("&utm_campaign=x&ref=home"),
+            ),
+        )
+        .otherwise(F.lit("?a=1&b=2")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url", strip_tracking_params("url").alias("cleaned")
+    )
+
+
 def q_trustrank_scores(spark, sf):
     """TrustRank (`operators.graphrank.trustrank`, 6 unrolled
     iterations, damping 0.85): PageRank with the teleport restricted to
@@ -2264,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
         "trustrank_scores": q_trustrank_scores,
+        "url_strip_tracking": q_url_strip_tracking,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
         # ---- rows-only (kernel / crawl / sketch operators) —
@@ -4248,6 +4284,46 @@ def oracle_sql() -> dict[str, str]:
         # doc-id link graph (see q_link_pagerank docstring)
         "link_pagerank": _pagerank_oracle_sql(),
         "trustrank_scores": _trustrank_oracle_sql(),
+        # same split/filter/rejoin and the same anchored regex as
+        # functions.urls.strip_tracking_params (RE2 and Java regex agree
+        # on this pattern); no-query rows pass through via the NULL q
+        "url_strip_tracking": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://h' || (doc_id % 50) || '.test/p/' || doc_id
+                       || CASE doc_id % 4
+                              WHEN 0 THEN ''
+                              WHEN 1 THEN
+                                  '?utm_source=feed&utm_medium=rss&fbclid=abc'
+                              WHEN 2 THEN
+                                  '?id=' || doc_id || '&utm_campaign=x&ref=home'
+                              ELSE '?a=1&b=2'
+                          END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       CASE WHEN strpos(url, '?') > 0
+                            THEN substr(url, 1, strpos(url, '?') - 1)
+                            ELSE url END AS base,
+                       CASE WHEN strpos(url, '?') > 0
+                            THEN substr(url, strpos(url, '?') + 1)
+                            ELSE NULL END AS q
+                FROM u
+            ), kept AS (
+                SELECT doc_id, url, base,
+                       list_filter(
+                           string_split(q, '&'),
+                           p -> NOT regexp_matches(p,
+                               '^(utm_[^=]*|gclid|dclid|gbraid|wbraid|fbclid|msclkid|yclid|igshid|mc_cid|mc_eid|_hsenc|_hsmi|vero_conv|vero_id|oly_anon_id|oly_enc_id)(=.*)?$')
+                       ) AS ks
+                FROM parts
+            )
+            SELECT doc_id, url,
+                   CASE WHEN ks IS NULL OR len(ks) = 0 THEN base
+                        ELSE base || '?' || array_to_string(ks, '&')
+                   END AS cleaned
+            FROM kept
+        """,
         # the same unrolled pagerank wrapped in a global priority order
         # (rank desc, node asc) — see q_pagerank_priority
         "pagerank_priority": f"""

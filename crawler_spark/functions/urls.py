@@ -114,6 +114,46 @@ def _sort_query(query: str) -> str:
     return "&".join(t[2] for t in keyed)
 
 
+# ubiquitous click/campaign trackers whose presence forks otherwise
+# identical URLs in the frontier and the seen set. Deliberately
+# conservative: only parameters that are pure telemetry everywhere
+# (utm_* and the big ad/click ids) — ambiguous names like `ref` or `s`
+# can be load-bearing on some sites and stay. Anchored so a bare
+# parameter without '=' matches too.
+TRACKING_PARAM_RE = (
+    "^(utm_[^=]*|gclid|dclid|gbraid|wbraid|fbclid|msclkid|yclid|igshid|"
+    "mc_cid|mc_eid|_hsenc|_hsmi|vero_conv|vero_id|oly_anon_id|oly_enc_id)"
+    "(=.*)?$"
+)
+
+
+def strip_tracking_params(url):
+    """Column expression dropping tracking query params from a URL.
+
+    The frontier-dedup complement of ``normalize_url``'s query sort:
+    ``?utm_source=feed`` vs ``?utm_source=tw`` would otherwise enqueue
+    (and crawl, and store) the same page twice. Pure JVM column algebra
+    — split on the first ``?``, filter the param array against
+    ``TRACKING_PARAM_RE``, rejoin — no UDF, stays in codegen; the
+    DuckDB oracle runs the same split/filter/rejoin. Non-tracking
+    params keep their original relative order; a URL whose params are
+    all trackers loses the ``?`` entirely. Fragments are assumed
+    already stripped (run after canonicalization).
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    parts = F.split(url, r"\?", 2)
+    base = parts.getItem(0)
+    kept = F.filter(
+        F.split(parts.getItem(1), "&"),
+        lambda p: ~p.rlike(TRACKING_PARAM_RE),
+    )
+    rebuilt = F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+    return F.when(F.size(parts) > 1, rebuilt).otherwise(url)
+
+
 def normalize_url(url: str, base: str = "", sort_query: bool = True) -> str:
     """WHATWG-style canonical ``href`` with fragment stripped.
 

@@ -102,3 +102,25 @@ def test_bad_extension_faithful_noop():
     assert is_bad_extension("http://x.com/data.json", corrected=True)
     assert not is_bad_extension("http://x.com/page.html", corrected=True)
     assert not is_bad_extension("http://x.com/noext", corrected=True)
+
+
+def test_strip_tracking_params(spark):
+    from crawler_spark.functions.urls import strip_tracking_params
+
+    cases = [
+        # (input, expected)
+        ("https://a.test/p", "https://a.test/p"),
+        ("https://a.test/p?utm_source=x", "https://a.test/p"),
+        ("https://a.test/p?utm_source=x&id=7", "https://a.test/p?id=7"),
+        ("https://a.test/p?id=7&gclid=abc&b=2", "https://a.test/p?id=7&b=2"),
+        # bare tracker without '=' still matches the anchored regex
+        ("https://a.test/p?fbclid", "https://a.test/p"),
+        # ambiguous names stay (conservative list)
+        ("https://a.test/p?ref=home", "https://a.test/p?ref=home"),
+        # tracker-ish substring inside a value is NOT a tracker param
+        ("https://a.test/p?q=utm_source%3Dx", "https://a.test/p?q=utm_source%3Dx"),
+        ("https://a.test/p?myutm_source=1", "https://a.test/p?myutm_source=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(strip_tracking_params("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
