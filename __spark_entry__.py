@@ -1370,6 +1370,28 @@ def q_link_pagerank(spark, sf):
     )
 
 
+def q_priority_fusion(spark, sf):
+    """Reciprocal-rank fusion (`operators.topk.rrf_fuse`, k=60) of two
+    incomparable priority signals over documents — content length
+    (quality proxy) and a deterministic churn hash (freshness proxy,
+    (doc_id*37) % 101): rrf = 1/(60+rank₁) + 1/(60+rank₂), ranks
+    1-based desc with doc_id tie-break. The oracle computes the same
+    two row_number orderings and the same two-term sum (IEEE addition
+    is commutative for two terms, so engine-side agg order is moot)."""
+    from crawler_spark.operators.topk import rrf_fuse
+
+    d = _read(spark, sf, "documents")
+    s1 = d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    s2 = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("score"),
+    )
+    out = rrf_fuse([s1, s2], key="doc_id", k=60)
+    return out.select(
+        "doc_id", F.round("rrf", 6).cast("double").alias("rrf")
+    )
+
+
 def q_url_strip_tracking(spark, sf):
     """Tracking-param stripping (`functions.urls.strip_tracking_params`,
     zero-UDF column algebra): synthetic URLs over documents cover the
@@ -2296,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_customers": q_semi_join_customers,
         "snapshot_diff": q_snapshot_diff,
         "split_terms": q_split_terms,
+        "priority_fusion": q_priority_fusion,
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
         "trustrank_scores": q_trustrank_scores,
@@ -4284,6 +4307,31 @@ def oracle_sql() -> dict[str, str]:
         # doc-id link graph (see q_link_pagerank docstring)
         "link_pagerank": _pagerank_oracle_sql(),
         "trustrank_scores": _trustrank_oracle_sql(),
+        # two row_number orderings (desc, doc_id tie-break) + the same
+        # two-term reciprocal sum as operators.topk.rrf_fuse
+        "priority_fusion": """
+            WITH s1 AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id
+                       ) AS r
+                FROM documents
+            ), s2 AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY CAST((doc_id * 37) % 101 AS DOUBLE)
+                                    DESC, doc_id
+                       ) AS r
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   CAST(round(
+                       CAST(1.0 AS DOUBLE) / (60 + s1.r)
+                       + CAST(1.0 AS DOUBLE) / (60 + s2.r), 6
+                   ) AS DOUBLE) AS rrf
+            FROM documents d
+            JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+        """,
         # same split/filter/rejoin and the same anchored regex as
         # functions.urls.strip_tracking_params (RE2 and Java regex agree
         # on this pattern); no-query rows pass through via the NULL q

@@ -76,6 +76,53 @@ def topk_per_group(
     )
 
 
+def rrf_fuse(
+    signals: list[DataFrame],
+    key: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, public algorithm) of
+    several priority signals into one order: ``rrf = Σᵢ 1/(k + rankᵢ)``.
+
+    The scheduler composition knob: PageRank/TrustRank, host reputation,
+    freshness, and quality all emit incomparable score scales; RRF fuses
+    them rank-wise, so no signal needs calibration and an outlier score
+    cannot dominate. Each element of ``signals`` is ``(key, score_col)``
+    rows; ranks are 1-based by score descending (ties → key ascending),
+    a key missing from a signal contributes 0 (standard RRF over the
+    key union).
+
+    Scale shape: one :func:`with_global_seq` per signal (range-partition
+    global sequence, never a single-partition window) + equi-joins on the
+    uniform key. Contributions are added in list order, so the fused sum
+    is deterministic for the oracle.
+    """
+    fused: DataFrame | None = None
+    contribs: list[str] = []
+    for i, sig in enumerate(signals):
+        ranked = with_global_seq(
+            sig.select(F.col(key), F.col(score_col).alias("_s"))
+            .withColumn("_ns", -F.col("_s")),
+            ["_ns", key],
+            out="_seq",
+        )
+        col = f"_c{i}"
+        contribs.append(col)
+        part = ranked.select(
+            F.col(key),
+            (
+                F.lit(1.0) / (F.lit(float(k)) + F.col("_seq") + F.lit(1))
+            ).alias(col),
+        )
+        fused = part if fused is None else fused.join(part, key, "full")
+    assert fused is not None, "rrf_fuse needs at least one signal"
+    expr = F.coalesce(F.col(contribs[0]), F.lit(0.0))
+    for c in contribs[1:]:
+        expr = expr + F.coalesce(F.col(c), F.lit(0.0))
+    return fused.select(key, expr.alias("rrf"))
+
+
 def with_global_seq(
     df: DataFrame,
     order_cols: list[str],

@@ -162,3 +162,38 @@ def test_plan_lsh_bands_validates():
         plan_lsh_bands(0.0)
     with _pytest.raises(ValueError):
         plan_lsh_bands(0.5, n_hashes=1)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (operators/topk.py: rrf_fuse)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_known_values(spark):
+    from crawler_spark.operators.topk import rrf_fuse
+
+    s1 = spark.createDataFrame(
+        [(1, 30.0), (2, 20.0), (3, 10.0)], "doc_id long, score double"
+    )
+    s2 = spark.createDataFrame(
+        [(3, 9.0), (2, 5.0)], "doc_id long, score double"  # 1 missing
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse([s1, s2], k=60).collect()}
+    assert got[1] == pytest.approx(1 / 61, abs=1e-12)  # rank1 + missing
+    assert got[2] == pytest.approx(1 / 62 + 1 / 62, abs=1e-12)
+    assert got[3] == pytest.approx(1 / 63 + 1 / 61, abs=1e-12)
+    # an outlier score cannot dominate: fusing is rank-wise, so doc 3's
+    # s2 win only moves it one reciprocal step, not proportionally
+    assert got[3] > got[2] > got[1]
+
+
+def test_rrf_fuse_tie_break_deterministic(spark):
+    from crawler_spark.operators.topk import rrf_fuse
+
+    s = spark.createDataFrame(
+        [(5, 1.0), (2, 1.0), (9, 1.0)], "doc_id long, score double"
+    )
+    got = {r.doc_id: r.rrf for r in rrf_fuse([s], k=0).collect()}
+    # equal scores rank by key ascending: 2 -> 1, 5 -> 2, 9 -> 3
+    assert got == {2: pytest.approx(1.0), 5: pytest.approx(0.5),
+                   9: pytest.approx(1 / 3)}
