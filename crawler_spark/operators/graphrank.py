@@ -288,3 +288,37 @@ def host_ranks_from_links(
     )
     ranks = pagerank(edges, n_iter=n_iter, damping=damping)
     return {r["node"]: float(r["rank"]) for r in ranks.collect()}
+
+
+def host_trust_from_links(
+    links: DataFrame,
+    seed_hosts: list[str],
+    n_iter: int = 8,
+    damping: float = 0.85,
+    source_host: str = "source_host",
+    host: str = "host",
+) -> dict[str, float]:
+    """TrustRank twin of :func:`host_ranks_from_links`: host-level trust
+    propagated from a hand-curated ``seed_hosts`` whitelist over the
+    crawl's own link table → ``CrawlConfig.priority``.
+
+    Same host-graph collapse (self-loops and empty hosts dropped); seeds
+    absent from the graph are ignored by :func:`trustrank` (it raises
+    only if NONE survive). Feeding this instead of raw PageRank makes
+    the scheduler spam-resistant: hosts unreachable from the seed set
+    get priority 0.0 exactly — they still crawl (priority is an
+    ordering, not a filter), just last.
+    """
+    spark = links.sparkSession
+    edges = (
+        links.select(
+            F.col(source_host).alias("src"), F.col(host).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .where((F.col("src") != "") & (F.col("dst") != ""))
+    )
+    seeds = spark.createDataFrame(
+        [(h,) for h in sorted(set(seed_hosts))], "node string"
+    )
+    scores = trustrank(edges, seeds, n_iter=n_iter, damping=damping)
+    return {r["node"]: float(r["trust"]) for r in scores.collect()}

@@ -186,3 +186,28 @@ def test_trustrank_requires_live_seed(spark):
     ghost = spark.createDataFrame([(99,)], "node: long")
     with pytest.raises(ValueError):
         trustrank(e, ghost, n_iter=2)
+
+
+def test_host_trust_from_links(spark):
+    """Trust propagates only from the seed host; a spam pair linking
+    only to each other gets exactly 0 and sorts last in the priority."""
+    from crawler_spark.operators.graphrank import host_trust_from_links
+
+    links = spark.createDataFrame(
+        [
+            ("good.com", "blog.com"),
+            ("blog.com", "good.com"),
+            ("good.com", "good.com"),   # self-loop dropped
+            ("spam1.biz", "spam2.biz"),
+            ("spam2.biz", "spam1.biz"),
+            ("", "blog.com"),           # empty host dropped
+        ],
+        "source_host: string, host: string",
+    )
+    trust = host_trust_from_links(
+        links, ["good.com", "not-in-graph.org"], n_iter=10
+    )
+    assert set(trust) == {"good.com", "blog.com", "spam1.biz", "spam2.biz"}
+    assert trust["spam1.biz"] == 0.0 and trust["spam2.biz"] == 0.0
+    assert trust["good.com"] > trust["blog.com"] > 0.0
+    assert sum(trust.values()) == pytest.approx(1.0, abs=1e-9)
