@@ -2254,13 +2254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "chunk_dedup": q_chunk_dedup,
         "dup_span_stats": q_dup_span_stats,
-        "minhash_collapse_portable": q_minhash_collapse_portable,
-        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
-        "simhash_near_dups_portable": q_simhash_near_dups_portable,
-        "knn_bruteforce": q_knn_bruteforce,
+        # round-3 final session: one slot per NEW operator family
+        # (scheduler allocation, graph trust, signal fusion, URL
+        # hygiene, soft dedup) — the displaced dedup/similarity entries
+        # were family-redundant (minhash/simhash/LSH stay represented)
+        # and sit right below the window, still locally gate-checked
+        "budget_allocation": q_budget_allocation,
+        "trustrank_scores": q_trustrank_scores,
+        "priority_fusion": q_priority_fusion,
+        "url_strip_tracking": q_url_strip_tracking,
+        "dedup_soft_weights": q_dedup_soft_weights,
         "knn_join": q_knn_join,
-        "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        "lsh_pairs_portable": q_lsh_pairs_portable,
         "ivf_portable": q_ivf_portable,
         "semantic_dedup_portable": q_semantic_dedup_portable,
         "embedding_quantization": q_embedding_quantization,
@@ -2280,13 +2284,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         # ---- oracle-backed extras past the 50-entry gate window
         # (value-checked by tools/check_correctness.py runs) ----
+        "minhash_collapse_portable": q_minhash_collapse_portable,
+        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
+        "simhash_near_dups_portable": q_simhash_near_dups_portable,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "lsh_pairs_portable": q_lsh_pairs_portable,
         "anchor_topk": q_anchor_topk,
-        "budget_allocation": q_budget_allocation,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
         "ccnet_buckets": q_ccnet_buckets,
         "dedup_survivors": q_dedup_survivors,
-        "dedup_soft_weights": q_dedup_soft_weights,
         "distinct_event_types": q_distinct_event_types,
         "dsir_weights": q_dsir_weights,
         "doc_bigram_xent": q_doc_bigram_xent,
@@ -2318,11 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_customers": q_semi_join_customers,
         "snapshot_diff": q_snapshot_diff,
         "split_terms": q_split_terms,
-        "priority_fusion": q_priority_fusion,
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
-        "trustrank_scores": q_trustrank_scores,
-        "url_strip_tracking": q_url_strip_tracking,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
         # ---- rows-only (kernel / crawl / sketch operators) —
