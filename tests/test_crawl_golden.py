@@ -274,3 +274,41 @@ def test_hamilton_grants_match_allocate_budget(spark):
             for r in allocate_budget(pend, budget).collect()
         }
         assert got == want, (budget, got, want)
+
+
+def test_global_budget_composes_with_priority_golden(
+    spark, small_web, tmp_path_factory
+):
+    """Fair-share grants + host-priority ordering together: the grant
+    bounds WHICH urls each host contributes (BFS within host), priority
+    orders the granted set. Driver ≡ serial oracle row-for-row."""
+    from crawler_spark.functions.urls import get_hostname
+
+    w = small_web
+    hosts = sorted({get_hostname(u) for u in w.pages.url})
+    cfg = CrawlConfig(
+        budgets={
+            r.host: int(r.budget_per_round)
+            for r in w.politeness.itertuples()
+        },
+        robots=[(r.host, r.rule, bool(r.allow)) for r in w.robots.itertuples()],
+        max_rounds=15,
+        priority={h: float(i % 4) for i, h in enumerate(hosts)},
+        global_budget=8,
+    )
+    seeds = w.seeds.url.tolist()
+    oracle = crawl_oracle(w.pages, seeds, cfg)
+    assert (oracle.crawl_order.groupby("round").size() <= 8).all()
+
+    root = str(tmp_path_factory.mktemp("gbprio"))
+    corpus = _to_spark_corpus(spark, w.pages)
+    run_crawl(spark, corpus, seeds, cfg, root, bloom_buckets=8,
+              bloom_bits=1 << 16)
+    store = CrawlStore(spark, root)
+    key = ["round", "seq"]
+    got = store.read_pages().toPandas().sort_values(key).reset_index(drop=True)
+    want = oracle.crawl_order.sort_values(key).reset_index(drop=True)
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
