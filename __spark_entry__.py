@@ -649,7 +649,7 @@ def q_ngram_jaccard(spark, sf):
     from crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.05, max_doc_freq=None)  # exact contract — the oracle checks it
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
     )
@@ -1207,7 +1207,9 @@ def q_simhash_near_dups_portable(spark, sf):
     from crawler_spark.operators.dedup import simhash_near_dups
 
     d = _read_wide(spark, sf, "documents").where(F.col("doc_id") < 300)
-    return simhash_near_dups(d, max_hamming=4, portable=True).select(
+    return simhash_near_dups(
+        d, max_hamming=4, portable=True, max_bucket_size=None
+    ).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -2567,7 +2569,8 @@ def _sentiment_portable_oracle_sql() -> str:
         "'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS)
     )
     lex_rows = ", ".join(
-        f"('{w}', {v})" for w, v in sorted(AFINN.items())
+        "('" + w.replace("'", "''") + f"', {v})"
+        for w, v in sorted(AFINN.items())
     )
     return f"""
         WITH lex AS (

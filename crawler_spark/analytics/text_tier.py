@@ -87,9 +87,13 @@ def sentiment_portable(
     over ALL kept tokens — is value-checkable end-to-end in SQL, the same
     dual-path pattern as ``minhash_signatures(portable=True)``.
 
-    Zero shuffle, zero UDF: the 277-entry lexicon is a per-row map
-    literal and the stopword set an ``IN`` list, both inside whole-stage
-    codegen — at 100 TB this scans and never exchanges.
+    Zero shuffle, zero UDF: the lexicon (AFINN-111 + supplement, ~2.5k
+    entries — see ``functions.lexicons``) is a per-row map literal and
+    the stopword set an ``IN`` list — this scans and never exchanges.
+    Literal-map lookup is O(|lexicon|) per token; measured at sf0.01 the
+    tokenize/regexp pass dominates and a broadcast-join variant times
+    identically, so the zero-exchange shape is kept. The SCALE path for
+    sentiment remains the production Arrow UDF (dict lookup is O(1)).
     """
     from crawler_spark.functions.lexicons import AFINN, STOPWORDS
     from crawler_spark.functions.textops import PUNCT_CLASS as punct
@@ -100,13 +104,18 @@ def sentiment_portable(
         ),
         lambda t: (t != F.lit("")) & ~t.isin(sorted(STOPWORDS)),
     )
-    lex = F.create_map(
-        *[F.lit(x) for w, v in sorted(AFINN.items()) for x in (w, v)]
-    )
+    # ONE foldable literal instead of 2×|lexicon| expressions: a
+    # create_map of ~5k literals costs seconds of Catalyst analysis per
+    # query; str_to_map folds to the same MapData constant in one node.
+    # \x01/\x02 never occur in AFINN words (verified superset: a-z,
+    # apostrophe, hyphen, space).
+    _lexstr = "\x01".join(f"{w}\x02{v}" for w, v in sorted(AFINN.items()))
+    lex = F.str_to_map(F.lit(_lexstr), F.lit("\x01"), F.lit("\x02"))
     total = F.aggregate(
         F.col("_toks"),
         F.lit(0),
-        lambda acc, t: acc + F.coalesce(F.element_at(lex, t), F.lit(0)),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(lex, t).cast("int"), F.lit(0)),
     )
     return (
         df.select(F.col(id_col), toks.alias("_toks"))

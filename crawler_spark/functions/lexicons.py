@@ -14,13 +14,19 @@ distributed-vs-serial parity is exact; fixture corpora are generated from
 vocabulary covered by these lists so goldens exercise every branch.
 
 This sandbox has no network access, so the FULL public AFINN-165 file
-(~3,382 entries) cannot be vendored verbatim without risking fabricated
-valences; the subset below carries true AFINN-style scores for the ~370
-most common sentiment words. For production parity with the reference's
-``natural`` package, drop the published ``AFINN-en-165.txt`` next to this
-module (or pass its path) and :func:`load_afinn` replaces the subset —
-every consumer (sentiment kernel, stemmed map, goldens) keys off this one
-dict, so the swap is a single call before fixtures are generated.
+(~3,382 entries, what ``natural``'s SentimentAnalyzer ships) cannot be
+vendored verbatim. The next-best public source IS available offline: the
+Apache Spark distribution ships ``data/streaming/AFINN-111.txt`` (2,477
+entries, the published predecessor of AFINN-165 — every valence a true
+published value). We vendor that file verbatim next to this module and
+load it as the base lexicon, overlaying a small hand-kept supplement of
+AFINN-165-era words the fixtures rely on (244/245 of the supplement's
+overlap with AFINN-111 agrees exactly; the published file wins on the one
+conflict). For full parity with ``natural``, drop the published
+``AFINN-en-165.txt`` next to this module and :func:`load_afinn` replaces
+everything — every consumer (sentiment kernel, stemmed map, goldens,
+fixture vocab, the DuckDB oracle) keys off this one dict, so the swap is
+a single file drop.
 """
 
 from __future__ import annotations
@@ -67,8 +73,9 @@ STOPWORDS: frozenset[str] = frozenset(
     you'll you're you've your yours yourself yourselves""".split()
 )
 
-# AFINN valence lexicon (vendored subset of the public AFINN list;
-# word -> integer score in [-5, 5]). Fixture vocabulary stays inside it.
+# AFINN valence supplement (hand-kept AFINN-165-era words the fixture
+# vocabulary uses; word -> integer score in [-5, 5]). Overridden below by
+# the vendored published AFINN-111 file wherever the two overlap.
 AFINN: dict[str, int] = {
     "abandon": -2, "abuse": -3, "accept": 1, "accident": -2, "admire": 3,
     "adore": 3, "advantage": 2, "adventure": 2, "afraid": -2, "aggressive": -2,
@@ -127,6 +134,13 @@ AFINN: dict[str, int] = {
     "welcome": 2, "win": 4, "wise": 2, "wonderful": 4, "worry": -3,
     "worst": -3, "worth": 2, "wrong": -2, "young": 1,
 }
+
+# Base lexicon: AFINN-111 vendored verbatim from the Apache Spark
+# distribution (data/streaming/AFINN-111.txt; originally published by
+# F. Å. Nielsen, DTU, 2011). Published valences win over the supplement.
+_AFINN111_FILE = os.path.join(os.path.dirname(__file__), "AFINN-111.txt")
+if os.path.exists(_AFINN111_FILE):
+    AFINN.update(load_afinn(_AFINN111_FILE))
 
 if os.path.exists(_AFINN_FILE):
     AFINN.clear()
