@@ -345,6 +345,12 @@ def run_crawl(
         if n_frontier == 0:
             break
 
+        # tag every job of the round (scheduler, sequencing, writes) so
+        # the manifest can record the per-round Spark job count — the
+        # number the fixed-cost budget tracks
+        job_group = f"crawl-round-{rnd}"
+        spark.sparkContext.setJobGroup(job_group, f"crawl round {rnd}")
+
         # -- eligibility: cooldown anti-join (broadcast, one row per host) --
         active_cd = [(h, e) for h, e in cooldown.items() if e >= rnd]
         eligible = frontier
@@ -382,7 +388,7 @@ def run_crawl(
                 )
             )
             grants = allocate_budget(
-                demand, config.global_budget
+                demand, config.global_budget, small_hint=n_frontier
             ).select("host", F.col("granted").alias("_g"))
             eligible = (
                 eligible.join(F.broadcast(grants), "host", "left")
@@ -411,9 +417,12 @@ def run_crawl(
                 .drop("_hp")
             )
             order_cols = ["_nprio", "disc_round", "disc_seq"]
+        # the tracked frontier size is a hard row bound for the schedule —
+        # small rounds take with_global_seq's one-job bounded path, big
+        # rounds (the 10^10-frontier shape) the range-partitioned one
         scheduled, n_scheduled = with_global_seq(
             scheduled, order_cols, out="seq",
-            return_count=True,
+            return_count=True, small_hint=n_frontier,
         )
         if prio_df is not None:
             scheduled = scheduled.drop("_nprio")
@@ -460,12 +469,15 @@ def run_crawl(
                     else spark.createDataFrame([], DISC_SCHEMA)
                 )
                 seed_disc = None
-                _commit(store, rnd, spark, _empty_pages(spark),
-                        _empty_links(spark), disc_empty, frontier, cooldown,
-                        bloom, stats, n_frontier=n_frontier,
-                        write_frontier=(
-                            (rnd % max(1, frontier_snapshot_every)) == 0
-                        ))
+                rc = _RoundCommit(
+                    store, rnd, spark, bloom.n_buckets, job_group=job_group
+                )
+                rc.begin(_empty_pages(spark), _empty_links(spark))
+                rc.finish(disc_empty, frontier, cooldown, bloom, stats,
+                          n_frontier=n_frontier,
+                          write_frontier=(
+                              (rnd % max(1, frontier_snapshot_every)) == 0
+                          ))
                 scheduled.unpersist()
                 continue
             scheduled.unpersist()
@@ -517,6 +529,15 @@ def run_crawl(
             .cache()
         )
 
+        # -- fetch-side writes start NOW, overlapping the discovery work --
+        # pages/links/seen depend only on the scheduled fetch; submitting
+        # them before the sequencing job below means the round's widest
+        # write (pages, which evaluates the text-extraction UDF) runs
+        # concurrently with link filtering + the seen probe + sequencing
+        rc = _RoundCommit(store, rnd, spark, bloom.n_buckets,
+                          job_group=job_group)
+        rc.begin(pages_df, links.drop("seq"))
+
         # -- frontier merge: filter → dedup-first-occurrence → seen --------
         frontier_rem = frontier.join(
             scheduled.select("url"), "url", "left_anti"
@@ -556,9 +577,14 @@ def run_crawl(
         unseen = bloom.filter_unseen(cands, seen_for_buckets=_seen_hist)
 
         _t0 = time.perf_counter()
+        # small_hint here is an ESTIMATE, not a tracked bound: scheduled
+        # pages × a generous links-per-page factor. A corpus where a
+        # small round discovers millions of urls degrades to one slow
+        # (still correct) sort task; rounds big enough for that to matter
+        # exceed the threshold and take the range path anyway.
         seq_disc, n_new = with_global_seq(
             unseen, ["_src_seq", "_src_pos"], out="disc_seq",
-            return_count=True,
+            return_count=True, small_hint=n_scheduled * 64,
         )
         phase_t["extract_seen"] = round(time.perf_counter() - _t0, 3)
         new_disc = (
@@ -580,9 +606,8 @@ def run_crawl(
         # scheduled rows plus this round's new discoveries — no count job
         n_frontier = n_frontier - n_scheduled + n_new
         snap = (rnd % max(1, frontier_snapshot_every)) == 0
-        _commit(
-            store, rnd, spark, pages_df, links.drop("seq"), disc_to_commit,
-            next_frontier, cooldown, bloom, stats,
+        rc.finish(
+            disc_to_commit, next_frontier, cooldown, bloom, stats,
             n_frontier=n_frontier, config=config, phase_timings=phase_t,
             write_frontier=snap,
         )
@@ -676,95 +701,117 @@ def _hot_hosts_from_files(
     ]
 
 
-def _commit(
-    store: CrawlStore,
-    rnd: int,
-    spark: SparkSession,
-    pages_df: DataFrame,
-    links_df: DataFrame,
-    disc_df: DataFrame,
-    frontier_df: DataFrame,
-    cooldown: dict[str, int],
-    bloom: BloomSeenSet,
-    stats: CrawlStats,
-    n_frontier: int,
-    config: CrawlConfig | None = None,
-    phase_timings: dict[str, float] | None = None,
-    write_frontier: bool = True,
-) -> None:
-    import time as _time
+class _RoundCommit:
+    """Two-stage concurrent round commit.
 
-    timings: dict[str, float] = dict(phase_timings or {})
+    The pages/links/seen writes depend only on the scheduled fetch, so
+    :meth:`begin` submits them BEFORE the discovery-sequencing job runs
+    and they overlap it; the discovery-dependent writes (discovery log,
+    frontier snapshot, seen-filter checkpoint) join in :meth:`finish`.
+    The round's commit wall drops from ``seq job + max(all writes)`` to
+    ``max(fetch-side writes, seq job + max(discovery-side writes))``.
+    (Concurrent evaluation of a shared cached partition is safe: the
+    BlockManager's per-block loading lock makes one task compute it and
+    the others wait.) A driver exception between begin and finish leaves
+    orphan table files but NO manifest — the store's manifest-last
+    atomicity keeps them invisible to resume, exactly as before.
 
-    def _timed(name, fn):
-        t0 = _time.perf_counter()
-        out = fn()
-        timings[name] = round(_time.perf_counter() - t0, 3)
-        return out
+    ``job_group`` tags every job of the round (including the scheduler's,
+    via the driver's per-round ``setJobGroup``) so the manifest can record
+    ``spark_jobs`` — the per-round job count the fixed-cost budget tracks.
+    """
 
-    # The five Spark writes are independent jobs over chains rooted at the
-    # same cached frames — submit them from concurrent driver threads so
-    # the round's commit wall is max(write) instead of sum(write).
-    # (Concurrent evaluation of a shared cached partition is safe: the
-    # BlockManager's per-block loading lock makes one task compute it and
-    # the others wait.)
-    from concurrent.futures import ThreadPoolExecutor
+    def __init__(
+        self,
+        store: CrawlStore,
+        rnd: int,
+        spark: SparkSession,
+        n_buckets: int,
+        job_group: str | None = None,
+    ):
+        from concurrent.futures import ThreadPoolExecutor
 
-    # url-only seen log for bucket-pruned exact re-checks: one row per
-    # crawled page, keyed and sorted by its bloom bucket so later rounds'
-    # `bucket IN (...)` filters prune at row-group level
-    seen_df = pages_df.select(
-        F.pmod(F.xxhash64("url"), F.lit(bloom.n_buckets))
-        .cast("int")
-        .alias("bucket"),
-        "url",
-    ).sortWithinPartitions("bucket")
+        self.store, self.rnd, self.spark = store, rnd, spark
+        self.n_buckets = n_buckets
+        self.job_group = job_group
+        self.timings: dict[str, float] = {}
+        self._pool = ThreadPoolExecutor(max_workers=6)
+        self._f: dict = {}
 
-    lineage: dict[str, list[str]] = {}
-    with ThreadPoolExecutor(max_workers=6) as pool:
-        f_seen = pool.submit(
-            lambda: _timed(
-                "w_seen",
-                lambda: store.write_round_table("seen", rnd, seen_df),
-            )
+    def _submit(self, name, fn):
+        def run():
+            if self.job_group is not None:
+                # per-thread on purpose: each pool thread pins its own JVM
+                # thread (PYSPARK_PIN_THREAD), so the round's job group
+                # must be re-set in every submitting thread
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.jobGroup.id", self.job_group
+                )
+            t0 = time.perf_counter()
+            out = fn()
+            self.timings[name] = round(time.perf_counter() - t0, 3)
+            return out
+
+        return self._pool.submit(run)
+
+    def begin(self, pages_df: DataFrame, links_df: DataFrame) -> None:
+        """Submit the fetch-side writes (pages, links, url-only seen log).
+
+        The url-only seen log gets one row per crawled page, keyed and
+        sorted by its filter bucket so later rounds' ``bucket IN (...)``
+        exact re-checks prune at row-group level; column pruning keeps the
+        text-extraction UDF out of this projection's plan."""
+        seen_df = pages_df.select(
+            F.pmod(F.xxhash64("url"), F.lit(self.n_buckets))
+            .cast("int")
+            .alias("bucket"),
+            "url",
+        ).sortWithinPartitions("bucket")
+        self._f["pages"] = self._submit(
+            "w_pages",
+            lambda: self.store.write_round_table("pages", self.rnd, pages_df),
         )
-        f_pages = pool.submit(
-            lambda: _timed(
-                "w_pages",
-                lambda: store.write_round_table("pages", rnd, pages_df),
-            )
+        self._f["links"] = self._submit(
+            "w_links",
+            lambda: self.store.write_round_table("links", self.rnd, links_df),
         )
-        f_links = pool.submit(
-            lambda: _timed(
-                "w_links",
-                lambda: store.write_round_table("links", rnd, links_df),
-            )
+        self._f["seen"] = self._submit(
+            "w_seen",
+            lambda: self.store.write_round_table("seen", self.rnd, seen_df),
         )
-        f_disc = pool.submit(
-            lambda: _timed(
-                "w_discoveries",
-                lambda: store.write_round_table("discoveries", rnd, disc_df),
-            )
+
+    def finish(
+        self,
+        disc_df: DataFrame,
+        frontier_df: DataFrame,
+        cooldown: dict[str, int],
+        bloom: BloomSeenSet,
+        stats: CrawlStats,
+        n_frontier: int,
+        config: CrawlConfig | None = None,
+        phase_timings: dict[str, float] | None = None,
+        write_frontier: bool = True,
+    ) -> None:
+        rnd, store = self.rnd, self.store
+        f_disc = self._submit(
+            "w_discoveries",
+            lambda: store.write_round_table("discoveries", rnd, disc_df),
         )
         f_frontier = (
-            pool.submit(
-                lambda: _timed(
-                    "w_frontier",
-                    lambda: store.write_round_table(
-                        "frontier", rnd, frontier_df
-                    ),
-                )
+            self._submit(
+                "w_frontier",
+                lambda: store.write_round_table("frontier", rnd, frontier_df),
             )
             if write_frontier
             else None
         )
-        f_bloom = pool.submit(
-            lambda: _timed(
-                "w_bloom",
-                lambda: bloom.checkpoint(store.table_round_path("bloom", rnd)),
-            )
+        f_bloom = self._submit(
+            "w_bloom",
+            lambda: bloom.checkpoint(store.table_round_path("bloom", rnd)),
         )
-        lineage["pages"], n_pages = f_pages.result()
+
+        lineage: dict[str, list[str]] = {}
+        lineage["pages"], n_pages = self._f["pages"].result()
         # 429 cooldown updates, add-if-absent per host (storage.ts:216):
         # derived from the just-written pages parquet via a driver-side
         # pyarrow read (tiny files) — no dedicated Spark collect job
@@ -782,47 +829,60 @@ def _commit(
                 expire = rnd + max(1, math.ceil(retry / config.round_seconds))
                 cooldown[h] = expire
                 cooldown_events.append((h, expire))
-        lineage["links"], n_links = f_links.result()
+        lineage["links"], n_links = self._f["links"].result()
+        lineage["seen"], _ = self._f["seen"].result()
         lineage["discoveries"], n_disc = f_disc.result()
         if f_frontier is not None:
             lineage["frontier"], _ = f_frontier.result()
         else:
             lineage["frontier"] = []  # merge-on-read round, no snapshot
-        lineage["seen"], _ = f_seen.result()
         f_bloom.result()
-    # cooldown is driver-resident state (a small dict) — pyarrow write,
-    # not a Spark job
-    import pyarrow as pa
+        self._pool.shutdown(wait=True)
 
-    cd_pdf = pd.DataFrame(
-        {
-            "host": list(cooldown),
-            "expire_round": list(cooldown.values()),
+        # cooldown is driver-resident state (a small dict) — pyarrow
+        # write, not a Spark job
+        import pyarrow as pa
+
+        cd_pdf = pd.DataFrame(
+            {
+                "host": list(cooldown),
+                "expire_round": list(cooldown.values()),
+            }
+        )
+        cd_schema = pa.schema(
+            [("host", pa.string()), ("expire_round", pa.int32())]
+        )
+        t0 = time.perf_counter()
+        lineage["cooldown"] = store.write_driver_table(
+            "cooldown", rnd, cd_pdf, cd_schema
+        )
+        self.timings["w_cooldown"] = round(time.perf_counter() - t0, 3)
+        lineage["bloom"] = ["bloom.parquet"]
+
+        timings = dict(phase_timings or {})
+        timings.update(self.timings)
+        metrics = {
+            "timings_sec": timings,
+            "scheduled": n_pages,
+            "links_found": n_links,
+            "new_discoveries": n_disc,
+            "frontier_size": n_frontier,
+            "cooldown_events": cooldown_events or [],
+            "active_cooldowns": sorted(
+                h for h, e in cooldown.items() if e >= rnd
+            ),
         }
-    )
-    cd_schema = pa.schema(
-        [("host", pa.string()), ("expire_round", pa.int32())]
-    )
-    lineage["cooldown"] = _timed(
-        "w_cooldown",
-        lambda: store.write_driver_table("cooldown", rnd, cd_pdf, cd_schema),
-    )
-    lineage["bloom"] = ["bloom.parquet"]
-
-    metrics = {
-        "timings_sec": timings,
-        "scheduled": n_pages,
-        "links_found": n_links,
-        "new_discoveries": n_disc,
-        "frontier_size": n_frontier,
-        "cooldown_events": cooldown_events or [],
-        "active_cooldowns": sorted(
-            h for h, e in cooldown.items() if e >= rnd
-        ),
-    }
-    store.commit_round(rnd, metrics, lineage)
-    stats.rounds += 1
-    stats.pages += n_pages
-    stats.links += n_links
-    stats.discoveries += n_disc
-    stats.per_round.append({"round": rnd, **metrics})
+        if self.job_group is not None:
+            try:
+                metrics["spark_jobs"] = len(
+                    self.spark.sparkContext.statusTracker()
+                    .getJobIdsForGroup(self.job_group)
+                )
+            except Exception:
+                pass  # diagnostics only — never fail a commit over it
+        store.commit_round(rnd, metrics, lineage)
+        stats.rounds += 1
+        stats.pages += n_pages
+        stats.links += n_links
+        stats.discoveries += n_disc
+        stats.per_round.append({"round": rnd, **metrics})

@@ -34,6 +34,8 @@ def allocate_budget(
     host_col: str = "host",
     pending_col: str = "n_pending",
     weight_col: str | None = None,
+    small_hint: int | None = None,
+    small_max_rows: int = 200_000,
 ) -> DataFrame:
     """Apportion ``total_budget`` fetch slots across hosts.
 
@@ -53,6 +55,18 @@ def allocate_budget(
 
     Hosts with zero/negative/null weight take no part in apportionment
     and get ``alloc = 0``.
+
+    ``small_hint`` is a DRIVER-KNOWN upper bound on the host-table row
+    count (the crawl driver passes its tracked frontier size — hosts can
+    never outnumber frontier urls). When it fits ``small_max_rows`` the
+    whole apportionment runs driver-side off ONE collect — replacing the
+    distributed path's two scalar-aggregate jobs plus the global-seq
+    ranking job. Bit-exact with the distributed path: the quota
+    arithmetic is the same IEEE-double expression, the weight totals are
+    integral-valued doubles (order-independent sums below 2^53), and the
+    remainder order breaks ties on host exactly like the range-partition
+    sort. Genuinely huge host dimensions (10^7+ hosts at a 10^10-URL
+    frontier) exceed the bound and keep the distributed path.
     """
     w = (
         F.col(weight_col) if weight_col else F.col(pending_col)
@@ -63,6 +77,8 @@ def allocate_budget(
         w.alias("_w"),
     ]
     t = pending.select(*base_cols)
+    if small_hint is not None and small_hint <= small_max_rows:
+        return _allocate_driver_side(t, total_budget)
     live = t.where(F.col("_w") > 0)
     dead = t.where(~(F.col("_w") > 0)).select(
         "host", "n_pending", F.lit(0).cast("long").alias("alloc")
@@ -97,4 +113,35 @@ def allocate_budget(
     out = seqd.select("host", "n_pending", alloc.alias("alloc"))
     return out.unionByName(dead).withColumn(
         "granted", F.least("alloc", "n_pending").cast("long")
+    )
+
+
+def _allocate_driver_side(t: DataFrame, total_budget: int) -> DataFrame:
+    """Hamilton apportionment off one collect — the bounded-small path.
+
+    Same IEEE-double expression per step as the distributed path (and the
+    serial oracle ``crawloracle.hamilton_grants``): quota = B·w/W, floor
+    first, leftover units to the largest remainders (ties → host
+    ascending), grant capped at pending."""
+    import math
+
+    rows = [(r["host"], int(r["n_pending"]), float(r["_w"] or 0.0))
+            for r in t.collect()]
+    live = [(h, p, w) for h, p, w in rows if w > 0]
+    total_w = float(sum(w for _, _, w in live))
+    alloc: dict[str, int] = {h: 0 for h, _, _ in rows}
+    if live and total_w > 0:
+        base: dict[str, int] = {}
+        rem: dict[str, float] = {}
+        for h, _, w in live:
+            quota = float(total_budget) * w / total_w
+            base[h] = int(math.floor(quota))
+            rem[h] = quota - math.floor(quota)
+        leftover = max(0, int(total_budget) - sum(base.values()))
+        order = sorted(base, key=lambda h: (-rem[h], h))
+        for i, h in enumerate(order):
+            alloc[h] = base[h] + (1 if i < leftover else 0)
+    out = [(h, p, alloc[h], min(alloc[h], p)) for h, p, _ in rows]
+    return t.sparkSession.createDataFrame(
+        out, "host string, n_pending long, alloc long, granted long"
     )

@@ -98,6 +98,8 @@ def rrf_fuse(
     uniform key. Contributions are added in list order, so the fused sum
     is deterministic for the oracle.
     """
+    if not signals:
+        raise ValueError("rrf_fuse needs at least one signal")
     fused: DataFrame | None = None
     contribs: list[str] = []
     for i, sig in enumerate(signals):
@@ -116,7 +118,6 @@ def rrf_fuse(
             ).alias(col),
         )
         fused = part if fused is None else fused.join(part, key, "full")
-    assert fused is not None, "rrf_fuse needs at least one signal"
     expr = F.coalesce(F.col(contribs[0]), F.lit(0.0))
     for c in contribs[1:]:
         expr = expr + F.coalesce(F.col(c), F.lit(0.0))
@@ -130,13 +131,37 @@ def with_global_seq(
     num_partitions: int | None = None,
     start: int = 0,
     return_count: bool = False,
+    small_hint: int | None = None,
+    small_max_rows: int = 4_000_000,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Add a dense global 0-based (plus ``start``) sequence by total order.
 
     ``return_count=True`` also returns the exact row count — free, since
     the per-partition offset computation already counted every row; callers
-    then never need a separate ``count()`` job."""
+    then never need a separate ``count()`` job.
+
+    ``small_hint`` is a DRIVER-KNOWN upper bound on ``df``'s row count
+    (e.g. the tracked frontier size bounds a crawl round's schedule).
+    When the bound fits comfortably in one task (``<= small_max_rows``)
+    the range machinery is skipped entirely: the input is frozen with one
+    lazy ``localCheckpoint`` and the sequence is a single global-order
+    ``row_number`` — ONE Spark job (the count that materializes the
+    checkpoint) instead of the range path's two (range-boundary sampling
+    + per-partition offsets), and the upstream chain is evaluated once
+    instead of twice. The deliberate single-partition window is safe BY
+    the bound's contract; an over-optimistic hint degrades to one slow
+    sort task, never to a wrong sequence. At 10^10-frontier scale rounds
+    exceed the bound and the range-partitioned path engages unchanged."""
     spark = df.sparkSession
+    if small_hint is not None and small_hint <= small_max_rows:
+        base = df.localCheckpoint(eager=False)
+        w = Window.orderBy(*order_cols)
+        result = base.withColumn(
+            out, (F.row_number().over(w) + F.lit(start - 1)).cast("long")
+        )
+        if return_count:
+            return result, base.count()
+        return result
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 

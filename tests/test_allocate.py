@@ -35,6 +35,44 @@ def test_alloc_sums_to_budget_exactly(spark):
     assert all(r.granted <= r.alloc for r in out)
 
 
+def test_driver_side_fast_path_matches_distributed(spark):
+    """small_hint short-circuit: one-collect Hamilton ≡ the distributed
+    three-job path, row for row — including zero/dead weights, remainder
+    ties (equal counts break on host ascending), and grant caps."""
+    from crawler_spark.operators.allocate import allocate_budget
+
+    rows = (
+        [(f"h{i:03d}", (i * 7919) % 97) for i in range(60)]
+        + [("tie_a", 13), ("tie_b", 13), ("dead_a", 0)]
+    )
+    pend = _pending(spark, rows)
+    for budget in (0, 1, 17, 101, 100_000):
+        fast = sorted(
+            allocate_budget(pend, budget, small_hint=len(rows)).collect()
+        )
+        dist = sorted(allocate_budget(pend, budget).collect())
+        assert fast == dist, f"fast/distributed diverge at budget={budget}"
+
+
+def test_fast_path_respects_weight_col(spark):
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = spark.createDataFrame(
+        [("a", 10, 1.0), ("b", 10, 3.0), ("c", 2, 0.0)],
+        "host string, n_pending long, rep double",
+    )
+    fast = sorted(
+        allocate_budget(
+            pend, 8, weight_col="rep", small_hint=3
+        ).collect()
+    )
+    dist = sorted(allocate_budget(pend, 8, weight_col="rep").collect())
+    assert fast == dist
+    by_host = {r.host: r for r in fast}
+    assert by_host["b"].alloc == 6 and by_host["a"].alloc == 2
+    assert by_host["c"].alloc == 0
+
+
 def test_budget_larger_than_pending_caps_granted(spark):
     from crawler_spark.operators.allocate import allocate_budget
 
