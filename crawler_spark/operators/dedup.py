@@ -666,7 +666,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     portable: bool = False,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ d via pigeonhole banding.
@@ -684,9 +684,10 @@ def simhash_near_dups(
     join quadratic in the clique. Buckets above the cap are skipped — run
     ``dedup_exact`` first so identical-doc cliques never reach this
     operator (that is exact dedup's job); for genuinely near docs the pair
-    usually survives via another, smaller chunk bucket. Default ``None``:
-    the un-capped operator keeps its exact recall-≤-d guarantee — opt in
-    (≈10000) at web-corpus scale after running ``dedup_exact``.
+    usually survives via another, smaller chunk bucket. The default cap
+    (10000) keeps the operator safe at web-corpus scale; pass ``None``
+    explicitly for the exact recall-≤-d contract — after running
+    ``dedup_exact``, so identical-doc cliques never reach this join.
 
     ``portable=True`` swaps the signature source to
     :func:`simhash_portable_signatures` (md5-prefix hash family) — the
@@ -1063,7 +1064,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact jaccard over distinct word n-grams, sub-quadratic via the
     inverted index: pairs sharing ≥1 gram → |A∩B| by count, |A∪B| from
@@ -1077,9 +1078,9 @@ def ngram_jaccard_pairs(
     (intersection misses dropped shingles, union is exact): no false
     near-dups, and a pair whose overlap is mostly ultra-common boilerplate
     was below any useful threshold anyway. The same guard as
-    ``lsh_candidate_pairs``' mega-bucket cap. Default ``None``: exact by
-    default (matching this operator's contract and its DuckDB oracle) —
-    opt in (≈10000) at web-corpus scale.
+    ``lsh_candidate_pairs``' mega-bucket cap. The default cap (10000)
+    keeps the operator safe at web-corpus scale; pass ``None`` explicitly
+    for the exact contract (what this operator's DuckDB oracle checks).
     """
     grams = word_shingles(df, id_col, text_col, n)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
