@@ -558,11 +558,15 @@ class CrawlStore:
             "disc_round", "disc_seq", "url", "host"
         )
 
-    def read_page_text(self) -> DataFrame:
+    def read_page_text(self, with_host: bool = False) -> DataFrame:
         """(round, url, text) for fetched html pages — backed by the fused
-        text column on the pages table."""
+        text column on the pages table. ``with_host=True`` adds the host
+        column (what host-level rollups like
+        ``quality.host_reputation`` key on)."""
+        cols = (["round", "host", "url", "text"] if with_host
+                else ["round", "url", "text"])
         return (
             self._read_all("pages", PAGES_FILE_SCHEMA)
             .where(F.col("type") == "html")
-            .select("round", "url", "text")
+            .select(*cols)
         )

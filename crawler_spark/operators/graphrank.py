@@ -322,3 +322,81 @@ def host_trust_from_links(
     )
     scores = trustrank(edges, seeds, n_iter=n_iter, damping=damping)
     return {r["node"]: float(r["trust"]) for r in scores.collect()}
+
+
+def fused_host_priority(
+    links: DataFrame,
+    signals: list[str],
+    seed_hosts: list[str] | None = None,
+    pages_text: DataFrame | None = None,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    rrf_k: int = 60,
+) -> dict[str, float]:
+    """Rank-fuse several host-level signals into one
+    ``CrawlConfig.priority`` map (the scheduler's ``--priority-fusion``
+    knob; ``operators.topk.rrf_fuse`` does the fusion).
+
+    ``signals`` is an ordered subset of:
+
+    - ``"pagerank"`` — host-level PageRank of the store's link table
+      (:func:`host_ranks_from_links`'s distributed half);
+    - ``"trust"`` — seed-biased TrustRank (needs ``seed_hosts``;
+      :func:`host_trust_from_links`);
+    - ``"reputation"`` — content-quality rollup
+      (``operators.quality.host_reputation``; needs ``pages_text`` with
+      ``(host, text)`` — the store's extracted-text view).
+
+    RRF makes the scales commensurable rank-wise (1/(k+rank) each), so a
+    spammy link-farm that tops raw PageRank cannot dominate unless it
+    also ranks high on trust/quality. Signal list order only breaks
+    float summation order, not semantics; the output dict is broadcast-
+    sized (one entry per host) like every scheduler table. Like the
+    single-signal feeds, recompute between sessions, not per round.
+    """
+    known = {"pagerank", "trust", "reputation"}
+    bad = [s for s in signals if s not in known]
+    if bad:
+        raise ValueError(f"unknown priority signals {bad}; pick from {sorted(known)}")
+    if not signals:
+        raise ValueError("fused_host_priority needs at least one signal")
+    edges = (
+        links.select(
+            F.col("source_host").alias("src"), F.col("host").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .where((F.col("src") != "") & (F.col("dst") != ""))
+    )
+    spark = links.sparkSession
+    sigs = []
+    for name in signals:
+        if name == "pagerank":
+            sigs.append(
+                pagerank(edges, n_iter=n_iter, damping=damping).select(
+                    F.col("node").alias("host"), F.col("rank").alias("score")
+                )
+            )
+        elif name == "trust":
+            if not seed_hosts:
+                raise ValueError('signal "trust" needs seed_hosts')
+            seeds = spark.createDataFrame(
+                [(h,) for h in sorted(set(seed_hosts))], "node string"
+            )
+            sigs.append(
+                trustrank(edges, seeds, n_iter=n_iter, damping=damping)
+                .select(F.col("node").alias("host"),
+                        F.col("trust").alias("score"))
+            )
+        else:  # reputation
+            if pages_text is None:
+                raise ValueError('signal "reputation" needs pages_text')
+            from crawler_spark.operators.quality import host_reputation
+
+            sigs.append(
+                host_reputation(pages_text, host_col="host", id_col="url")
+                .select("host", F.col("reputation").alias("score"))
+            )
+    from crawler_spark.operators.topk import rrf_fuse
+
+    fused = rrf_fuse(sigs, key="host", score_col="score", k=rrf_k)
+    return {r["host"]: float(r["rrf"]) for r in fused.collect()}

@@ -97,6 +97,13 @@ def main() -> None:
                          "link graph already in the store (requires "
                          "--resume: a fresh store has no links yet); "
                          "BFS breaks ties")
+    ap.add_argument("--priority-fusion", default=None,
+                    metavar="SIG[,SIG...]",
+                    help="rank-fuse host priority signals (RRF) from the "
+                         "store's own crawl: any of pagerank, trust, "
+                         "reputation (e.g. 'pagerank,trust,reputation'); "
+                         "requires --resume like --pagerank-priority; "
+                         "BFS breaks remaining ties")
     ap.add_argument("--round-capacity", type=int, default=0,
                     help="max pages per round across all hosts "
                          "(0 = unlimited); overflow stays in the "
@@ -182,6 +189,9 @@ def main() -> None:
         periods = {}
 
     priority: dict[str, float] = {}
+    if args.pagerank_priority and args.priority_fusion:
+        ap.error("--pagerank-priority and --priority-fusion are exclusive "
+                 "(fusion with signals=pagerank subsumes the former)")
     if args.pagerank_priority:
         if not args.resume:
             ap.error("--pagerank-priority requires --resume (ranks come "
@@ -190,6 +200,25 @@ def main() -> None:
 
         priority = host_ranks_from_links(
             CrawlStore(spark, args.store).read_links()
+        )
+    elif args.priority_fusion:
+        if not args.resume:
+            ap.error("--priority-fusion requires --resume (signals come "
+                     "from the crawl a prior session committed)")
+        from crawler_spark.functions.urls import get_hostname
+        from crawler_spark.operators.graphrank import fused_host_priority
+
+        signals = [s.strip() for s in args.priority_fusion.split(",")
+                   if s.strip()]
+        st = CrawlStore(spark, args.store)
+        priority = fused_host_priority(
+            st.read_links(),
+            signals,
+            seed_hosts=sorted({get_hostname(u) for u in seeds}),
+            pages_text=(
+                st.read_page_text(with_host=True)
+                if "reputation" in signals else None
+            ),
         )
 
     cfg = CrawlConfig(

@@ -312,3 +312,87 @@ def test_global_budget_composes_with_priority_golden(
     assert list(map(tuple, got[cols].itertuples(index=False))) == list(
         map(tuple, want[cols].itertuples(index=False))
     )
+
+
+def test_priority_fusion_golden(spark, small_web, tmp_path_factory):
+    """--priority-fusion wiring (operators.graphrank.fused_host_priority):
+    RRF-fused (pagerank, trust, reputation) host priorities drive the
+    crawl; driver ≡ serial oracle row-for-row under the fused dict, and
+    the fused order differs from BFS and from the pagerank-only order
+    (the fusion actually bites)."""
+    from crawler_spark.functions.urls import get_hostname
+    from crawler_spark.operators.graphrank import (
+        fused_host_priority,
+        host_ranks_from_links,
+    )
+
+    w = small_web
+    seeds = w.seeds.url.tolist()
+    budgets = {
+        r.host: int(r.budget_per_round) for r in w.politeness.itertuples()
+    }
+    robots = [(r.host, r.rule, bool(r.allow)) for r in w.robots.itertuples()]
+    # session 1 (BFS) supplies the link graph + text the signals feed on
+    first = crawl_oracle(
+        w.pages, seeds, CrawlConfig(budgets=budgets, robots=robots,
+                                    max_rounds=20)
+    )
+    links_sdf = spark.createDataFrame(first.links)
+    text_pdf = first.text.copy()
+    text_pdf["host"] = [get_hostname(u) for u in text_pdf.url]
+    pages_text = spark.createDataFrame(text_pdf[["host", "url", "text"]])
+    seed_hosts = sorted({get_hostname(u) for u in seeds})
+
+    fused = fused_host_priority(
+        links_sdf,
+        ["pagerank", "trust", "reputation"],
+        seed_hosts=seed_hosts,
+        pages_text=pages_text,
+    )
+    assert fused, "fusion produced no hosts"
+    pr_only = host_ranks_from_links(links_sdf)
+
+    def oracle_order(prio):
+        cfg = CrawlConfig(budgets=budgets, robots=robots, max_rounds=20,
+                          priority=prio)
+        res = crawl_oracle(w.pages, seeds, cfg)
+        return res.crawl_order.sort_values(["round", "seq"]).url.tolist()
+
+    fused_order = oracle_order(fused)
+    assert fused_order != oracle_order({}), "fusion must change BFS order"
+    assert fused_order != oracle_order(pr_only), (
+        "fusion must differ from the single-signal pagerank order"
+    )
+
+    cfg = CrawlConfig(budgets=budgets, robots=robots, max_rounds=20,
+                      priority=fused)
+    want = crawl_oracle(w.pages, seeds, cfg)
+    root = str(tmp_path_factory.mktemp("fusedprio"))
+    run_crawl(spark, _to_spark_corpus(spark, w.pages), seeds, cfg, root,
+              bloom_buckets=8, bloom_bits=1 << 16)
+    key = ["round", "seq"]
+    got = (
+        CrawlStore(spark, root).read_pages().toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    w_order = want.crawl_order.sort_values(key).reset_index(drop=True)
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, w_order[cols].itertuples(index=False))
+    )
+
+
+def test_fused_host_priority_validates_inputs(spark):
+    from crawler_spark.operators.graphrank import fused_host_priority
+
+    links = spark.createDataFrame(
+        [("a.test", "b.test")], "source_host string, host string"
+    )
+    with pytest.raises(ValueError, match="unknown priority signals"):
+        fused_host_priority(links, ["pagerank", "bogus"])
+    with pytest.raises(ValueError, match="at least one"):
+        fused_host_priority(links, [])
+    with pytest.raises(ValueError, match="seed_hosts"):
+        fused_host_priority(links, ["trust"])
+    with pytest.raises(ValueError, match="pages_text"):
+        fused_host_priority(links, ["reputation"])
