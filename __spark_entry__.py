@@ -50,7 +50,17 @@ def _read_wide(
     parallelism of a single file is wrong at every scale."""
     df = _read(spark, sf_dir, table)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # detect the single-small-file shape from FILE METADATA — converting
+    # to an RDD just to count partitions costs ~0.1-0.4 s of plan/RDD
+    # setup per query, which across a 114-query gate is real minutes;
+    # inputFiles() is a pure catalog read (~15 ms)
+    import os as _os
+
+    files = df.inputFiles()
+    total_bytes = sum(
+        _os.path.getsize(f.removeprefix("file:")) for f in files
+    )
+    if len(files) < target and total_bytes < (64 << 20):
         df = df.repartition(target, key)
     return df
 

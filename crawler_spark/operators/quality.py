@@ -13,6 +13,7 @@ SQL for the DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -362,6 +363,54 @@ def winnow_reference(tokens: list[str], k: int, window: int) -> list[tuple[int, 
     return picks
 
 
+def _winnow_rows(pdf_iter, id_col: str, window: int):
+    """Arrow-batched winnow pick kernel: (id, _hs array) batches in, flat
+    (id, gram_pos, fp_hash) rows out.
+
+    Vectorized per row: numpy sliding-window argmin (first occurrence of
+    the minimum wins — np.argmin's tie rule IS the classic winnowing
+    tie-break), then consecutive same-position dedup; output batches are
+    built from concatenated numpy arrays, never per-pick python objects
+    (a struct-array returning variant measured ~6 s of pandas→Arrow
+    struct conversion at sf0.1 — the flat layout is ~20× cheaper).
+    Semantics are pinned to :func:`winnow_reference` by tests."""
+    for pdf in pdf_iter:
+        ids = pdf[id_col].to_numpy()
+        counts = np.zeros(len(pdf), dtype=np.int64)
+        pos_parts = []
+        h_parts = []
+        for i, arr in enumerate(pdf["_hs"]):
+            h = np.asarray(arr, dtype=np.int64)
+            m = len(h)
+            if m == 0:
+                continue
+            if m <= window:
+                sel = np.array([int(h.argmin())])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                pos = np.arange(m - window + 1) + win.argmin(axis=1)
+                keep = np.empty(len(pos), dtype=bool)
+                keep[0] = True
+                np.not_equal(pos[1:], pos[:-1], out=keep[1:])
+                sel = pos[keep]
+            counts[i] = len(sel)
+            pos_parts.append(sel)
+            h_parts.append(h[sel])
+        if not pos_parts:
+            yield pd.DataFrame(
+                {id_col: ids[:0], "gram_pos": np.array([], dtype=np.int32),
+                 "fp_hash": np.array([], dtype=np.int64)}
+            )
+            continue
+        yield pd.DataFrame(
+            {
+                id_col: np.repeat(ids, counts),
+                "gram_pos": np.concatenate(pos_parts).astype(np.int32),
+                "fp_hash": np.concatenate(h_parts),
+            }
+        )
+
+
 def fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -408,44 +457,20 @@ def fingerprints(
     )
 
     base = df.select(F.col(id_col), hs.alias("_hs"))
-    m = F.size("_hs")
-    h_arr = F.col("_hs")
-    # window start positions 0..max(m-window, 0) (end windows truncate);
-    # first-occurrence argmin per window via array_min + array_position
-    # (1-based FIRST index of the minimum — the classic tie-break) —
-    # native array kernels, no interpreted fold
-    starts = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
-
-    def pick_at(i):
-        # flat w-way min + ascending first-match position: plain
-        # element_at/least/when expressions, no per-window array
-        # allocation (a slice-based variant measured ~2× slower)
-        es = [
-            F.when(i + j < m, F.element_at(h_arr, i + j + 1))
-            for j in range(window)
-        ]
-        # least() requires ≥2 args and skips null (past-end) slots
-        mn = es[0] if window == 1 else F.least(*es)
-        pos = F.lit(None).cast("int")
-        for j in range(window - 1, -1, -1):
-            pos = F.when(es[j] == mn, (i + j).cast("int")).otherwise(pos)
-        return F.struct(mn.alias("h"), pos.alias("pos"))
-
-    # materialize the picks array as a COLUMN before the dedup filter:
-    # referencing the transform EXPRESSION inside the filter lambda would
-    # re-evaluate the whole window pass per element (quadratic)
-    picked = base.where(m > 0).select(
-        F.col(id_col), F.transform(starts, pick_at).alias("_pa")
-    )
-    picks = F.filter(
-        F.col("_pa"),
-        lambda p, idx: (idx == 0)
-        | (p["pos"] != F.element_at(F.col("_pa"), idx)["pos"]),
-    )
-    return picked.select(F.col(id_col), F.explode(picks).alias("_p")).select(
-        id_col,
-        F.col("_p.pos").alias("gram_pos"),
-        F.col("_p.h").alias("fp_hash"),
+    # The pick stage (per-window first-occurrence argmin + consecutive
+    # dedup) is ONE Arrow-batched vectorized kernel over the hash array,
+    # emitting the exploded (id, gram_pos, fp_hash) rows directly from
+    # concatenated numpy arrays. A fully relational formulation exists in
+    # git history; higher-order lambdas are interpreted with no
+    # common-subexpression elimination, and both the flat least()/when()
+    # form (~4.9 s at sf0.1) and a two-pass min/argmin split (~6.0 s)
+    # lose to the numpy kernel. Still zero shuffle (asserted in
+    # tests/test_plans.py): mapInPandas is a per-partition map, not an
+    # exchange.
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, gram_pos int, fp_hash long"
+    return base.mapInPandas(
+        lambda it: _winnow_rows(it, id_col, window), out_schema
     )
 
 

@@ -396,3 +396,94 @@ def test_fused_host_priority_validates_inputs(spark):
         fused_host_priority(links, ["trust"])
     with pytest.raises(ValueError, match="pages_text"):
         fused_host_priority(links, ["reputation"])
+
+
+def _skew_web(n_hot=200, n_cold_hosts=3, fanout=3):
+    """99%-single-host mini-web: one hot host carries a chained page set,
+    each cold host one page linking into it. Exercises the adversarial
+    shape for the global-budget scheduler (Hamilton grants are
+    demand-weighted, so one host owns ~all of every round's budget)."""
+    rows = []
+
+    def page(url, hrefs):
+        html = (
+            "<html><body>"
+            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            + "<p>plain body text for this page</p></body></html>"
+        )
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": pd.Timestamp("2026-01-01"),
+                "html": html.encode(),
+                "text": None,
+                "lang": "en",
+                "content_type": "text/html",
+                "status": 200,
+                "retry_after": None,
+            }
+        )
+
+    hot = [f"http://hot.skew.test/p{i}" for i in range(n_hot)]
+    # p0 is a hub linking EVERY leaf: after it is crawled the frontier is
+    # ~99% one host with a WIDE pending queue — the adversarial shape for
+    # fair-share grants. Leaves link the next leaf (already-discovered:
+    # exercises the seen filter), cold hosts link back into the hub.
+    page(hot[0], hot[1:])
+    for i, u in enumerate(hot[1:], start=1):
+        page(u, hot[i + 1 : i + 1 + fanout])
+    for c in range(n_cold_hosts):
+        page(f"http://cold{c}.skew.test/", [hot[0]])
+    seeds = [f"http://cold{c}.skew.test/" for c in range(n_cold_hosts)]
+    seeds.append(hot[0])
+    return pd.DataFrame(rows), seeds
+
+
+def test_global_budget_skew_fills_rounds_golden(
+    spark, tmp_path_factory
+):
+    """Adversarial skew for fair-share mode: a frontier that is ~99% one
+    host must still FILL every round — granted = least(alloc, pending)
+    may roll cold-host units forward, but demand-weighted apportionment
+    re-grants them to the hot host next round, so every round schedules
+    min(global_budget, frontier). Driver ≡ serial oracle row-for-row on
+    the same fixture."""
+    pages, seeds = _skew_web()
+    budget = 40
+    cfg = CrawlConfig(
+        budgets={}, robots=[], max_rounds=30, global_budget=budget
+    )
+    oracle = crawl_oracle(pages, seeds, cfg)
+
+    root = str(tmp_path_factory.mktemp("skewstore"))
+    run_crawl(spark, _to_spark_corpus(spark, pages), seeds, cfg, root,
+              bloom_buckets=8, bloom_bits=1 << 16)
+    store = CrawlStore(spark, root)
+    key = ["round", "seq"]
+    got = (
+        store.read_pages().toPandas().sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = oracle.crawl_order.sort_values(key).reset_index(drop=True)
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
+    # every committed round fills: scheduled == min(budget, frontier at
+    # round start). Round r's start frontier is round r-1's manifest
+    # frontier_size; round 0 starts from the seed list.
+    rounds = store.committed_rounds()
+    frontier_start = len(seeds)
+    fills = []
+    for r in rounds:
+        m = store.read_manifest(r)["metrics"]
+        assert m["scheduled"] == min(budget, frontier_start), (
+            f"round {r} under-filled: scheduled {m['scheduled']} vs "
+            f"min({budget}, frontier {frontier_start})"
+        )
+        fills.append(m["scheduled"])
+        frontier_start = m["frontier_size"]
+    # the skew shape really bit: some middle round hit the full budget
+    assert max(fills) == budget
+    # and the whole web was crawled exactly once
+    assert sum(fills) == len(pages)

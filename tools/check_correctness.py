@@ -39,6 +39,27 @@ def canon_hash(df) -> tuple[int, list[str], str]:
     return len(df), cols, hashlib.sha256(payload).hexdigest()[:16]
 
 
+def oracle_connection(sf_dir: str = SF_DIR):
+    """DuckDB connection with the test tables pre-registered as views —
+    the same setup the driver's gate uses (also imported by
+    tests/test_tail_oracles.py for the random below-window re-checks)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def check_query(spark, con, fn, sql, sf_dir: str = SF_DIR):
+    """(ok, n_spark, n_duck, h_spark, h_duck) for one oracle-backed query."""
+    sp = fn(spark, sf_dir).toPandas()
+    du = con.execute(sql).df()
+    n_s, c_s, h_s = canon_hash(sp)
+    n_d, c_d, h_d = canon_hash(du)
+    return (n_s, c_s, h_s) == (n_d, c_d, h_d), n_s, n_d, h_s, h_d
+
+
 def main() -> None:
     import __spark_entry__ as em
 
@@ -46,11 +67,7 @@ def main() -> None:
 
     only = set(sys.argv[1:])
     qs, oracles = em.queries(), em.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    con = oracle_connection()
     spark = get_spark("check")
 
     n_fail = 0
