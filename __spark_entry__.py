@@ -2217,6 +2217,19 @@ def q_embedding_quantization(spark, sf):
     return reconstruction_error(e)
 
 
+def q_bm25_search(spark, sf):
+    """Okapi BM25 ranked retrieval (`analytics.search.bm25_topk`):
+    top-20 docs for the same 4-term query as `term_search`, with
+    saturation (k1) + length normalization (b) — identical broadcast
+    posting-join shape, corpus scalars (N, avgdl) from one 2-scalar
+    aggregate. (score desc, doc_id) total order; oracle runs the same
+    double arithmetic in the same operation order."""
+    from crawler_spark.analytics.search import bm25_topk
+
+    d = _read_wide(spark, sf, "documents")
+    return bm25_topk(d, ["join", "spark", "table", "window"], k=20)
+
+
 def q_term_search(spark, sf):
     """Disjunctive TF-IDF ranked retrieval (`analytics.search.
     tfidf_topk`): top-20 documents for a 4-term query, broadcast
@@ -2340,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_terms": q_split_terms,
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
+        "bm25_search": q_bm25_search,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
         # ---- rows-only (kernel / crawl / sketch operators) —
@@ -4975,6 +4989,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(
                        (tf.n * 1.0 / tf.dl)
                        * (ln((nd.n + 1) / (df.df + 1)) + 1)
+                   ), 6) AS DOUBLE) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN nd
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 20
+        """,
+        # Okapi BM25 twin of term_search: same postings CTEs, BM25
+        # idf/saturation scoring (identical double operation order)
+        "bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS dl,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), q AS (
+                SELECT unnest(['join', 'spark', 'table', 'window'])
+                    AS term
+            ), tf AS (
+                SELECT t.doc_id, t.term,
+                       count(*) AS n, min(t.dl) AS dl
+                FROM toks t JOIN q ON q.term = t.term
+                GROUP BY t.doc_id, t.term
+            ), nd AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(avg(len(string_split(text, ' ')))
+                            AS DOUBLE) AS avgdl
+                FROM documents
+            ), df AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS df
+                FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(round(sum(
+                       ln((nd.n - df.df + CAST(0.5 AS DOUBLE))
+                          / (df.df + CAST(0.5 AS DOUBLE))
+                          + CAST(1.0 AS DOUBLE))
+                       * ((CAST(tf.n AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                          / (CAST(tf.n AS DOUBLE)
+                             + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * CAST(tf.dl AS DOUBLE) / nd.avgdl)))
                    ), 6) AS DOUBLE) AS score
             FROM tf JOIN df USING (term) CROSS JOIN nd
             GROUP BY tf.doc_id

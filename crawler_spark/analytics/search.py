@@ -81,3 +81,73 @@ def tfidf_topk(
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 (Robertson et al., TREC-3) —
+    the saturation/length-normalized upgrade of :func:`tfidf_topk`.
+
+    Same Spark shape: broadcast semi-join of the query terms against the
+    exploded corpus (only query-term posting rows ever aggregate), one
+    grouped tf pass, a broadcast df table, one TakeOrdered top-k. The
+    corpus-level scalars — N and the average document length — are the
+    numbers a deployment caches with its index; here they cost one
+    2-scalar aggregate job.
+
+    Scoring, kept bit-reproducible cross-engine (every literal cast to
+    double, same operation order as the DuckDB oracle)::
+
+        idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )     # BM25+-style floor
+        tfn(t,d)= n·(k1+1) / (n + k1·(1 - b + b·dl/avgdl))
+        score   = Σ_terms idf·tfn     (rounded to 6 dp; ties → doc_id)
+
+    Returns ``(doc_id, n_hits, score)`` like :func:`tfidf_topk`.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    words = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    )
+    n_docs, avgdl = docs.select(
+        F.count("*"), F.avg(F.size(words)).cast("double")
+    ).first()
+    hits = toks.join(F.broadcast(q), "term")
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("n"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = F.col("n").cast("double")
+    dl = F.col("dl").cast("double")
+    dfc = F.col("df").cast("double")
+    idf = F.log(
+        (F.lit(float(n_docs)) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (n * F.lit(k1 + 1.0)) / (
+        n + F.lit(float(k1)) * (
+            F.lit(1.0 - b) + F.lit(float(b)) * dl / F.lit(float(avgdl))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.round(F.sum(idf * tfn), 6).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )

@@ -339,6 +339,7 @@ def run_crawl(
         seed_disc = None
 
     frontier = frontier.cache()
+    _reload_prev = 0.0  # end-of-round state-reload cost, surfaced in the NEXT round's manifest
 
     for rnd in range(start_round, config.max_rounds):
         # frontier size is tracked from the previous commit — no extra job
@@ -350,6 +351,7 @@ def run_crawl(
         # number the fixed-cost budget tracks
         job_group = f"crawl-round-{rnd}"
         spark.sparkContext.setJobGroup(job_group, f"crawl round {rnd}")
+        _round_t0 = time.perf_counter()
 
         # -- eligibility: cooldown anti-join (broadcast, one row per host) --
         active_cd = [(h, e) for h, e in cooldown.items() if e >= rnd]
@@ -436,6 +438,13 @@ def run_crawl(
             n_scheduled = config.round_capacity
         scheduled = scheduled.cache()
         phase_t = {"schedule": round(time.perf_counter() - _t0, 3)}
+        if _reload_prev:
+            # end-of-previous-round state reload (committed frontier +
+            # seen-filter re-read) — it prepares THIS round, so it is
+            # this round's fixed cost
+            phase_t["reload"] = _reload_prev
+            _reload_prev = 0.0
+        phase_t["_round_t0"] = _round_t0
         if n_scheduled == 0:
             # wait for periodic budgets only while a full period cycle
             # hasn't yet passed without progress: if max(period)
@@ -619,6 +628,7 @@ def run_crawl(
         scheduled.unpersist()
         fetched.unpersist()
         links.unpersist()
+        _t0 = time.perf_counter()
         if snap:
             frontier = store.read_snapshot("frontier", rnd, DISC_SCHEMA)
         else:
@@ -628,6 +638,7 @@ def run_crawl(
             spark, store.table_round_path("bloom", rnd), seen_filter,
             bloom_buckets, bloom_bits, cuckoo_entries,
         )
+        _reload_prev = round(time.perf_counter() - _t0, 3)
 
     return stats
 
@@ -860,7 +871,12 @@ class _RoundCommit:
         lineage["bloom"] = ["bloom.parquet"]
 
         timings = dict(phase_timings or {})
+        t0 = timings.pop("_round_t0", None)
         timings.update(self.timings)
+        if t0 is not None:
+            # scheduling start → commit durable: the true per-round wall
+            # (phase timings overlap, so they cannot be summed)
+            timings["round_wall"] = round(time.perf_counter() - t0, 3)
         metrics = {
             "timings_sec": timings,
             "scheduled": n_pages,
