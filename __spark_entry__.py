@@ -2230,6 +2230,30 @@ def q_bm25_search(spark, sf):
     return bm25_topk(d, ["join", "spark", "table", "window"], k=20)
 
 
+def q_classify_portable(spark, sf):
+    """ENGINE-PORTABLE classify pipeline: md5-dyadic features
+    (`multimodal.decode_features_portable`) -> dyadic linear head top-3
+    (`classify.classify_features_portable`). Value-proves the classify
+    mechanics (feature derivation, fold-order dots, 6-dp rounding,
+    (score desc, label asc) per-item top-k) end-to-end in SQL; the
+    production path keeps injectable model heads (`classify_images`,
+    rows-only)."""
+    from crawler_spark.operators.classify import classify_features_portable
+    from crawler_spark.operators.multimodal import decode_features_portable
+
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("img:"), F.col("doc_id").cast("string")).alias(
+            "payload_key"
+        ),
+    )
+    feats = decode_features_portable(d, dim=16)
+    labels = ["animal", "vehicle", "landscape", "person", "text", "food"]
+    return classify_features_portable(feats, labels, dim=16, k=3).select(
+        "media_id", "category", "score", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_term_search(spark, sf):
     """Disjunctive TF-IDF ranked retrieval (`analytics.search.
     tfidf_topk`): top-20 documents for a 4-term query, broadcast
@@ -2354,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_topk_events": q_tags_topk_events,
         "term_search": q_term_search,
         "bm25_search": q_bm25_search,
+        "classify_portable": q_classify_portable,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
         # ---- rows-only (kernel / crawl / sketch operators) —
@@ -4994,6 +5019,59 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id
             LIMIT 20
+        """,
+        # portable classify: md5-dyadic features x dyadic prototypes,
+        # left-fold dots, 6-dp round, per-item (score desc, label) top-3
+        "classify_portable": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       'img:' || CAST(doc_id AS VARCHAR) AS pk
+                FROM documents WHERE doc_id < 200
+            ), f AS (
+                SELECT media_id,
+                       list_transform(range(0, 16), j ->
+                           ((CAST(list_sum(list_transform(range(1, 16),
+                               i -> (strpos('0123456789abcdef',
+                                     substr(md5(pk || '|' ||
+                                            CAST(j AS VARCHAR)), i, 1))
+                                     - 1)::BIGINT
+                                    * (1::BIGINT << (4*(15 - i)))))
+                               AS BIGINT) % 257) - 128) / 128.0
+                       ) AS fl
+                FROM m
+            ), lab AS (
+                SELECT * FROM (VALUES ('animal'), ('food'), ('landscape'),
+                                      ('person'), ('text'), ('vehicle'))
+                    l(label)
+            ), p AS (
+                SELECT label,
+                       list_transform(range(0, 16), d ->
+                           ((CAST(list_sum(list_transform(range(1, 16),
+                               i -> (strpos('0123456789abcdef',
+                                     substr(md5(label || '#' ||
+                                            CAST(d AS VARCHAR)), i, 1))
+                                     - 1)::BIGINT
+                                    * (1::BIGINT << (4*(15 - i)))))
+                               AS BIGINT) % 257) - 128) / 128.0
+                       ) AS pl
+                FROM lab
+            ), s AS (
+                SELECT f.media_id, p.label AS category,
+                       CAST(round(list_reduce(
+                           list_transform(range(1, 17),
+                                          i -> f.fl[i] * p.pl[i]),
+                           (a, c) -> a + c), 6) AS DOUBLE) AS score
+                FROM f CROSS JOIN p
+            ), r AS (
+                SELECT media_id, category, score,
+                       row_number() OVER (
+                           PARTITION BY media_id
+                           ORDER BY score DESC, category
+                       ) AS rank
+                FROM s
+            )
+            SELECT media_id, category, score, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
         # Okapi BM25 twin of term_search: same postings CTEs, BM25
         # idf/saturation scoring (identical double operation order)

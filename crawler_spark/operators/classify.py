@@ -183,3 +183,54 @@ def classify_features(
         "score double, rank int"
     )
     return feats.select(id_col, feat_col).mapInPandas(run, schema)
+
+
+def classify_features_portable(
+    feats: DataFrame,
+    labels: list[str],
+    id_col: str = "media_id",
+    feat_col: str = "features",
+    dim: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """ENGINE-PORTABLE twin of :func:`classify_features` for the oracle.
+
+    The linear head's prototype weights are dyadic rationals
+    ``p(label, d) = (md5int15(label#d) % 257 − 128) / 128`` (computed
+    driver-side with hashlib and embedded as literals; DuckDB computes
+    the identical doubles in SQL), and each score is a LEFT FOLD of the
+    per-dimension products in array order (``F.aggregate`` here,
+    ``list_reduce`` there) — so scores, 6-dp rounding, and the
+    (score desc, label asc) top-k agree bit-for-bit across engines.
+    Relational form: per-label struct explode + one per-item window —
+    no UDF; the label set is dimension-sized by construction."""
+    import hashlib
+
+    def w(label: str, d: int) -> float:
+        h = int(hashlib.md5(f"{label}#{d}".encode()).hexdigest()[:15], 16)
+        return (h % 257 - 128) / 128.0
+
+    parts = []
+    for label in sorted(set(labels)):
+        warr = F.array(*[F.lit(w(label, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(feat_col), warr, lambda a, c: a * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        parts.append(
+            F.struct(
+                F.lit(label).alias("category"),
+                F.round(dot, 6).cast("double").alias("score"),
+            )
+        )
+    scored = feats.select(
+        F.col(id_col), F.explode(F.array(*parts)).alias("c")
+    ).select(id_col, "c.category", "c.score")
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("category")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+    )

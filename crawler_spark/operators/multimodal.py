@@ -123,3 +123,37 @@ def frame_sample(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def decode_features_portable(
+    df: DataFrame,
+    id_col: str = "media_id",
+    key_col: str = "payload_key",
+    dim: int = 16,
+) -> DataFrame:
+    """ENGINE-PORTABLE twin of :func:`decode_features` for the oracle.
+
+    Features are dyadic rationals derived from md5 of the media's string
+    key — ``f(key, j) = (md5int15(key|j) % 257 − 128) / 128`` — the same
+    hash family as ``similarity.lsh_portable_bucket_ids``, so DuckDB
+    reproduces every feature bit-exactly with its hex-prefix trick and
+    the downstream classify top-k becomes value-checkable end-to-end
+    (production decode stays injectable: sha256-seeded stub offline, a
+    real model head in deployment). Pure column algebra, zero UDF, zero
+    shuffle."""
+    from crawler_spark.operators.quality import gram_hash
+
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(
+                gram_hash(
+                    F.concat(F.col(key_col), F.lit("|"), j.cast("string"))
+                ),
+                F.lit(257),
+            )
+            - F.lit(128)
+        )
+        / F.lit(128.0),
+    )
+    return df.select(id_col, feats.alias("features"))
