@@ -55,12 +55,22 @@ def _read_wide(
     # setup per query, which across a 114-query gate is real minutes;
     # inputFiles() is a pure catalog read (~15 ms)
     import os as _os
+    from urllib.parse import unquote, urlparse
 
     files = df.inputFiles()
-    total_bytes = sum(
-        _os.path.getsize(f.removeprefix("file:")) for f in files
-    )
-    if len(files) < target and total_bytes < (64 << 20):
+    max_split = 128 << 20  # spark.sql.files.maxPartitionBytes default
+    try:
+        # inputFiles() returns percent-encoded file: URIs — decode before
+        # stat'ing (a space or non-ASCII char in the path otherwise 404s)
+        total_bytes = sum(
+            _os.path.getsize(unquote(urlparse(f).path)) for f in files
+        )
+        # scan splits ≈ max(file count, bytes/split): a single 200 MB file
+        # scans as ~2 splits, still serializing per-row work on 2 cores
+        est_splits = max(len(files), -(-total_bytes // max_split))
+    except OSError:  # non-local FS / unstat'able path: pay the RDD probe
+        est_splits = df.rdd.getNumPartitions()
+    if est_splits < target:
         df = df.repartition(target, key)
     return df
 

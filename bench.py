@@ -238,37 +238,17 @@ def _bench_skew_crawl(spark, n_hot: int = 20000, budget: int = 4000) -> dict:
     round (fill_ratio ~1.0) and per-round cost must stay flat.
     Golden twin (driver == serial oracle on the same shape):
     tests/test_crawl_golden.py::test_global_budget_skew_fills_rounds_golden."""
-    import pandas as pd
-
     from crawler_spark.crawl.driver import run_crawl
+    from crawler_spark.fixtures.webgen import skew_web
     from crawler_spark.oracle.crawloracle import CrawlConfig
 
-    hot = [f"http://hot.skew.test/p{i}" for i in range(n_hot)]
-    rows = []
-
-    def page(url, hrefs):
-        html = (
-            "<html><body>"
-            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
-            + "<p>plain body text for this page</p></body></html>"
-        )
-        rows.append((url, html.encode(), "text/html", 200, None))
-
-    page(hot[0], hot[1:])
-    for i, u in enumerate(hot[1:], start=1):
-        page(u, hot[i + 1 : i + 4])
-    for c in range(3):
-        page(f"http://cold{c}.skew.test/", [hot[0]])
-    pdf = pd.DataFrame(
-        rows, columns=["url", "html", "content_type", "status", "retry_after"]
-    )
+    pdf, seeds = skew_web(n_hot)  # SAME shape the golden test pins
     corpus = spark.createDataFrame(
-        pdf,
+        pdf[["url", "html", "content_type", "status", "retry_after"]],
         "url string, html binary, content_type string, status int, "
         "retry_after int",
     ).repartition(64, "url").cache()
     corpus.count()  # exclude corpus synthesis from crawl timing
-    seeds = [f"http://cold{c}.skew.test/" for c in range(3)] + [hot[0]]
     max_rounds = 2 + (n_hot + len(seeds)) // budget + 2
     cfg = CrawlConfig(budgets={}, robots=[], max_rounds=max_rounds,
                       global_budget=budget)

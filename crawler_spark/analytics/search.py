@@ -124,6 +124,8 @@ def bm25_topk(
     n_docs, avgdl = docs.select(
         F.count("*"), F.avg(F.size(words)).cast("double")
     ).first()
+    if not n_docs:  # empty corpus: avg() is NULL — return the empty
+        avgdl = 1.0  # top-k instead of float(None) at plan-build time
     hits = toks.join(F.broadcast(q), "term")
     tf = hits.groupBy("doc_id", "term").agg(
         F.count("*").alias("n"), F.first("dl").alias("dl")

@@ -547,79 +547,86 @@ def run_crawl(
                           job_group=job_group)
         rc.begin(pages_df, links.drop("seq"))
 
-        # -- frontier merge: filter → dedup-first-occurrence → seen --------
-        frontier_rem = frontier.join(
-            scheduled.select("url"), "url", "left_anti"
-        ).select("disc_round", "disc_seq", "url", "host")
+        try:
+            # -- frontier merge: filter → dedup-first-occurrence → seen ----
+            frontier_rem = frontier.join(
+                scheduled.select("url"), "url", "left_anti"
+            ).select("disc_round", "disc_seq", "url", "host")
 
-        cands = links.where(
-            F.col("url").startswith("http://") | F.col("url").startswith("https://")
-        )
-        if config.limit_to:
-            cands = cands.where(F.col("host") == config.limit_to)
-        if config.robots:
-            # only pay the Python round-trip when rules exist (empty rule
-            # set allows everything — robots_allowed() default)
-            cands = cands.where(robots_ok("host", "url"))
-        cands = (
-            cands.groupBy("url", "host")
-            .agg(F.min(F.struct("seq", "link_pos")).alias("_first"))
-            .select(
-                "url",
-                "host",
-                F.col("_first.seq").alias("_src_seq"),
-                F.col("_first.link_pos").alias("_src_pos"),
+            cands = links.where(
+                F.col("url").startswith("http://") | F.col("url").startswith("https://")
             )
-        )
-
-        # exact re-check build side: the committed url-only seen log,
-        # PRUNED to the bloom-positive buckets (store.read_seen pushes
-        # `bucket IN` into the parquet scan) — the full pages history
-        # never rescans — plus this round's in-flight urls
-        def _seen_hist(buckets, _sched=scheduled, _rem=frontier_rem):
-            return (
-                store.read_seen(buckets).select("url")
-                .unionByName(_sched.select("url"))
-                .unionByName(_rem.select("url"))
+            if config.limit_to:
+                cands = cands.where(F.col("host") == config.limit_to)
+            if config.robots:
+                # only pay the Python round-trip when rules exist (empty rule
+                # set allows everything — robots_allowed() default)
+                cands = cands.where(robots_ok("host", "url"))
+            cands = (
+                cands.groupBy("url", "host")
+                .agg(F.min(F.struct("seq", "link_pos")).alias("_first"))
+                .select(
+                    "url",
+                    "host",
+                    F.col("_first.seq").alias("_src_seq"),
+                    F.col("_first.link_pos").alias("_src_pos"),
+                )
             )
 
-        unseen = bloom.filter_unseen(cands, seen_for_buckets=_seen_hist)
+            # exact re-check build side: the committed url-only seen log,
+            # PRUNED to the bloom-positive buckets (store.read_seen pushes
+            # `bucket IN` into the parquet scan) — the full pages history
+            # never rescans — plus this round's in-flight urls
+            def _seen_hist(buckets, _sched=scheduled, _rem=frontier_rem):
+                return (
+                    store.read_seen(buckets).select("url")
+                    .unionByName(_sched.select("url"))
+                    .unionByName(_rem.select("url"))
+                )
 
-        _t0 = time.perf_counter()
-        # small_hint here is an ESTIMATE, not a tracked bound: scheduled
-        # pages × a generous links-per-page factor. A corpus where a
-        # small round discovers millions of urls degrades to one slow
-        # (still correct) sort task; rounds big enough for that to matter
-        # exceed the threshold and take the range path anyway.
-        seq_disc, n_new = with_global_seq(
-            unseen, ["_src_seq", "_src_pos"], out="disc_seq",
-            return_count=True, small_hint=n_scheduled * 64,
-        )
-        phase_t["extract_seen"] = round(time.perf_counter() - _t0, 3)
-        new_disc = (
-            seq_disc.withColumn("disc_round", F.lit(rnd))
-            .select("disc_round", "disc_seq", "url", "host")
-        )
+            unseen = bloom.filter_unseen(cands, seen_for_buckets=_seen_hist)
 
-        if seed_disc is not None:
-            disc_to_commit = seed_disc.unionByName(new_disc)
-            seed_disc = None
-        else:
-            disc_to_commit = new_disc
+            _t0 = time.perf_counter()
+            # small_hint here is an ESTIMATE, not a tracked bound: scheduled
+            # pages × a generous links-per-page factor. A corpus where a
+            # small round discovers millions of urls degrades to one slow
+            # (still correct) sort task; rounds big enough for that to matter
+            # exceed the threshold and take the range path anyway.
+            seq_disc, n_new = with_global_seq(
+                unseen, ["_src_seq", "_src_pos"], out="disc_seq",
+                return_count=True, small_hint=n_scheduled * 64,
+            )
+            phase_t["extract_seen"] = round(time.perf_counter() - _t0, 3)
+            new_disc = (
+                seq_disc.withColumn("disc_round", F.lit(rnd))
+                .select("disc_round", "disc_seq", "url", "host")
+            )
 
-        next_frontier = frontier_rem.unionByName(new_disc)
-        bloom = bloom.add(new_disc.select("url"))
+            if seed_disc is not None:
+                disc_to_commit = seed_disc.unionByName(new_disc)
+                seed_disc = None
+            else:
+                disc_to_commit = new_disc
 
-        # -- atomic round commit -------------------------------------------
-        # frontier size tracked arithmetically: previous size minus the
-        # scheduled rows plus this round's new discoveries — no count job
-        n_frontier = n_frontier - n_scheduled + n_new
-        snap = (rnd % max(1, frontier_snapshot_every)) == 0
-        rc.finish(
-            disc_to_commit, next_frontier, cooldown, bloom, stats,
-            n_frontier=n_frontier, config=config, phase_timings=phase_t,
-            write_frontier=snap,
-        )
+            next_frontier = frontier_rem.unionByName(new_disc)
+            bloom = bloom.add(new_disc.select("url"))
+
+            # -- atomic round commit -------------------------------------------
+            # frontier size tracked arithmetically: previous size minus the
+            # scheduled rows plus this round's new discoveries — no count job
+            n_frontier = n_frontier - n_scheduled + n_new
+            snap = (rnd % max(1, frontier_snapshot_every)) == 0
+            rc.finish(
+                disc_to_commit, next_frontier, cooldown, bloom, stats,
+                n_frontier=n_frontier, config=config, phase_timings=phase_t,
+                write_frontier=snap,
+            )
+        except BaseException:
+            # drain the fetch-side writers begun above before unwinding —
+            # see _RoundCommit.abort (no manifest was written, so resume
+            # still sees a clean round boundary)
+            rc.abort()
+            raise
 
         # re-read committed state → bounded lineage across rounds; the
         # with_global_seq checkpoints free themselves via the
@@ -765,6 +772,24 @@ class _RoundCommit:
 
         return self._pool.submit(run)
 
+    def abort(self) -> None:
+        """Drain in-flight writes after a round-body failure.
+
+        Blocks until every submitted write finishes, then closes the
+        pool. Called when an exception escapes between :meth:`begin` and
+        :meth:`finish`: without the drain the fetch-side writers keep
+        appending round tables in the background while the caller
+        unwinds, and a same-session ``run_crawl(resume=True)`` would race
+        its orphan-table cleanup against them (two writers, one path).
+        Manifest-last atomicity still hides whatever they wrote. Write
+        errors are swallowed — the round already failed."""
+        for fut in self._f.values():
+            try:
+                fut.result()
+            except Exception:
+                pass  # original round-body exception is what propagates
+        self._pool.shutdown(wait=True)
+
     def begin(self, pages_df: DataFrame, links_df: DataFrame) -> None:
         """Submit the fetch-side writes (pages, links, url-only seen log).
 
@@ -791,7 +816,17 @@ class _RoundCommit:
             lambda: self.store.write_round_table("seen", self.rnd, seen_df),
         )
 
-    def finish(
+    def finish(self, *args, **kwargs) -> None:
+        """Commit the round; on failure drain all writers before raising
+        (``shutdown(wait=True)`` in the except covers the discovery-side
+        futures local to :meth:`_finish` that :meth:`abort` can't see)."""
+        try:
+            self._finish(*args, **kwargs)
+        except BaseException:
+            self._pool.shutdown(wait=True)
+            raise
+
+    def _finish(
         self,
         disc_df: DataFrame,
         frontier_df: DataFrame,

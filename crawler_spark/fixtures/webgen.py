@@ -305,3 +305,48 @@ def generate(seed: int = 42, n_pages: int = 500) -> MiniWeb:
         pages=pages, seeds=seeds, robots=robots, politeness=politeness,
         hosts=hosts,
     )
+
+
+def skew_web(
+    n_hot: int = 200, n_cold_hosts: int = 3, fanout: int = 3
+) -> tuple[pd.DataFrame, list[str]]:
+    """~99%-single-host mini-web: hub page linking EVERY hot leaf, leaves
+    chaining ``fanout`` already-discovered successors (exercises the seen
+    filter), each cold host one page linking back into the hub — the
+    adversarial shape for the fair-share global-budget scheduler
+    (demand-weighted Hamilton grants hand ~all of every round to one
+    host). ONE definition on purpose: the skew-crawl bench and the
+    scheduler golden test must measure/pin the SAME shape, or a tweak to
+    one silently de-couples the bench from the semantics the golden
+    proves. Returns (full corpus-schema pages pdf, seed urls: cold hosts
+    first, then the hub)."""
+    rows: list[dict] = []
+
+    def page(url: str, hrefs: list[str]) -> None:
+        html = (
+            "<html><body>"
+            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            + "<p>plain body text for this page</p></body></html>"
+        )
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": pd.Timestamp("2026-01-01"),
+                "html": html.encode(),
+                "text": None,
+                "lang": "en",
+                "content_type": "text/html",
+                "status": 200,
+                "retry_after": None,
+            }
+        )
+
+    hot = [f"http://hot.skew.test/p{i}" for i in range(n_hot)]
+    page(hot[0], hot[1:])
+    for i, u in enumerate(hot[1:], start=1):
+        page(u, hot[i + 1 : i + 1 + fanout])
+    for c in range(n_cold_hosts):
+        page(f"http://cold{c}.skew.test/", [hot[0]])
+    seeds = [f"http://cold{c}.skew.test/" for c in range(n_cold_hosts)]
+    seeds.append(hot[0])
+    return pd.DataFrame(rows), seeds

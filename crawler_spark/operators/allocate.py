@@ -61,11 +61,17 @@ def allocate_budget(
     never outnumber frontier urls). When it fits ``small_max_rows`` the
     whole apportionment runs driver-side off ONE collect — replacing the
     distributed path's two scalar-aggregate jobs plus the global-seq
-    ranking job. Bit-exact with the distributed path: the quota
-    arithmetic is the same IEEE-double expression, the weight totals are
-    integral-valued doubles (order-independent sums below 2^53), and the
+    ranking job. Bit-exact with the distributed path for integral-valued
+    weights (the driver's shape — pending counts and integer-scaled
+    reputations): the quota arithmetic is the same IEEE-double
+    expression, integral sums below 2^53 are order-independent, and the
     remainder order breaks ties on host exactly like the range-partition
-    sort. Genuinely huge host dimensions (10^7+ hosts at a 10^10-URL
+    sort. With FRACTIONAL weights neither path has a deterministic sum
+    order (Spark's ``sum`` folds in partition order), so a last-ulp
+    difference in the weight total can flip a floor() at an exact quota
+    boundary between paths; the driver path uses ``math.fsum`` to stay
+    within one rounding of the true total. Null weight → dead host
+    (alloc 0), null pending → 0, identically on both paths. Genuinely huge host dimensions (10^7+ hosts at a 10^10-URL
     frontier) exceed the bound and keep the distributed path.
     """
     w = (
@@ -73,8 +79,15 @@ def allocate_budget(
     ).cast("double")
     base_cols = [
         F.col(host_col).alias("host"),
-        F.col(pending_col).cast("long").alias("n_pending"),
-        w.alias("_w"),
+        # nulls normalized HERE so both paths see the same table: a null
+        # weight is a dead host (alloc 0), a null pending grants 0 —
+        # without the coalesce the distributed dead-filter ~(_w > 0)
+        # evaluates NULL and silently drops the host while the driver
+        # path keeps it.
+        F.coalesce(F.col(pending_col).cast("long"), F.lit(0)).alias(
+            "n_pending"
+        ),
+        F.coalesce(w, F.lit(0.0)).alias("_w"),
     ]
     t = pending.select(*base_cols)
     if small_hint is not None and small_hint <= small_max_rows:
@@ -125,10 +138,10 @@ def _allocate_driver_side(t: DataFrame, total_budget: int) -> DataFrame:
     ascending), grant capped at pending."""
     import math
 
-    rows = [(r["host"], int(r["n_pending"]), float(r["_w"] or 0.0))
+    rows = [(r["host"], int(r["n_pending"] or 0), float(r["_w"] or 0.0))
             for r in t.collect()]
     live = [(h, p, w) for h, p, w in rows if w > 0]
-    total_w = float(sum(w for _, _, w in live))
+    total_w = math.fsum(w for _, _, w in live)
     alloc: dict[str, int] = {h: 0 for h, _, _ in rows}
     if live and total_w > 0:
         base: dict[str, int] = {}

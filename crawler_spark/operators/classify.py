@@ -204,11 +204,10 @@ def classify_features_portable(
     (score desc, label asc) top-k agree bit-for-bit across engines.
     Relational form: per-label struct explode + one per-item window —
     no UDF; the label set is dimension-sized by construction."""
-    import hashlib
+    from crawler_spark.operators.quality import dyadic_weight
 
     def w(label: str, d: int) -> float:
-        h = int(hashlib.md5(f"{label}#{d}".encode()).hexdigest()[:15], 16)
-        return (h % 257 - 128) / 128.0
+        return dyadic_weight(f"{label}#{d}")
 
     parts = []
     for label in sorted(set(labels)):

@@ -336,14 +336,32 @@ def gram_hash(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
 
 
+def md5int15(s: str) -> int:
+    """Driver-side twin of :func:`gram_hash` — THE portable 60-bit hash.
+
+    Every oracle-checkable operator that needs driver-computed constants
+    from the same family (winnow reference picks, dyadic LSH hyperplanes,
+    dyadic classifier weights) derives them from this one definition, so
+    a change to the hash width/encoding cannot silently break the
+    cross-engine parity of one operator but not another."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def dyadic_weight(s: str) -> float:
+    """Deterministic weight in [-1, 1) with denominator 128: exactly
+    representable in IEEE double AND re-derivable in SQL from ``md5()``,
+    so Spark literals and DuckDB expressions agree bit-for-bit. Shared by
+    the portable LSH hyperplanes and the portable classifier head."""
+    return (md5int15(s) % 257 - 128) / 128.0
+
+
 def winnow_reference(tokens: list[str], k: int, window: int) -> list[tuple[int, int]]:
     """Serial spec of the winnowing sketch (Schleimer/Wilkerson/Aiken 2003,
     first-occurrence argmin, consecutive-pick dedup) — used by tests to
     verify the distributed plan. Returns [(gram_pos, fp_hash)]."""
-    import hashlib
-
-    def h(g: str) -> int:
-        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+    h = md5int15
 
     if not tokens:
         return []
@@ -380,6 +398,8 @@ def _winnow_rows(pdf_iter, id_col: str, window: int):
         pos_parts = []
         h_parts = []
         for i, arr in enumerate(pdf["_hs"]):
+            if arr is None:  # null text → null gram array: drop the row,
+                continue     # matching the relational form this replaced
             h = np.asarray(arr, dtype=np.int64)
             m = len(h)
             if m == 0:

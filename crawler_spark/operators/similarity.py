@@ -244,11 +244,10 @@ def lsh_portable_bucket_ids(
     production family is :func:`lsh_bucket_ids` (seeded Gaussian, numpy);
     uniform-dyadic hyperplanes bucket just as well for the value-proof.
     Pure column algebra: no UDF, zero shuffle."""
-    import hashlib
+    from crawler_spark.operators.quality import dyadic_weight
 
     def w(b: int, d: int) -> float:
-        h = int(hashlib.md5(f"{b}|{d}".encode()).hexdigest()[:15], 16)
-        return (h % 257 - 128) / 128.0
+        return dyadic_weight(f"{b}|{d}")
 
     bucket = F.lit(0).cast("long")
     for b in range(n_bits):

@@ -235,3 +235,26 @@ def test_rrf_fuse_tie_break_deterministic(spark):
     # equal scores rank by key ascending: 2 -> 1, 5 -> 2, 9 -> 3
     assert got == {2: pytest.approx(1.0), 5: pytest.approx(0.5),
                    9: pytest.approx(1 / 3)}
+
+
+def test_null_weight_and_pending_identical_on_both_paths(spark):
+    """Null weight → dead host (alloc 0), null pending → grants 0 — and
+    the driver-side fast path must return the SAME row set as the
+    distributed path (regression: ~(NULL > 0) silently dropped the host
+    distributed-side while the fast path kept it, and int(None) crashed
+    the fast path)."""
+    from crawler_spark.operators.allocate import allocate_budget
+
+    pend = spark.createDataFrame(
+        [("a", 10, 2.0), ("b", 5, None), ("c", 3, 1.0), ("d", None, 4.0)],
+        "host string, n_pending long, rep double",
+    )
+    fast = sorted(
+        allocate_budget(pend, 6, weight_col="rep", small_hint=4).collect()
+    )
+    dist = sorted(allocate_budget(pend, 6, weight_col="rep").collect())
+    assert fast == dist
+    by_host = {r.host: r for r in fast}
+    assert by_host["b"].alloc == 0 and by_host["b"].granted == 0
+    assert by_host["d"].n_pending == 0 and by_host["d"].granted == 0
+    assert sum(r.alloc for r in fast) == 6

@@ -399,44 +399,11 @@ def test_fused_host_priority_validates_inputs(spark):
 
 
 def _skew_web(n_hot=200, n_cold_hosts=3, fanout=3):
-    """99%-single-host mini-web: one hot host carries a chained page set,
-    each cold host one page linking into it. Exercises the adversarial
-    shape for the global-budget scheduler (Hamilton grants are
-    demand-weighted, so one host owns ~all of every round's budget)."""
-    rows = []
+    """Shared fixture — one definition for the golden test AND the
+    skew-crawl bench (crawler_spark.fixtures.webgen.skew_web)."""
+    from crawler_spark.fixtures.webgen import skew_web
 
-    def page(url, hrefs):
-        html = (
-            "<html><body>"
-            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
-            + "<p>plain body text for this page</p></body></html>"
-        )
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": pd.Timestamp("2026-01-01"),
-                "html": html.encode(),
-                "text": None,
-                "lang": "en",
-                "content_type": "text/html",
-                "status": 200,
-                "retry_after": None,
-            }
-        )
-
-    hot = [f"http://hot.skew.test/p{i}" for i in range(n_hot)]
-    # p0 is a hub linking EVERY leaf: after it is crawled the frontier is
-    # ~99% one host with a WIDE pending queue — the adversarial shape for
-    # fair-share grants. Leaves link the next leaf (already-discovered:
-    # exercises the seen filter), cold hosts link back into the hub.
-    page(hot[0], hot[1:])
-    for i, u in enumerate(hot[1:], start=1):
-        page(u, hot[i + 1 : i + 1 + fanout])
-    for c in range(n_cold_hosts):
-        page(f"http://cold{c}.skew.test/", [hot[0]])
-    seeds = [f"http://cold{c}.skew.test/" for c in range(n_cold_hosts)]
-    seeds.append(hot[0])
-    return pd.DataFrame(rows), seeds
+    return skew_web(n_hot, n_cold_hosts, fanout)
 
 
 def test_global_budget_skew_fills_rounds_golden(

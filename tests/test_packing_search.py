@@ -255,3 +255,13 @@ def test_export_jsonl_roundtrip_matches_parquet_sink(spark, tmp_path):
     # every line is a json object with sorted keys present
     obj = json.loads(l1[0])
     assert set(obj) == {"doc_id", "n_tokens", "text"}
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    """Degenerate input parity with tfidf_topk: an empty corpus returns
+    an empty top-k (regression: avg() → NULL → float(None) TypeError at
+    plan-build time)."""
+    from crawler_spark.analytics.search import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert bm25_topk(empty, ["x"], k=5).collect() == []

@@ -120,3 +120,26 @@ def test_frontier_snapshot_interval_equal_and_resumable(spark, web, tmp_path):
     run_crawl(spark, corpus, seeds, _cfg(web), root_b, bloom_buckets=4,
               bloom_bits=1 << 15, resume=True, frontier_snapshot_every=3)
     assert _final_state(store_b) == _final_state(store_a)
+
+
+def test_round_commit_abort_drains_writers_no_manifest(spark, tmp_path):
+    """A round-body failure between begin() and finish() must DRAIN the
+    in-flight fetch-side writers before the exception unwinds (otherwise
+    a same-session resume races its orphan cleanup against live writers)
+    — and must leave no manifest, so the round stays invisible."""
+    import os
+
+    from crawler_spark.crawl.driver import (
+        _RoundCommit,
+        _empty_links,
+        _empty_pages,
+    )
+    from crawler_spark.crawl.store import CrawlStore
+
+    store = CrawlStore(spark, str(tmp_path))
+    rc = _RoundCommit(store, 0, spark, 8)
+    rc.begin(_empty_pages(spark), _empty_links(spark))
+    rc.abort()
+    assert all(f.done() for f in rc._f.values())
+    assert rc._pool._shutdown
+    assert os.listdir(os.path.join(str(tmp_path), "manifests")) == []

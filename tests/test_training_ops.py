@@ -1091,3 +1091,17 @@ def test_host_reputation_signals(spark):
     # saturated length -> only the (zero) dup/short terms remain
     assert g["spam_score"] == 0.0 and g["reputation"] == 1.0
     assert g["reputation"] > s["reputation"]
+
+
+def test_fingerprints_null_text_rows_dropped(spark):
+    """A null text (failed extraction) must be DROPPED by the sketch, not
+    crash the Arrow kernel — the contract of the relational form the
+    mapInPandas kernel replaced (regression: np.asarray(None) TypeError)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"), (2, None),
+         (3, "")],
+        "doc_id int, text string",
+    )
+    out = fingerprints(df).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 in ids and 2 not in ids
