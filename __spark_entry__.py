@@ -2581,37 +2581,32 @@ def _hits_oracle_sql(n_iter: int = 6) -> str:
         )"""
     body = []
     for i in range(1, n_iter + 1):
+        # UNNORMALIZED iterations, like the engine: L1 normalization is
+        # deferred to the end (it commutes with the linear updates), so
+        # every intermediate sum is an exact integer double —
+        # group-order-independent on both engines
         body.append(f"""
-        , a{i}r AS MATERIALIZED (
-            SELECT e.dst AS node, sum(h.hub) AS s
+        , a{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.hub) AS auth
             FROM edges e JOIN h{i - 1} h ON h.node = e.src
             GROUP BY e.dst
-        ), a{i}t AS MATERIALIZED (
-            SELECT sum(s) AS t FROM a{i}r
-        ), a{i} AS (
-            SELECT n.node, coalesce(r.s, 0) / t.t AS auth
-            FROM nodes n
-            LEFT JOIN a{i}r r ON r.node = n.node
-            CROSS JOIN a{i}t t
-        ), h{i}r AS MATERIALIZED (
-            SELECT e.src AS node, sum(a.auth) AS s
+        ), h{i} AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.auth) AS hub
             FROM edges e JOIN a{i} a ON a.node = e.dst
             GROUP BY e.src
-        ), h{i}t AS MATERIALIZED (
-            SELECT sum(s) AS t FROM h{i}r
-        ), h{i} AS (
-            SELECT n.node, coalesce(r.s, 0) / t.t AS hub
-            FROM nodes n
-            LEFT JOIN h{i}r r ON r.node = n.node
-            CROSS JOIN h{i}t t
         )""")
     tail = f"""
-        SELECT h.node,
-               CAST(round(h.hub * nn.cnt, 6) AS DOUBLE) AS hub,
-               CAST(round(a.auth * nn.cnt, 6) AS DOUBLE) AS auth
-        FROM h{n_iter} h
-        JOIN a{n_iter} a ON a.node = h.node
-        CROSS JOIN nn
+        , at AS (SELECT sum(auth) AS t FROM a{n_iter}),
+        ht AS (SELECT sum(hub) AS t FROM h{n_iter})
+        SELECT n.node,
+               CAST(round((coalesce(h.hub, 0) / ht.t) * nn.cnt, 6)
+                    AS DOUBLE) AS hub,
+               CAST(round((coalesce(a.auth, 0) / at.t) * nn.cnt, 6)
+                    AS DOUBLE) AS auth
+        FROM nodes n
+        LEFT JOIN h{n_iter} h ON h.node = n.node
+        LEFT JOIN a{n_iter} a ON a.node = n.node
+        CROSS JOIN ht CROSS JOIN at CROSS JOIN nn
     """
     return head + "".join(body) + tail
 

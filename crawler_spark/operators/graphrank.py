@@ -209,12 +209,29 @@ def hits(
     Parallel edges count with multiplicity, matching ``pagerank`` above.
 
     Each iteration is two shuffles (auth: groupBy dst; hub: groupBy
-    src) plus two 1-row broadcast normalizers — L1 normalization, not
-    L2, so the oracle's unrolled SQL needs no sqrt and every engine
-    sums the same magnitudes. A node with no in-edges has auth 0, no
-    out-edges hub 0. Fixed ``n_iter`` keeps the result a pure function
-    of the input (same rationale as ``pagerank``); iterations are
-    ``localCheckpoint``-ed to reset lineage.
+    src) and NOTHING else: L1 normalization commutes with the linear
+    updates (scaling a score vector scales every downstream sum by the
+    same factor), so it is deferred entirely to the end — one divide by
+    each vector's final L1 total. The deferral removes 2 sequential
+    scalar-broadcast jobs and a nodes-sized left join PER ITERATION
+    (per-round wall was dominated by that job ladder, ~0.25 s/job), and
+    it makes every intermediate value an exact INTEGER double (sums of
+    products of integers — order-independent below 2^53, tighter
+    cross-engine oracle parity than normalized fractions). Magnitudes
+    grow like (mean degree)^(2·n_iter); renormalize-per-iteration only
+    becomes numerically necessary past ~2^53, i.e. degree^12 overflow —
+    graphs that extreme should lower ``n_iter`` or pre-collapse to
+    hosts. A node with no in-edges has auth 0, no out-edges hub 0.
+    Fixed ``n_iter`` keeps the result a pure function of the input
+    (same rationale as ``pagerank``). NO per-iteration localCheckpoint:
+    with nothing forcing mid-loop materialization the whole chain is one
+    linear plan Catalyst analyzes in one pass, and measured wall scales
+    linearly to 20+ iterations — while a per-iteration checkpoint costs
+    ~2× at the default depth (RDD conversion + local write per step).
+    Checkpoints ARE load-bearing in ``pagerank``/``connected_components``,
+    whose per-iteration scalar jobs would otherwise recompute the full
+    prefix each round (O(n_iter²)); here only a safety-valve reset every
+    8 iterations guards pathological depths.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -223,42 +240,37 @@ def hits(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    hub = nodes.select("node", F.lit(1.0).alias("hub")).localCheckpoint(
-        eager=False
-    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(n_iter):
-        a_raw = (
+    for i in range(n_iter):
+        auth = (
             e.join(hub, e["src"] == hub["node"])
             .groupBy("dst")
-            .agg(F.sum("hub").alias("s"))
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
         )
-        a_tot = a_raw.agg(F.sum("s").alias("t"))
-        auth = (
-            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
-            .crossJoin(F.broadcast(a_tot))
-            .select(
-                "node",
-                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("auth"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        h_raw = (
+        hub = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
-            .agg(F.sum("auth").alias("s"))
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
         )
-        h_tot = h_raw.agg(F.sum("s").alias("t"))
-        hub = (
-            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
-            .crossJoin(F.broadcast(h_tot))
-            .select(
-                "node",
-                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("hub"),
-            )
-            .localCheckpoint(eager=False)
+        if (i + 1) % 8 == 0 and i + 1 < n_iter:  # deep-run lineage valve
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    a_tot = auth.agg(F.sum("auth").alias("at"))
+    h_tot = hub.agg(F.sum("hub").alias("ht"))
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .crossJoin(F.broadcast(h_tot))
+        .crossJoin(F.broadcast(a_tot))
+        .select(
+            "node",
+            (F.coalesce("hub", F.lit(0.0)) / F.col("ht")).alias("hub"),
+            (F.coalesce("auth", F.lit(0.0)) / F.col("at")).alias("auth"),
         )
-    return hub.join(auth, "node").select("node", "hub", "auth")
+    )
 
 
 def host_ranks_from_links(

@@ -4,10 +4,12 @@ The driver's automated gate grades exactly the FIRST 50 entries of
 ``__spark_entry__.queries()`` (the window ``tests/test_registry.py``
 pins). Everything below the window is only checked when someone runs
 ``tools/check_correctness.py`` by hand — so a regression in a tail entry
-could sit unnoticed between judge rounds. This test closes that gap: every
-pytest run re-verifies a random sample of below-window oracle entries
-against DuckDB, seeded by the calendar day so consecutive runs within a
-day are reproducible while coverage rotates across days.
+could sit unnoticed between judge rounds. This test closes that gap: by
+default every pytest run re-verifies EVERY below-window oracle entry
+against DuckDB (~1-2 min at sf0.01 — the below-window half of
+``tools/check_correctness.py``); set ``SPARK_GRAFT_TAIL_SAMPLE=<n>`` for
+a quick local run that checks a day-seeded random sample instead
+(reproducible within a day, rotating across days).
 """
 
 import datetime
@@ -20,7 +22,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-N_SAMPLE = 10
+_env = os.environ.get("SPARK_GRAFT_TAIL_SAMPLE", "all")
+N_SAMPLE = None if _env == "all" else max(1, int(_env))
 WINDOW = 50
 
 
@@ -40,8 +43,11 @@ def test_random_tail_oracles(spark):
     tail = _tail_oracle_names()
     assert tail, "no below-window oracle entries — did the window grow?"
     day = datetime.date.today().toordinal()
-    rng = random.Random(day)
-    sample = rng.sample(tail, min(N_SAMPLE, len(tail)))
+    if N_SAMPLE is None:
+        sample = tail  # default: the FULL below-window oracle set
+    else:
+        rng = random.Random(day)
+        sample = rng.sample(tail, min(N_SAMPLE, len(tail)))
 
     qs, oracles = em.queries(), em.oracle_sql()
     con = oracle_connection(SF_DIR)
