@@ -2032,9 +2032,10 @@ def q_redirect_resolution(spark, sf):
 
 
 def q_hits_scores(spark, sf):
-    """HITS hub/authority (`operators.graphrank.hits`, 6 L1-normalized
-    iterations) over the same synthetic doc-id link graph as
-    `link_pagerank`; the oracle runs the identical unrolled iterations.
+    """HITS hub/authority (`operators.graphrank.hits`, 6 iterations,
+    L1 normalization deferred to one final divide) over the same
+    synthetic doc-id link graph as `link_pagerank`; the oracle runs the
+    identical unrolled (unnormalized) iterations.
     Scores are n-scaled before 6-dp rounding, like rank_scaled."""
     from crawler_spark.operators.graphrank import hits
 
