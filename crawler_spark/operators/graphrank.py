@@ -233,6 +233,8 @@ def hits(
     prefix each round (O(n_iter²)); here only a safety-valve reset every
     8 iterations guards pathological depths.
     """
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -142,6 +142,14 @@ def test_hits_sink_and_source_roles(spark):
     assert rows[1]["auth"] == pytest.approx(1.0 / 3.0)
 
 
+def test_hits_rejects_zero_iterations(spark):
+    from crawler_spark.operators.graphrank import hits
+
+    df = spark.createDataFrame([(0, 1)], "src: long, dst: long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(df, n_iter=0)
+
+
 def test_trustrank_demotes_spam_island(spark):
     """TrustRank vs PageRank on a graph with a link-farm island: the
     farm inflates its PageRank via the uniform teleport, but earns
