@@ -913,7 +913,7 @@ def main() -> None:
             [r["pages_per_sec"] for r in crawl_runs]
         )
         total = round(sum(queries.values()) + crawl["sec"], 3)
-        print(json.dumps({
+        payload = {
             "metric": "headline_suite_sec",
             "value": total,
             "unit": "sec",
@@ -922,7 +922,34 @@ def main() -> None:
             "sf": _sf_of(SF_DIR),
             "cpus": CPUS,
             "crawl": crawl,
-        }))
+        }
+        # The round driver keeps only the LAST 2000 chars of stdout and
+        # json-parses them (r3's line outgrew that and recorded
+        # parsed=null), so the printed line must stay compact: per-run
+        # detail goes to a file, query secs are 2-dp, separators tight.
+        os.makedirs(os.path.join(REPO, "bench_records"), exist_ok=True)
+        full_path = os.path.join(REPO, "bench_records", "last_bench_full.json")
+        with open(full_path, "w") as f:
+            json.dump(payload, f)
+        compact = dict(payload)
+        del compact["query_runs"]
+        compact["queries"] = {k: round(v, 2) for k, v in queries.items()}
+        compact["crawl"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in crawl.items()
+            if k != "all_pages_per_sec"
+        }
+        compact["runs"] = full_path
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:  # stay under the driver's 2000-char window
+            compact["queries"] = {
+                k: round(v, 2)
+                for k, v in sorted(
+                    queries.items(), key=lambda kv: -kv[1]
+                )[:40]
+            }
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
     finally:
         spark.stop()
 
