@@ -579,6 +579,42 @@ def _process_ceiling(lo: int, hi: int) -> dict:
     }
 
 
+def _latest_scaling_record() -> dict | None:
+    """Compact summary of the newest committed ``--scaling`` record.
+
+    The default bench line is what the round recorder keeps, and the
+    north rule's two-parallelism criterion should be visible there, not
+    only in BASELINE.md: throughput at both core counts plus the
+    efficiencies. Picks the newest ``*_scaling.json`` under
+    ``bench_records/`` by (round number in the filename, mtime)."""
+    import glob
+    import re
+
+    cands = []
+    for p in glob.glob(os.path.join(REPO, "bench_records", "*_scaling.json")):
+        if p.endswith("last_bench_full.json"):
+            continue
+        m = re.match(r"r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else -1
+        cands.append((rnd, os.path.getmtime(p), p))
+    for _, _, path in sorted(cands, reverse=True):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            lo, hi = d["low"], d["high"]
+            return {
+                "cpus": [lo["cpus"], hi["cpus"]],
+                "pages_per_sec": [lo["pages_per_sec"], hi["pages_per_sec"]],
+                "efficiency": d["value"],
+                "median_pair": d.get("median_pair"),
+                "plan_relative": d.get("plan_relative_efficiency"),
+                "record": os.path.basename(path),
+            }
+        except Exception:
+            continue  # malformed record: fall back to the next-newest
+    return None
+
+
 def _run_sub(mode: str, cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -940,6 +976,9 @@ def main() -> None:
             if k != "all_pages_per_sec"
         }
         compact["runs"] = full_path
+        scaling = _latest_scaling_record()
+        if scaling is not None:
+            compact["scaling"] = scaling
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1900:  # stay under the driver's 2000-char window
             compact["queries"] = {
