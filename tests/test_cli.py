@@ -51,3 +51,22 @@ def test_cli_crawl_from_foreign_cwd(spark, tmp_path):
         f"select count(*) from read_parquet('{store}/pages/**/*.parquet')"
     ).fetchone()[0]
     assert n == stats["pages"]
+
+
+def test_bench_scaling_summary_contract():
+    """The default bench line embeds the newest committed --scaling
+    record (the north rule's two-parallelism evidence); pin the summary
+    keys so a record-format change cannot silently drop them."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    s = bench._latest_scaling_record()
+    assert s is not None, "no *_scaling.json under bench_records/"
+    assert len(s["cpus"]) == 2 and s["cpus"][0] < s["cpus"][1]
+    assert len(s["pages_per_sec"]) == 2
+    assert 0.0 < s["efficiency"] <= 1.5
+    assert s["record"].endswith("_scaling.json")
