@@ -2276,6 +2276,100 @@ def q_term_search(spark, sf):
     return tfidf_topk(d, ["join", "spark", "table", "window"], k=20)
 
 
+def q_host_boilerplate(spark, sf):
+    """HOST-scoped repeated-line removal (`operators.lines.
+    drop_repeated_lines(scope_col=...)`): per-site template stripping.
+    The fixture plants a per-host nav line on every page of its host
+    (df >= 4 within host -> dropped) and a rare cross-host disclaimer
+    (df >= 4 corpus-wide but < 4 on any single host -> KEPT) — the
+    asymmetry corpus-wide removal (`line_dedup`) cannot express. The
+    oracle mirrors construction and the (host, line) frequency rule."""
+    from crawler_spark.operators.lines import drop_repeated_lines
+
+    d = _read_wide(spark, sf, "documents")
+    i = F.col("doc_id")
+    h = (i % 7).cast("string")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), h).alias("host"),
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.concat(F.lit("welcome to site h"), h),
+            F.substring("text", 61, 40),
+            F.when(i % 29 == 0, F.lit("rare cross-host disclaimer"))
+            .otherwise(
+                F.concat(F.lit("tail "), F.substring("text", 101, 20))
+            ),
+        ).alias("text"),
+    )
+    return drop_repeated_lines(
+        pages, min_docs=4, hash_lines=False, scope_col="host"
+    )
+
+
+def _dust_pages(spark, sf):
+    """Content-equal URL-twin fixture for the DUST miner: each class
+    c = doc_id div 4 is one piece of content published under up to four
+    URL variants on host h{c%5}.test — index.html / index.htm / print
+    twins plus a /b/-mirror tree. Variants 0-2 pairwise differ in one
+    path segment; the /b/ mirror differs from variants 1-2 in two
+    (no rule — exercises the exactly-one-diff filter). Identical
+    derivation in the DuckDB oracles."""
+    d = _read(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    v = i % 4
+    cs = F.expr("doc_id div 4").cast("string")
+    host = F.concat(F.lit("h"), F.expr("(doc_id div 4) % 5").cast("string"), F.lit(".test"))
+    path = (
+        F.when(v == 0, F.concat(F.lit("/a/"), cs, F.lit("/index.html")))
+        .when(v == 1, F.concat(F.lit("/a/"), cs, F.lit("/index.htm")))
+        .when(v == 2, F.concat(F.lit("/a/"), cs, F.lit("/print")))
+        .otherwise(F.concat(F.lit("/b/"), cs, F.lit("/index.html")))
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("k"), cs).alias("content_key"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+
+
+def q_dust_rules(spark, sf):
+    """DUST rule mining (`operators.dust.mine_dust_rules`, Bar-Yossef
+    et al. WWW 2007): single-segment URL substitution rules from
+    same-host content-equal pairs, directed toward the (length, lex)
+    smaller twin, support-thresholded. Pair generation is a guarded
+    equi-join inside (host, content_key) duplicate groups — every
+    exchange is host-prefixed (tests/test_dust.py pins the plan). The
+    oracle derives each rule's support arithmetically from the shared
+    fixture construction — an independent semantic check, not a SQL
+    re-implementation of the miner."""
+    from crawler_spark.operators.dust import mine_dust_rules
+
+    return mine_dust_rules(_dust_pages(spark, sf), min_support=2)
+
+
+def q_dust_canonicalize(spark, sf):
+    """Frontier canonicalization with mined DUST rules
+    (`operators.dust.apply_dust_rules`): per URL, the lexicographically
+    first matching same-host rule rewrites every occurrence of its
+    source segment; non-matching URLs pass through. The rule table is
+    broadcast — the URL side never shuffles (plan-asserted). Feeds the
+    URL-seen anti-join (SURVEY §2 J1) so known DUST twins are never
+    fetched."""
+    from crawler_spark.operators.dust import (
+        apply_dust_rules,
+        mine_dust_rules,
+    )
+
+    pages = _dust_pages(spark, sf)
+    rules = mine_dust_rules(pages, min_support=2)
+    return apply_dust_rules(
+        pages.select("doc_id", "host", "url"), rules
+    ).select("doc_id", "url", "canonical_url", "dust_applied")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
     # entries in registry order, so the first 50 are all oracle-backed —
@@ -2392,6 +2486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_portable": q_classify_portable,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
+        "host_boilerplate": q_host_boilerplate,
+        "dust_rules": q_dust_rules,
+        "dust_canonicalize": q_dust_canonicalize,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -5360,5 +5457,124 @@ def oracle_sql() -> dict[str, str]:
                        '[ \t]+', ' ', 'g'
                    )) <> text AS changed
             FROM documents
+        """,
+        # host-scoped template removal: frequency counted per (host,
+        # line), drop threshold applied within the host only (see
+        # q_host_boilerplate for the fixture's asymmetry)
+        "host_boilerplate": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                       concat_ws(chr(10),
+                           substr(text, 1, 60),
+                           'welcome to site h'
+                               || CAST(doc_id % 7 AS VARCHAR),
+                           substr(text, 61, 40),
+                           CASE WHEN doc_id % 29 = 0
+                                THEN 'rare cross-host disclaimer'
+                                ELSE 'tail ' || substr(text, 101, 20)
+                           END) AS text
+                FROM documents
+            ), raw AS (
+                SELECT doc_id, host,
+                       string_split(text, chr(10)) AS ls
+                FROM pages
+            ), numbered AS (
+                SELECT doc_id, host,
+                       unnest(range(0, len(ls))) AS pos,
+                       unnest(list_transform(ls, x -> trim(x))) AS line
+                FROM raw
+            ), lines AS (
+                SELECT * FROM numbered WHERE line <> ''
+            ), freq AS (
+                SELECT host, line, count(DISTINCT doc_id) AS df
+                FROM lines GROUP BY 1, 2
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l
+                JOIN freq f ON l.host = f.host AND l.line = f.line
+                WHERE f.df < 4
+            ), allcnt AS (
+                SELECT doc_id, count(*) AS n_all FROM lines GROUP BY 1
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos)
+                           AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(c.n_all, 0) - coalesce(a.n_kept, 0)
+                        AS BIGINT) AS n_dropped
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN allcnt c USING (doc_id)
+        """,
+        # DUST rules by construction arithmetic: each class contributes
+        # exactly one qualifying pair per rule kind, so support = number
+        # of classes on the host holding both variants — an independent
+        # derivation of what the miner must find (see q_dust_rules)
+        "dust_rules": r"""
+            WITH cls AS (
+                SELECT doc_id // 4 AS c,
+                       max(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS v0,
+                       max(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS v1,
+                       max(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS v2,
+                       max(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS v3
+                FROM documents GROUP BY 1
+            ), hosts AS (
+                SELECT 'h' || CAST(c % 5 AS VARCHAR) || '.test' AS host,
+                       v0, v1, v2, v3
+                FROM cls
+            ), r AS (
+                SELECT host, 'index.html' AS seg_from,
+                       'index.htm' AS seg_to, count(*) AS support
+                FROM hosts WHERE v0 = 1 AND v1 = 1 GROUP BY host
+                UNION ALL
+                SELECT host, 'index.html', 'print', count(*)
+                FROM hosts WHERE v0 = 1 AND v2 = 1 GROUP BY host
+                UNION ALL
+                SELECT host, 'b', 'a', count(*)
+                FROM hosts WHERE v0 = 1 AND v3 = 1 GROUP BY host
+                UNION ALL
+                SELECT host, 'index.htm', 'print', count(*)
+                FROM hosts WHERE v1 = 1 AND v2 = 1 GROUP BY host
+            )
+            SELECT host, seg_from, seg_to,
+                   CAST(support AS BIGINT) AS support
+            FROM r WHERE support >= 2
+        """,
+        # canonical rewrite by construction: with every rule present
+        # (support = classes-per-host >= 25 at all shipped sfs) the
+        # first matching rule per variant is fixed — v0 -> index.htm,
+        # v1 -> print, v2 unchanged, v3 -> /a/ mirror (see
+        # q_dust_canonicalize)
+        "dust_canonicalize": r"""
+            WITH d AS (
+                SELECT doc_id, doc_id % 4 AS v, doc_id // 4 AS c
+                FROM documents
+            ), u AS (
+                SELECT doc_id, v,
+                       'http://h' || CAST(c % 5 AS VARCHAR) || '.test'
+                           AS base,
+                       CAST(c AS VARCHAR) AS cs
+                FROM d
+            )
+            SELECT doc_id,
+                   base || CASE v
+                       WHEN 0 THEN '/a/' || cs || '/index.html'
+                       WHEN 1 THEN '/a/' || cs || '/index.htm'
+                       WHEN 2 THEN '/a/' || cs || '/print'
+                       ELSE '/b/' || cs || '/index.html' END AS url,
+                   base || CASE v
+                       WHEN 0 THEN '/a/' || cs || '/index.htm'
+                       WHEN 1 THEN '/a/' || cs || '/print'
+                       WHEN 2 THEN '/a/' || cs || '/print'
+                       ELSE '/a/' || cs || '/index.html' END
+                       AS canonical_url,
+                   v <> 2 AS dust_applied
+            FROM u
         """,
     }

@@ -116,6 +116,11 @@ HEADLINE = [
     # global-budget mode on event-derived hosts) and soft dedup weights
     "budget_allocation",
     "dedup_soft_weights",
+    # round 4: host-scoped template stripping and DUST rule mining +
+    # broadcast frontier canonicalization
+    "host_boilerplate",
+    "dust_rules",
+    "dust_canonicalize",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

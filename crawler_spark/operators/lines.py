@@ -44,21 +44,29 @@ __all__ = ["split_lines", "drop_repeated_lines", "c4_clean"]
 
 
 def split_lines(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One row per non-empty trimmed line: ``(id, pos, line)``.
+    """One row per non-empty trimmed line: ``(id, *carry, pos, line)``.
 
     ``pos`` is the 0-based index in the document's raw newline split, so
     reassembly preserves original line order even after drops.
+    ``carry_cols`` are per-document columns replicated onto every line
+    row (e.g. the host for scoped counting) — cheaper than a re-join
+    after the explode.
     """
+    carry = list(carry_cols or [])
     return (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.posexplode(F.split(F.col(text_col), "\n")).alias(
                 "pos", "_raw"
             ),
         )
-        .select(id_col, "pos", F.trim("_raw").alias("line"))
+        .select(id_col, *carry, "pos", F.trim("_raw").alias("line"))
         .where(F.col("line") != "")
     )
 
@@ -69,6 +77,7 @@ def drop_repeated_lines(
     text_col: str = "text",
     min_docs: int = 2,
     hash_lines: bool = True,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Remove every line that appears in ``>= min_docs`` distinct
     documents corpus-wide; return one row per input document:
@@ -84,23 +93,35 @@ def drop_repeated_lines(
     crosses the counting shuffle; ``False`` keys on the line string
     itself — semantically identical modulo 64-bit collisions, used by
     the oracle-parity entry query.
+
+    ``scope_col`` restricts the frequency count and the drop decision
+    to documents sharing that column's value — host-scoped template
+    removal: a nav bar repeated across one site is dropped, while a
+    phrase that merely recurs on a handful of unrelated sites is kept
+    (per-site boilerplate stripping as practiced by readability-style
+    extractors; contrast the corpus-wide rule of RefinedWeb §"line-wise
+    corrections", which this function keeps as the default). Same
+    scale shape — the extra key column rides the existing 8-byte-key
+    exchange — and per-host frequencies also shrink the reduce-side
+    skew of ultra-common lines.
     """
-    lines = split_lines(df, id_col, text_col)
+    scope = [scope_col] if scope_col is not None else []
+    lines = split_lines(df, id_col, text_col, carry_cols=scope)
     key = (
         F.xxhash64("line") if hash_lines else F.col("line")
     ).alias("_k")
-    keyed = lines.select(id_col, "pos", "line", key)
+    keyed = lines.select(id_col, *scope, "pos", "line", key)
 
-    # corpus-wide document frequency per line key: project to the key
+    # document frequency per (scope,) line key: project to the key
     # BEFORE the exchange (hash mode ships 8-byte keys, never text)
-    freq = keyed.select("_k", id_col).groupBy("_k").agg(
+    freq = keyed.select(*scope, "_k", id_col).groupBy(*scope, "_k").agg(
         F.count_distinct(id_col).alias("_df")
     )
     boiler = freq.where(F.col("_df") >= min_docs).select(
-        "_k", F.lit(True).alias("_drop")
+        *scope, "_k", F.lit(True).alias("_drop")
     )
 
-    marked = keyed.join(boiler, "_k", "left")
+    marked = keyed.join(boiler, [*scope, "_k"], "left")
     rebuilt = (
         marked.groupBy(id_col)
         .agg(

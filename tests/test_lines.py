@@ -142,3 +142,68 @@ def test_bigram_xent_hash_and_string_paths_agree(spark):
     ka = {r["doc_id"]: (round(r["bigram_xent"], 9), r["n_bigrams"]) for r in a}
     kb = {r["doc_id"]: (round(r["bigram_xent"], 9), r["n_bigrams"]) for r in b}
     assert ka == kb
+
+
+def test_host_scoped_boilerplate(spark):
+    # "site nav" repeats on every page of its host -> dropped under
+    # scope; "cross-host disclaimer" appears once on each of 3 hosts ->
+    # KEPT under host scoping, dropped corpus-wide. That asymmetry is
+    # the whole point of the scope_col parameter.
+    rows = [
+        (1, "a", "site nav a\nbody one\ncross-host disclaimer"),
+        (2, "a", "site nav a\nbody two"),
+        (3, "a", "site nav a\nbody three"),
+        (4, "b", "body four\ncross-host disclaimer"),
+        (5, "c", "cross-host disclaimer\nbody five"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    scoped = {
+        r["doc_id"]: r
+        for r in drop_repeated_lines(
+            docs, min_docs=3, scope_col="host"
+        ).collect()
+    }
+    assert scoped[1]["clean_text"] == "body one\ncross-host disclaimer"
+    assert scoped[2]["clean_text"] == "body two"
+    assert scoped[2]["n_dropped"] == 1
+    assert scoped[4]["clean_text"] == "body four\ncross-host disclaimer"
+    assert scoped[5]["n_dropped"] == 0
+
+    unscoped = {
+        r["doc_id"]: r
+        for r in drop_repeated_lines(docs, min_docs=3).collect()
+    }
+    # corpus-wide, the disclaimer reaches df=3 and is dropped too
+    assert unscoped[1]["clean_text"] == "body one"
+    assert unscoped[5]["clean_text"] == "body five"
+
+
+def test_host_scoped_hash_and_string_paths_agree(spark):
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(60)
+        .select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias(
+                "host"
+            ),
+            F.concat_ws(
+                "\n",
+                F.substring("text", 1, 40),
+                F.concat(
+                    F.lit("nav of host "),
+                    (F.col("doc_id") % 3).cast("string"),
+                ),
+            ).alias("text"),
+        )
+    )
+    a = drop_repeated_lines(
+        d, min_docs=4, scope_col="host", hash_lines=True
+    ).collect()
+    b = drop_repeated_lines(
+        d, min_docs=4, scope_col="host", hash_lines=False
+    ).collect()
+    ka = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"]) for r in a}
+    kb = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"]) for r in b}
+    assert ka == kb
+    assert all(v[2] >= 1 for v in ka.values())  # every page lost its nav
