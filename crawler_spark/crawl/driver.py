@@ -46,6 +46,7 @@ from crawler_spark.crawl.store import (
 )
 from crawler_spark.functions.html import extract_links_udf, extract_text_udf
 from crawler_spark.functions.urls import get_hostname, is_fetchable
+from crawler_spark.operators.dust import apply_dust_rules, prepare_dust_rules
 from crawler_spark.operators.seen import BloomSeenSet
 from crawler_spark.operators.topk import topk_per_group, with_global_seq
 from crawler_spark.oracle.crawloracle import (
@@ -260,6 +261,18 @@ def run_crawl(
             [(h, float(p)) for h, p in config.priority.items()],
             "host string, _hp double",
         )
+    # DUST canonicalization rules (config.dust_rules — broadcast-sized
+    # like priority/budgets: rules per site, not per page). Folded to
+    # the per-host broadcast form ONCE and persisted so the per-round
+    # apply join never re-aggregates; see operators/dust.py.
+    dust_df = None
+    if config.dust_rules:
+        dust_df = prepare_dust_rules(
+            spark.createDataFrame(
+                [(h, f, t) for h, f, t in config.dust_rules],
+                "host string, seg_from string, seg_to string",
+            )
+        ).persist()
 
     corpus_slim = corpus.select(
         F.col("url"),
@@ -558,6 +571,17 @@ def run_crawl(
             )
             if config.limit_to:
                 cands = cands.where(F.col("host") == config.limit_to)
+            if dust_df is not None:
+                # rewrite BEFORE robots (robots judges the fetched URL)
+                # and before the first-occurrence dedup + seen probe, so
+                # known DUST twins collapse onto their canonical form
+                # and never refetch (oracle mirror:
+                # CrawlConfig.dust_canonical)
+                cands = (
+                    apply_dust_rules(cands, dust_df)
+                    .withColumn("url", F.col("canonical_url"))
+                    .drop("canonical_url", "dust_applied")
+                )
             if config.robots:
                 # only pay the Python round-trip when rules exist (empty rule
                 # set allows everything — robots_allowed() default)
@@ -647,6 +671,8 @@ def run_crawl(
         )
         _reload_prev = round(time.perf_counter() - _t0, 3)
 
+    if dust_df is not None:
+        dust_df.unpersist()
     return stats
 
 

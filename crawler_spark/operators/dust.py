@@ -59,7 +59,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["path_segments", "mine_dust_rules", "apply_dust_rules"]
+__all__ = [
+    "path_segments",
+    "mine_dust_rules",
+    "mine_dust_rules_from_pages",
+    "prepare_dust_rules",
+    "apply_dust_rules",
+]
 
 
 def path_segments(url):
@@ -137,6 +143,54 @@ def mine_dust_rules(
     )
 
 
+def mine_dust_rules_from_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_support: int = 2,
+    max_group: int = 50,
+) -> DataFrame:
+    """Mine DUST rules from a crawled pages table: content equality is
+    ``xxhash64`` of the EXTRACTED TEXT (the right DUST signal — twin
+    templates differ in chrome, not content; the engine's pages rows
+    already carry the text, ``crawl/store.py`` PAGES_SCHEMA). Null or
+    empty text never pairs (each such page gets a unique key), so error
+    rows and blank pages cannot form one giant duplicate group."""
+    p = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.when(
+            F.col(text_col).isNull() | (F.col(text_col) == ""),
+            F.concat(F.lit("empty:"), F.col(url_col)),
+        )
+        .otherwise(F.xxhash64(text_col).cast("string"))
+        .alias("content_key"),
+    )
+    return mine_dust_rules(
+        p, min_support=min_support, max_group=max_group
+    )
+
+
+def prepare_dust_rules(rules: DataFrame) -> DataFrame:
+    """Fold a ``(host, seg_from, seg_to[, support])`` rule table into
+    one row per host: ``(_rhost, _rules)`` with the rules sorted by
+    ``(seg_from, seg_to)`` — the broadcast-ready form
+    :func:`apply_dust_rules` consumes. The per-host rule count is small
+    by construction (rules per site, not per page); callers applying
+    rules every crawl round should ``persist()`` this once instead of
+    re-aggregating per round."""
+    return rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("seg_from").alias("f"), F.col("seg_to").alias("t")
+                )
+            )
+        ).alias("_rules")
+    )
+
+
 def apply_dust_rules(
     urls: DataFrame,
     rules: DataFrame,
@@ -155,18 +209,10 @@ def apply_dust_rules(
     u = F.col(url_col)
     with_segs = urls.withColumn("_segs", path_segments(u))
 
-    # one row per host carrying its rules sorted by (seg_from, seg_to)
-    # — the per-host rule count is small by construction, and the
-    # whole table is broadcast, so the URL side never shuffles and row
-    # multiplicity is preserved (plain equi-join on host).
-    per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("seg_from").alias("f"), F.col("seg_to").alias("t")
-                )
-            )
-        ).alias("_rules")
+    per_host = (
+        rules
+        if set(rules.columns) == {"_rhost", "_rules"}
+        else prepare_dust_rules(rules)
     )
     matched = with_segs.join(
         F.broadcast(per_host),
@@ -187,6 +233,9 @@ def apply_dust_rules(
     )
     pick = matched.withColumn("_rule", rule)
     rule = F.col("_rule")
+    # scheme://authority + rewritten path + untouched ?query/#fragment
+    # (regexp_extract returns '' on no match, so bare-path URLs concat
+    # cleanly)
     rewritten = F.concat(
         F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://[^/]*)", 1),
         F.lit("/"),
@@ -197,6 +246,7 @@ def apply_dust_rules(
             ),
             "/",
         ),
+        F.regexp_extract(u, r"([?#].*)$", 1),
     )
     return pick.select(
         *urls.columns,

@@ -84,6 +84,49 @@ class CrawlConfig:
     # capped at demand; unconsumed slots roll to the next round's
     # allocation rather than re-apportioning mid-round.
     global_budget: int = 0
+    # DUST canonicalization (north-rule superset, operators/dust.py):
+    # (host, seg_from, seg_to) single-segment URL rewrite rules mined
+    # from content-equal page pairs. Applied to every discovered link
+    # AFTER the limit_to host gate and BEFORE the robots check (robots
+    # must judge the URL that will actually be fetched), exactly where
+    # the Spark driver applies them; the first matching rule per URL in
+    # (seg_from, seg_to) order rewrites every occurrence of its source
+    # segment. Seeds are taken verbatim — operators only canonicalize
+    # what the crawl itself discovers.
+    dust_rules: list[tuple[str, str, str]] = field(default_factory=list)
+
+    def dust_canonical(self, url: str, host: str) -> str:
+        """Mirror of ``operators.dust.apply_dust_rules`` for one URL."""
+        if not self.dust_rules:
+            return url
+        by_host = getattr(self, "_dust_by_host", None)
+        if by_host is None:
+            by_host = {}
+            for h, f, t in sorted(self.dust_rules, key=lambda r: (r[1], r[2])):
+                by_host.setdefault(h, []).append((f, t))
+            self._dust_by_host = by_host
+        rl = by_host.get(host)
+        if not rl:
+            return url
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        # exactly ONE leading slash stripped (parity with the Spark
+        # side's regexp_replace(path, '^/', '')): '//a' -> ['', 'a']
+        trimmed = (
+            parts.path[1:] if parts.path.startswith("/") else parts.path
+        )
+        segs = trimmed.split("/") if trimmed else []
+        for f, t in rl:
+            if f in segs:
+                new_path = "/" + "/".join(t if s == f else s for s in segs)
+                out = f"{parts.scheme}://{parts.netloc}{new_path}"
+                if parts.query:
+                    out += "?" + parts.query
+                if parts.fragment:
+                    out += "#" + parts.fragment
+                return out
+        return url
 
     def budget(self, host: str) -> int:
         return self.budgets.get(host, self.budgets.get("*", 1 << 30))
@@ -318,6 +361,9 @@ def crawl_oracle(
                 continue
             if config.limit_to and link_host != config.limit_to:
                 continue
+            # DUST rewrite before robots: robots judges the URL that
+            # will actually be fetched (host is never rewritten)
+            link_url = config.dust_canonical(link_url, link_host)
             if not config.robots_allowed(link_host, _url_path(link_url)):
                 continue
             if link_url in pages or link_url in frontier:

@@ -113,6 +113,24 @@ def main() -> None:
                          "round apportioned across hosts by largest "
                          "remainder (0 = off); unlike --round-capacity "
                          "hot hosts cannot starve the tail")
+    ap.add_argument("--dust-mine", action="store_true",
+                    help="mine DUST URL-rewrite rules (Bar-Yossef et "
+                         "al. '07) from the store's own crawled pages "
+                         "(content-equal same-host URL twins) and "
+                         "canonicalize discovered links with them this "
+                         "session; requires --resume like the priority "
+                         "flags (rules come from committed content). "
+                         "Rules apply at DISCOVERY time — links found "
+                         "from this session's rounds onward; the "
+                         "already-committed frontier is not rewritten")
+    ap.add_argument("--dust-rules", default=None, metavar="PARQUET",
+                    help="parquet of (host, seg_from, seg_to) URL "
+                         "rewrite rules to canonicalize discovered "
+                         "links with (e.g. a prior --dust-mine export "
+                         "or offline mining over another crawl)")
+    ap.add_argument("--dust-min-support", type=int, default=2,
+                    help="--dust-mine: drop rules observed on fewer "
+                         "content-equal pairs than this")
     ap.add_argument("--snapshot-every", type=int, default=1,
                     help="write the frontier snapshot every N rounds "
                          "(merge-on-read between)")
@@ -221,6 +239,33 @@ def main() -> None:
             ),
         )
 
+    dust_rules: list[tuple[str, str, str]] = []
+    if args.dust_mine and args.dust_rules:
+        ap.error("--dust-mine and --dust-rules are exclusive (mine from "
+                 "this store OR load an external rule table)")
+    if args.dust_mine:
+        if not args.resume:
+            ap.error("--dust-mine requires --resume (rules come from "
+                     "content a prior session committed)")
+        from crawler_spark.operators.dust import mine_dust_rules_from_pages
+
+        dust_rules = [
+            (r["host"], r["seg_from"], r["seg_to"])
+            for r in mine_dust_rules_from_pages(
+                CrawlStore(spark, args.store).read_page_text(
+                    with_host=True
+                ),
+                min_support=args.dust_min_support,
+            ).collect()
+        ]
+    elif args.dust_rules:
+        dust_rules = [
+            (r["host"], r["seg_from"], r["seg_to"])
+            for r in spark.read.parquet(args.dust_rules)
+            .select("host", "seg_from", "seg_to")
+            .collect()
+        ]
+
     cfg = CrawlConfig(
         budgets=budgets,
         budget_periods=periods,
@@ -231,6 +276,7 @@ def main() -> None:
         priority=priority,
         round_capacity=args.round_capacity,
         global_budget=args.global_budget,
+        dust_rules=dust_rules,
     )
     stats = run_crawl(
         spark,
