@@ -2370,6 +2370,45 @@ def q_dust_canonicalize(spark, sf):
     ).select("doc_id", "url", "canonical_url", "dust_applied")
 
 
+def q_canonical_collapse(spark, sf):
+    """rel=canonical honoring (`operators.redirects.canonical_collapse`):
+    declaration chains resolved to their terminal by the same pointer-
+    jumping joins as redirect chains; cycles flagged and collapsed to
+    self (spam shape, treated like redirect loops). Fixture per class
+    of 5 urls: undeclared terminal, a 1-hop and a 2-hop chain onto it,
+    and a 2-cycle pair. The oracle derives targets/hops/flags
+    arithmetically from the construction. Extraction from real HTML is
+    golden-tested separately (tests/test_canonical.py,
+    `functions.html.extract_canonical_from`)."""
+    from crawler_spark.operators.redirects import canonical_collapse
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    v = i % 5
+    c = F.expr("doc_id div 5")
+
+    def urlof(tail):
+        return F.concat(
+            F.lit("http://c"), (c % 7).cast("string"),
+            F.lit(".test/d/"), c.cast("string"), F.lit("/"), tail,
+        )
+
+    canon = (
+        F.when(v == 1, urlof(F.lit("0")))
+        .when(v == 2, urlof(F.lit("1")))
+        .when(v == 3, urlof(F.lit("4")))
+        .when(v == 4, urlof(F.lit("3")))
+    )
+    pages = d.select(
+        "doc_id",
+        urlof(v.cast("string")).alias("url"),
+        canon.alias("canonical"),
+    )
+    return canonical_collapse(pages).select(
+        "doc_id", "url", "target", "canonical_hops", "canonical_cycle"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
     # entries in registry order, so the first 50 are all oracle-backed —
@@ -2489,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate": q_host_boilerplate,
         "dust_rules": q_dust_rules,
         "dust_canonicalize": q_dust_canonicalize,
+        "canonical_collapse": q_canonical_collapse,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -5575,6 +5615,29 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '/a/' || cs || '/index.html' END
                        AS canonical_url,
                    v <> 2 AS dust_applied
+            FROM u
+        """,
+        # rel=canonical collapse by construction: v0 terminal, v1/v2
+        # chain onto it (1 and 2 hops), v3<->v4 cycle -> self + flag
+        # (see q_canonical_collapse)
+        "canonical_collapse": r"""
+            WITH d AS (
+                SELECT doc_id, doc_id % 5 AS v, doc_id // 5 AS c
+                FROM documents
+            ), u AS (
+                SELECT doc_id, v,
+                       'http://c' || CAST(c % 7 AS VARCHAR)
+                           || '.test/d/' || CAST(c AS VARCHAR) || '/'
+                           AS base
+                FROM d
+            )
+            SELECT doc_id,
+                   base || CAST(v AS VARCHAR) AS url,
+                   CASE WHEN v IN (1, 2) THEN base || '0'
+                        ELSE base || CAST(v AS VARCHAR) END AS target,
+                   CAST(CASE v WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+                        AS BIGINT) AS canonical_hops,
+                   v IN (3, 4) AS canonical_cycle
             FROM u
         """,
     }

@@ -121,6 +121,7 @@ HEADLINE = [
     "host_boilerplate",
     "dust_rules",
     "dust_canonicalize",
+    "canonical_collapse",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

@@ -304,6 +304,39 @@ def extract_anchors_from(
     return out
 
 
+def extract_canonical_from(html: str, base_url: str) -> str | None:
+    """The page's declared canonical URL: the FIRST
+    ``<link rel="canonical" href=…>`` in document order, resolved
+    against ``base_url`` and canonicalized exactly like anchors
+    (fragment stripped); ``None`` when the page declares nothing.
+
+    ``rel`` matching is case-insensitive and token-based per the WHATWG
+    link-type rules (``rel="canonical alternate"`` counts). A malformed
+    first declaration (missing/unresolvable href) is treated as
+    undeclared rather than falling through to a later one — conflicting
+    declarations are a known spam/misconfiguration signal, and search
+    engines likewise discount them. The reference crawler has no
+    canonical handling at all (``page.ts`` extracts anchors only); this
+    is the crawl-ecosystem extension feeding
+    ``operators.redirects.canonical_collapse``.
+    """
+    try:
+        root = parse_html(html)
+    except Exception:  # noqa: BLE001
+        return None
+    for el in _iter_elements(root):
+        if el.tag != "link":
+            continue
+        rel = el.attrs.get("rel") or ""
+        if "canonical" not in rel.lower().split():
+            continue
+        href = el.attrs.get("href")
+        if href is None:
+            return None
+        return normalize_url(href, base_url) or None
+    return None
+
+
 # --------------------------------------------------------------------------
 # Vectorized UDFs
 # --------------------------------------------------------------------------
@@ -385,4 +418,17 @@ def extract_images_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
             extract_images_from(_to_str(h), b or "") if h is not None else []
             for h, b in zip(htmls, base_urls)
         ]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def extract_canonical_udf(htmls: pd.Series, base_urls: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            extract_canonical_from(_to_str(h), b or "")
+            if h is not None
+            else None
+            for h, b in zip(htmls, base_urls)
+        ],
+        dtype=object,
     )

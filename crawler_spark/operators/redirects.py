@@ -107,3 +107,56 @@ def resolve_redirects(
         F.col("_h").alias("hops"),
         F.col("_h").isNull().alias("is_cycle"),
     )
+
+
+def canonical_collapse(
+    pages: DataFrame,
+    url_col: str = "url",
+    canon_col: str = "canonical",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Honor ``rel=canonical`` declarations corpus-wide: resolve
+    declaration CHAINS (A declares B canonical, B declares C) to their
+    terminal target with the same pointer-jumping join as redirect
+    chains, and collapse every page onto it.
+
+    Input: one row per page carrying its declared canonical
+    (``functions.html.extract_canonical_from``; null = undeclared).
+    Output: the input columns plus
+
+    - ``target`` — the URL this page's signals/content should be
+      credited to: the chain terminal, or the page itself when it
+      declares nothing, declares itself, or sits on a declaration
+      CYCLE (a real spam/misconfiguration shape — flagged, and treated
+      as undeclared exactly like HTTP redirect loops are quarantined);
+    - ``canonical_hops`` — chain length to the target (0 = own page);
+    - ``canonical_cycle`` — the cycle/over-length flag.
+
+    Scale shape: the edge map is pages-with-a-declaration sized (a
+    small fraction of the corpus), the doubling join is O(log max_hops)
+    hash joins of that map, and the final attach is one equi-join on
+    url — the page rows shuffle once, inherent to keying the output by
+    page. Duplicate (url, canonical) declarations reduce by ``max`` so
+    the resolver's functional-map contract holds deterministically.
+    """
+    u, c = F.col(url_col), F.col(canon_col)
+    edges = (
+        pages.select(u.alias("src"), c.alias("dst"))
+        .where(c.isNotNull() & (c != u))
+        .groupBy("src")
+        .agg(F.max("dst").alias("dst"))
+    )
+    res = resolve_redirects(edges, max_hops=max_hops)
+    out = pages.join(
+        res, pages[url_col] == res["src_id"], "left"
+    )
+    return out.select(
+        *pages.columns,
+        F.coalesce(F.col("final_id"), u).alias("target"),
+        F.coalesce(F.col("hops"), F.lit(0)).cast("long").alias(
+            "canonical_hops"
+        ),
+        F.coalesce(F.col("is_cycle"), F.lit(False)).alias(
+            "canonical_cycle"
+        ),
+    )
