@@ -2409,6 +2409,73 @@ def q_canonical_collapse(spark, sf):
     )
 
 
+def q_sitemap_recrawl(spark, sf):
+    """Sitemap-declared freshness end-to-end: per-host sitemap XML is
+    BUILT from documents (four lastmod shapes: date-only, full
+    datetime+Z, absent, unparseable), parsed by the distributed
+    `<lastmod>`-aware kernel (`functions.sitemaps.entries_from_
+    sitemaps`), then joined against a synthetic crawl state by
+    `operators.freshness.sitemap_refetch` — new/stale refetch,
+    fresh/no_lastmod skip (Cho–Garcia-Molina owns undeclared pages).
+    The oracle derives every decision arithmetically from the shared
+    construction — the XML build+parse round-trip is value-proven, not
+    re-implemented."""
+    from crawler_spark.functions.sitemaps import entries_from_sitemaps
+    from crawler_spark.operators.freshness import sitemap_refetch
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("s"), (i % 6).cast("string"), F.lit(".docs.test"))
+    page = F.concat(F.lit("http://"), host, F.lit("/p/"), i.cast("string"))
+    day = F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+    lastmod = (
+        F.when(i % 4 == 0, F.concat(F.lit("2024-01-"), day))
+        .when(
+            i % 4 == 1,
+            F.concat(F.lit("2024-02-"), day, F.lit("T12:30:00Z")),
+        )
+        .when(i % 4 == 3, F.lit("not-a-date"))
+    )
+    entry_xml = F.concat(
+        F.lit("<url><loc>"), page, F.lit("</loc>"),
+        F.coalesce(
+            F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")),
+            F.lit(""),
+        ),
+        F.lit("</url>"),
+    )
+    bodies = (
+        d.select(
+            host.alias("h"),
+            F.struct(i.alias("i"), entry_xml.alias("x")).alias("e"),
+        )
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("h"), F.lit("/sitemap.xml")
+            ).alias("url"),
+            F.concat(
+                F.lit(
+                    '<urlset xmlns="http://www.sitemaps.org/'
+                    'schemas/sitemap/0.9">'
+                ),
+                F.concat_ws("", F.transform("es", lambda s: s["x"])),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    entries = entries_from_sitemaps(bodies).where(F.col("kind") == "page")
+    crawled = d.where(i % 3 != 0).select(
+        page.alias("url"),
+        F.expr(
+            "timestamp'2024-02-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+        ).alias("fetched_ts"),
+    )
+    return sitemap_refetch(entries, crawled)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
     # entries in registry order, so the first 50 are all oracle-backed —
@@ -2529,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": q_dust_rules,
         "dust_canonicalize": q_dust_canonicalize,
         "canonical_collapse": q_canonical_collapse,
+        "sitemap_recrawl": q_sitemap_recrawl,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -5638,6 +5706,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE v WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
                         AS BIGINT) AS canonical_hops,
                    v IN (3, 4) AS canonical_cycle
+            FROM u
+        """,
+        # sitemap-lastmod refetch by construction arithmetic: w=0
+        # date-only Jan (fresh when crawled), w=1 Feb datetime (stale),
+        # w=2 absent / w=3 unparseable (no_lastmod); i%3=0 never
+        # crawled (new). See q_sitemap_recrawl.
+        "sitemap_recrawl": r"""
+            WITH u AS (
+                SELECT doc_id AS i,
+                       'http://s' || CAST(doc_id % 6 AS VARCHAR)
+                           || '.docs.test/p/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                           AS day
+                FROM documents
+            )
+            SELECT url,
+                   CASE WHEN i % 4 = 0
+                        THEN CAST('2024-01-' || day AS TIMESTAMP)
+                        WHEN i % 4 = 1
+                        THEN CAST('2024-02-' || day || ' 12:30:00'
+                                  AS TIMESTAMP)
+                        ELSE NULL END AS lastmod_ts,
+                   CASE WHEN i % 3 <> 0
+                        THEN TIMESTAMP '2024-02-01 00:00:00'
+                             + i * INTERVAL 1 SECOND
+                        ELSE NULL END AS fetched_ts,
+                   CASE WHEN i % 3 = 0 THEN 'new'
+                        WHEN i % 4 IN (2, 3) THEN 'no_lastmod'
+                        WHEN i % 4 = 1 THEN 'stale'
+                        ELSE 'fresh' END AS reason,
+                   (i % 3 = 0) OR (i % 4 = 1) AS refetch
             FROM u
         """,
     }

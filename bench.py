@@ -122,6 +122,7 @@ HEADLINE = [
     "dust_rules",
     "dust_canonicalize",
     "canonical_collapse",
+    "sitemap_recrawl",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

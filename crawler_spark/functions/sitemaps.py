@@ -70,6 +70,62 @@ def parse_sitemap(body: str) -> tuple[list[str], list[str]]:
     return urls, []
 
 
+_URL_BLOCK_RE = re.compile(
+    r"<(?:[A-Za-z0-9_]+:)?url(?:\s[^>]*)?>(.*?)</(?:[A-Za-z0-9_]+:)?url\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_LASTMOD_RE = re.compile(
+    r"<(?:[A-Za-z0-9_]+:)?lastmod\s*>\s*(.*?)\s*</(?:[A-Za-z0-9_]+:)?lastmod\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_sitemap_entries(
+    body: str,
+) -> tuple[list[tuple[str, str | None]], list[str]]:
+    """Like :func:`parse_sitemap` but pages come back as
+    ``(loc, lastmod|None)`` pairs — ``<lastmod>`` matched WITHIN its
+    ``<url>`` block so entries can't steal a neighbor's date. The raw
+    W3C-datetime string is returned untouched (date-only and full
+    datetime forms both occur in the wild); timestamp parsing is the
+    relational layer's job (``operators.freshness.sitemap_refetch``).
+    A urlset with bare ``<loc>`` elements outside ``<url>`` blocks
+    (malformed but common) degrades to lastmod-less entries; the
+    plain-text format has no lastmod by definition.
+    """
+    if not body:
+        return [], []
+    if _SITEMAPINDEX_RE.search(body):
+        return [], [_unescape(m.group(1)) for m in _LOC_RE.finditer(body)]
+    if _URLSET_RE.search(body):
+        entries: list[tuple[str, str | None]] = []
+        blocks = _URL_BLOCK_RE.findall(body)
+        if blocks:
+            for blk in blocks:
+                locm = _LOC_RE.search(blk)
+                if not locm:
+                    continue
+                lm = _LASTMOD_RE.search(blk)
+                entries.append(
+                    (
+                        _unescape(locm.group(1)),
+                        _unescape(lm.group(1)) if lm else None,
+                    )
+                )
+        else:
+            entries = [
+                (_unescape(m.group(1)), None)
+                for m in _LOC_RE.finditer(body)
+            ]
+        return entries, []
+    urls = []
+    for line in body.splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            urls.append((line, None))
+    return urls, []
+
+
 SITEMAP_URL_SCHEMA = "url string, host string, source_sitemap string, kind string"
 
 
@@ -106,4 +162,52 @@ def urls_from_sitemaps(
 
     return sitemaps.select(url_col, body_col).mapInPandas(
         parse, SITEMAP_URL_SCHEMA
+    )
+
+
+SITEMAP_ENTRY_SCHEMA = (
+    "url string, host string, source_sitemap string, kind string, "
+    "lastmod string"
+)
+
+
+def entries_from_sitemaps(
+    sitemaps: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """(url, body) sitemap fetches → (url, host, source_sitemap, kind,
+    lastmod) — :func:`urls_from_sitemaps` plus each page entry's raw
+    ``<lastmod>`` string (null when absent; always null for child
+    sitemap rows and the plain-text format). Same canonicalization and
+    distribution shape (one ``mapInPandas`` pass, no shuffle)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "host": [], "source_sitemap": [],
+                "kind": [], "lastmod": [],
+            }
+            for src, body in zip(pdf[url_col], pdf[body_col]):
+                entries, children = parse_sitemap_entries(body or "")
+                for u, lm in entries:
+                    canon = normalize_url(u, src or "")
+                    if not canon:
+                        continue
+                    rows["url"].append(canon)
+                    rows["host"].append(get_hostname(canon))
+                    rows["source_sitemap"].append(src)
+                    rows["kind"].append("page")
+                    rows["lastmod"].append(lm)
+                for u in children:
+                    canon = normalize_url(u, src or "")
+                    if not canon:
+                        continue
+                    rows["url"].append(canon)
+                    rows["host"].append(get_hostname(canon))
+                    rows["source_sitemap"].append(src)
+                    rows["kind"].append("sitemap")
+                    rows["lastmod"].append(None)
+            yield pd.DataFrame(rows)
+
+    return sitemaps.select(url_col, body_col).mapInPandas(
+        parse, SITEMAP_ENTRY_SCHEMA
     )

@@ -181,3 +181,64 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def sitemap_refetch(
+    entries: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    fetched_col: str = "fetched_ts",
+) -> DataFrame:
+    """Sitemap-declared freshness: join a sitemap's page entries
+    (``functions.sitemaps.entries_from_sitemaps``) against the crawl
+    state and decide, per sitemap URL, whether to refetch:
+
+    - ``new``       — never crawled → refetch;
+    - ``stale``     — declared lastmod strictly after our fetch time →
+      refetch;
+    - ``fresh``     — lastmod at or before the fetch → skip;
+    - ``no_lastmod`` — crawled, nothing declared → skip here (the
+      Cho–Garcia-Molina estimator, :func:`due_for_recrawl`, owns those).
+
+    lastmod strings are W3C datetime; both wild forms parse
+    relationally — date-only and full datetimes, with a trailing ``Z``
+    treated as naive UTC (the engine's store convention). Anything else
+    (an unparseable or offset form) degrades to ``no_lastmod``:
+    sitemap hints are advisory and a wrong "stale" costs a fetch, so
+    never guess. Returns ``(url, host?, lastmod_ts, fetched_ts,
+    refetch, reason)`` one row per DISTINCT sitemap page entry, keeping
+    the max lastmod of duplicate declarations.
+
+    Shape: one equi-join on url (the sitemap side is pre-reduced by
+    max lastmod; both sides shuffle on the uniform url key) — no wide
+    payloads, safe at any corpus size.
+    """
+    lm = F.col(lastmod_col)
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(F.regexp_replace(lm, r"[Zz]$", "")),
+        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd")),
+    )
+    e = (
+        entries.select(F.col(url_col).alias("url"), lastmod_ts.alias("_lm"))
+        .groupBy("url")
+        .agg(F.max("_lm").alias("lastmod_ts"))
+    )
+    c = crawled.select(
+        F.col(url_col).alias("url"),
+        F.col(fetched_col).alias("fetched_ts"),
+    )
+    j = e.join(c, "url", "left")
+    reason = (
+        F.when(F.col("fetched_ts").isNull(), F.lit("new"))
+        .when(F.col("lastmod_ts").isNull(), F.lit("no_lastmod"))
+        .when(F.col("lastmod_ts") > F.col("fetched_ts"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        "url",
+        "lastmod_ts",
+        "fetched_ts",
+        reason.alias("reason"),
+        reason.isin("new", "stale").alias("refetch"),
+    )

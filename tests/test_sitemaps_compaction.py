@@ -286,3 +286,89 @@ def test_backfill_seen_for_pre_upgrade_store(spark):
     assert store2.read_seen([0, 3]).count() == some
     # idempotent: second call is a no-op
     assert not store2.backfill_seen(8, last)
+
+
+def test_parse_entries_lastmod_paired_within_blocks():
+    from crawler_spark.functions.sitemaps import parse_sitemap_entries
+
+    body = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://h.test/a</loc>"
+        "<lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>http://h.test/b</loc></url>"  # no lastmod
+        "<url><lastmod>2024-02-01</lastmod>"
+        "<loc>http://h.test/c</loc></url>"  # order inside block free
+        "</urlset>"
+    )
+    entries, children = parse_sitemap_entries(body)
+    assert children == []
+    assert entries == [
+        ("http://h.test/a", "2024-01-05"),
+        ("http://h.test/b", None),
+        ("http://h.test/c", "2024-02-01"),
+    ]
+    # a missing <url> block's lastmod can never leak to a neighbor
+    assert entries[1][1] is None
+
+
+def test_parse_entries_index_plain_and_bare_locs():
+    from crawler_spark.functions.sitemaps import parse_sitemap_entries
+
+    idx = (
+        "<sitemapindex><sitemap><loc>/s1.xml</loc>"
+        "<lastmod>2024-01-01</lastmod></sitemap></sitemapindex>"
+    )
+    assert parse_sitemap_entries(idx) == ([], ["/s1.xml"])
+    assert parse_sitemap_entries("http://h.test/x\n# c\n") == (
+        [("http://h.test/x", None)],
+        [],
+    )
+    # malformed urlset with bare locs degrades to lastmod-less entries
+    bare = "<urlset><loc>http://h.test/y</loc></urlset>"
+    assert parse_sitemap_entries(bare) == ([("http://h.test/y", None)], [])
+
+
+def test_entries_from_sitemaps_and_refetch(spark):
+    from crawler_spark.functions.sitemaps import entries_from_sitemaps
+    from crawler_spark.operators.freshness import sitemap_refetch
+
+    body = (
+        '<urlset xmlns="x">'
+        "<url><loc>http://H.test/new</loc>"
+        "<lastmod>2024-02-10T12:30:00Z</lastmod></url>"
+        "<url><loc>http://h.test/stale</loc>"
+        "<lastmod>2024-02-10T12:30:00Z</lastmod></url>"
+        "<url><loc>http://h.test/fresh</loc>"
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>http://h.test/none</loc></url>"
+        "<url><loc>http://h.test/bad</loc>"
+        "<lastmod>yesterday-ish</lastmod></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("http://h.test/sitemap.xml", body)], ["url", "body"]
+    )
+    entries = entries_from_sitemaps(sitemaps)
+    got = {r["url"]: r["lastmod"] for r in entries.collect()}
+    # host canonicalized like link discovery
+    assert got["http://h.test/new"] == "2024-02-10T12:30:00Z"
+
+    crawled = spark.createDataFrame(
+        [
+            ("http://h.test/stale", "2024-02-01 00:00:00"),
+            ("http://h.test/fresh", "2024-02-01 00:00:00"),
+            ("http://h.test/none", "2024-02-01 00:00:00"),
+            ("http://h.test/bad", "2024-02-01 00:00:00"),
+        ],
+        ["url", "f"],
+    ).selectExpr("url", "CAST(f AS TIMESTAMP) AS fetched_ts")
+    out = {
+        r["url"]: (r["reason"], r["refetch"])
+        for r in sitemap_refetch(entries, crawled).collect()
+    }
+    assert out["http://h.test/new"] == ("new", True)
+    assert out["http://h.test/stale"] == ("stale", True)
+    assert out["http://h.test/fresh"] == ("fresh", False)
+    assert out["http://h.test/none"] == ("no_lastmod", False)
+    # unparseable lastmod degrades to advisory-absent, never guesses
+    assert out["http://h.test/bad"] == ("no_lastmod", False)
