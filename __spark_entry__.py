@@ -2466,11 +2466,14 @@ def q_sitemap_recrawl(spark, sf):
         )
     )
     entries = entries_from_sitemaps(bodies).where(F.col("kind") == "page")
+    # fetched offset capped to < 1 h so the stale/fresh verdicts are
+    # sf-INDEPENDENT: every w=1 lastmod is at least 12:30 on its day,
+    # always after Feb 1 00:xx, at any corpus size
     crawled = d.where(i % 3 != 0).select(
         page.alias("url"),
         F.expr(
             "timestamp'2024-02-01 00:00:00'"
-            " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id % 3600)"
         ).alias("fetched_ts"),
     )
     return sitemap_refetch(entries, crawled)
@@ -5731,7 +5734,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS lastmod_ts,
                    CASE WHEN i % 3 <> 0
                         THEN TIMESTAMP '2024-02-01 00:00:00'
-                             + i * INTERVAL 1 SECOND
+                             + (i % 3600) * INTERVAL 1 SECOND
                         ELSE NULL END AS fetched_ts,
                    CASE WHEN i % 3 = 0 THEN 'new'
                         WHEN i % 4 IN (2, 3) THEN 'no_lastmod'

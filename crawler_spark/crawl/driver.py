@@ -46,7 +46,7 @@ from crawler_spark.crawl.store import (
 )
 from crawler_spark.functions.html import extract_links_udf, extract_text_udf
 from crawler_spark.functions.urls import get_hostname, is_fetchable
-from crawler_spark.operators.dust import apply_dust_rules, prepare_dust_rules
+from crawler_spark.operators.dust import apply_dust_rules
 from crawler_spark.operators.seen import BloomSeenSet
 from crawler_spark.operators.topk import topk_per_group, with_global_seq
 from crawler_spark.oracle.crawloracle import (
@@ -262,17 +262,21 @@ def run_crawl(
             "host string, _hp double",
         )
     # DUST canonicalization rules (config.dust_rules — broadcast-sized
-    # like priority/budgets: rules per site, not per page). Folded to
-    # the per-host broadcast form ONCE and persisted so the per-round
-    # apply join never re-aggregates; see operators/dust.py.
+    # like priority/budgets: rules per site, not per page). The
+    # per-host sorted-array form apply_dust_rules consumes is built
+    # DRIVER-SIDE from the config list — a literal local relation, so
+    # the per-round apply join re-broadcasts a constant instead of
+    # re-running an aggregation (and there is no persisted DataFrame
+    # to leak if a round aborts); see operators/dust.py.
     dust_df = None
     if config.dust_rules:
-        dust_df = prepare_dust_rules(
-            spark.createDataFrame(
-                [(h, f, t) for h, f, t in config.dust_rules],
-                "host string, seg_from string, seg_to string",
-            )
-        ).persist()
+        by_host: dict[str, list[tuple[str, str]]] = {}
+        for h, f, t in sorted(config.dust_rules, key=lambda r: (r[1], r[2])):
+            by_host.setdefault(h, []).append((f, t))
+        dust_df = spark.createDataFrame(
+            [(h, rl) for h, rl in sorted(by_host.items())],
+            "_rhost string, _rules array<struct<f:string,t:string>>",
+        )
 
     corpus_slim = corpus.select(
         F.col("url"),
@@ -671,8 +675,6 @@ def run_crawl(
         )
         _reload_prev = round(time.perf_counter() - _t0, 3)
 
-    if dust_df is not None:
-        dust_df.unpersist()
     return stats
 
 

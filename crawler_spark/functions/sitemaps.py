@@ -53,21 +53,12 @@ def parse_sitemap(body: str) -> tuple[list[str], list[str]]:
 
     XML bodies are classified by root element; anything without a
     ``<urlset>``/``<sitemapindex>`` root is treated as the plain-text
-    format (one URL per line, ``#`` comments tolerated).
+    format (one URL per line, ``#`` comments tolerated). Thin wrapper
+    over :func:`parse_sitemap_entries` (one parsing kernel) dropping
+    the lastmod column.
     """
-    if not body:
-        return [], []
-    is_index = bool(_SITEMAPINDEX_RE.search(body))
-    is_urlset = bool(_URLSET_RE.search(body))
-    if is_index or is_urlset:
-        locs = [_unescape(m.group(1)) for m in _LOC_RE.finditer(body)]
-        return ([], locs) if is_index else (locs, [])
-    urls = []
-    for line in body.splitlines():
-        line = line.strip()
-        if line and not line.startswith("#"):
-            urls.append(line)
-    return urls, []
+    entries, children = parse_sitemap_entries(body)
+    return [u for u, _ in entries], children
 
 
 _URL_BLOCK_RE = re.compile(
@@ -89,8 +80,10 @@ def parse_sitemap_entries(
     W3C-datetime string is returned untouched (date-only and full
     datetime forms both occur in the wild); timestamp parsing is the
     relational layer's job (``operators.freshness.sitemap_refetch``).
-    A urlset with bare ``<loc>`` elements outside ``<url>`` blocks
-    (malformed but common) degrades to lastmod-less entries; the
+    ``<loc>`` elements OUTSIDE any ``<url>`` block (malformed-but-
+    common generator output, or a final block truncated by a fetch
+    limit) are still kept as lastmod-less entries after the blocked
+    ones — the same URL set the pre-lastmod parser returned; the
     plain-text format has no lastmod by definition.
     """
     if not body:
@@ -99,24 +92,24 @@ def parse_sitemap_entries(
         return [], [_unescape(m.group(1)) for m in _LOC_RE.finditer(body)]
     if _URLSET_RE.search(body):
         entries: list[tuple[str, str | None]] = []
-        blocks = _URL_BLOCK_RE.findall(body)
-        if blocks:
-            for blk in blocks:
-                locm = _LOC_RE.search(blk)
-                if not locm:
-                    continue
-                lm = _LASTMOD_RE.search(blk)
-                entries.append(
-                    (
-                        _unescape(locm.group(1)),
-                        _unescape(lm.group(1)) if lm else None,
-                    )
+        spans: list[tuple[int, int]] = []
+        for bm in _URL_BLOCK_RE.finditer(body):
+            spans.append(bm.span())
+            blk = bm.group(1)
+            locm = _LOC_RE.search(blk)
+            if not locm:
+                continue
+            lm = _LASTMOD_RE.search(blk)
+            entries.append(
+                (
+                    _unescape(locm.group(1)),
+                    _unescape(lm.group(1)) if lm else None,
                 )
-        else:
-            entries = [
-                (_unescape(m.group(1)), None)
-                for m in _LOC_RE.finditer(body)
-            ]
+            )
+        # stragglers: locs outside every matched block
+        for m in _LOC_RE.finditer(body):
+            if not any(a <= m.start() < b for a, b in spans):
+                entries.append((_unescape(m.group(1)), None))
         return entries, []
     urls = []
     for line in body.splitlines():
@@ -135,33 +128,11 @@ def urls_from_sitemaps(
     """(url, body) sitemap fetches → (url, host, source_sitemap, kind)
     where kind ∈ {page, sitemap}. Page URLs are canonicalized (the same
     kernel as link discovery) and parse failures dropped; child sitemap
-    URLs are resolved against the parent sitemap URL."""
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"url": [], "host": [], "source_sitemap": [], "kind": []}
-            for src, body in zip(pdf[url_col], pdf[body_col]):
-                pages, children = parse_sitemap(body or "")
-                for u in pages:
-                    canon = normalize_url(u, src or "")
-                    if not canon:
-                        continue
-                    rows["url"].append(canon)
-                    rows["host"].append(get_hostname(canon))
-                    rows["source_sitemap"].append(src)
-                    rows["kind"].append("page")
-                for u in children:
-                    canon = normalize_url(u, src or "")
-                    if not canon:
-                        continue
-                    rows["url"].append(canon)
-                    rows["host"].append(get_hostname(canon))
-                    rows["source_sitemap"].append(src)
-                    rows["kind"].append("sitemap")
-            yield pd.DataFrame(rows)
-
-    return sitemaps.select(url_col, body_col).mapInPandas(
-        parse, SITEMAP_URL_SCHEMA
+    URLs are resolved against the parent sitemap URL. Delegates to
+    :func:`entries_from_sitemaps` (one parsing kernel) minus the
+    lastmod column."""
+    return entries_from_sitemaps(sitemaps, url_col, body_col).drop(
+        "lastmod"
     )
 
 

@@ -233,11 +233,13 @@ def apply_dust_rules(
     )
     pick = matched.withColumn("_rule", rule)
     rule = F.col("_rule")
-    # scheme://authority + rewritten path + untouched ?query/#fragment
-    # (regexp_extract returns '' on no match, so bare-path URLs concat
-    # cleanly)
+    # scheme://authority + rewritten path + untouched ?query/#fragment.
+    # Scheme matching is case-insensitive (schemes are; frontier URLs
+    # are normally pre-canonicalized lowercase, but this operator takes
+    # arbitrary tables) and the original spelling is preserved — the
+    # serial mirror (CrawlConfig.dust_canonical) does the same.
     rewritten = F.concat(
-        F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*://[^/]*)", 1),
+        F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/]*)", 1),
         F.lit("/"),
         F.array_join(
             F.transform(

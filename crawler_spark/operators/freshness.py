@@ -201,32 +201,44 @@ def sitemap_refetch(
     - ``no_lastmod`` — crawled, nothing declared → skip here (the
       Cho–Garcia-Molina estimator, :func:`due_for_recrawl`, owns those).
 
-    lastmod strings are W3C datetime; both wild forms parse
+    lastmod strings are W3C datetime; the NAIVE forms parse
     relationally — date-only and full datetimes, with a trailing ``Z``
-    treated as naive UTC (the engine's store convention). Anything else
-    (an unparseable or offset form) degrades to ``no_lastmod``:
+    treated as naive UTC (the engine's store convention). Anything
+    else — unparseable strings AND explicit zone offsets, which would
+    otherwise be read relative to the session timezone and disagree
+    with the equivalent Z spelling — degrades to ``no_lastmod``:
     sitemap hints are advisory and a wrong "stale" costs a fetch, so
-    never guess. Returns ``(url, host?, lastmod_ts, fetched_ts,
-    refetch, reason)`` one row per DISTINCT sitemap page entry, keeping
-    the max lastmod of duplicate declarations.
+    never guess. Returns ``(url, lastmod_ts, fetched_ts, refetch,
+    reason)`` one row per DISTINCT sitemap page entry, keeping the max
+    lastmod of duplicate declarations and judging against the LATEST
+    fetch of each url (a recrawl store naturally holds one row per
+    fetch per round).
 
-    Shape: one equi-join on url (the sitemap side is pre-reduced by
-    max lastmod; both sides shuffle on the uniform url key) — no wide
-    payloads, safe at any corpus size.
+    Shape: one equi-join on url (both sides pre-reduced by max, both
+    shuffle on the uniform url key) — no wide payloads, safe at any
+    corpus size.
     """
     lm = F.col(lastmod_col)
-    lastmod_ts = F.coalesce(
+    naive = (
+        r"^\d{4}-\d{2}-\d{2}"
+        r"([Tt ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?[Zz]?)?$"
+    )
+    lastmod_ts = F.when(
+        lm.rlike(naive),
         F.try_to_timestamp(F.regexp_replace(lm, r"[Zz]$", "")),
-        F.try_to_timestamp(lm, F.lit("yyyy-MM-dd")),
     )
     e = (
         entries.select(F.col(url_col).alias("url"), lastmod_ts.alias("_lm"))
         .groupBy("url")
         .agg(F.max("_lm").alias("lastmod_ts"))
     )
-    c = crawled.select(
-        F.col(url_col).alias("url"),
-        F.col(fetched_col).alias("fetched_ts"),
+    c = (
+        crawled.select(
+            F.col(url_col).alias("url"),
+            F.col(fetched_col).alias("_ft"),
+        )
+        .groupBy("url")
+        .agg(F.max("_ft").alias("fetched_ts"))
     )
     j = e.join(c, "url", "left")
     reason = (

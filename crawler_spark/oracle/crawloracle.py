@@ -108,24 +108,28 @@ class CrawlConfig:
         rl = by_host.get(host)
         if not rl:
             return url
-        from urllib.parse import urlsplit
+        import re as _re
 
-        parts = urlsplit(url)
+        # same decomposition as the Spark side: scheme://authority by
+        # case-insensitive regex (ORIGINAL spelling preserved), path =
+        # the rest up to the first ? or #, suffix untouched
+        m = _re.match(r"(?i)^([a-z][a-z0-9+.-]*://[^/]*)", url)
+        prefix = m.group(1) if m else ""
+        rest = url[len(prefix):]
+        cut = len(rest)
+        for ch in "?#":
+            p = rest.find(ch)
+            if p != -1:
+                cut = min(cut, p)
+        path, suffix = rest[:cut], rest[cut:]
         # exactly ONE leading slash stripped (parity with the Spark
         # side's regexp_replace(path, '^/', '')): '//a' -> ['', 'a']
-        trimmed = (
-            parts.path[1:] if parts.path.startswith("/") else parts.path
-        )
+        trimmed = path[1:] if path.startswith("/") else path
         segs = trimmed.split("/") if trimmed else []
         for f, t in rl:
             if f in segs:
                 new_path = "/" + "/".join(t if s == f else s for s in segs)
-                out = f"{parts.scheme}://{parts.netloc}{new_path}"
-                if parts.query:
-                    out += "?" + parts.query
-                if parts.fragment:
-                    out += "#" + parts.fragment
-                return out
+                return prefix + new_path + suffix
         return url
 
     def budget(self, host: str) -> int:

@@ -195,3 +195,28 @@ def test_path_segments_edges(spark):
     assert out[0] == []
     assert out[1] == []
     assert out[2] == ["a", "", "b"]
+
+
+def test_apply_preserves_uppercase_scheme(spark):
+    rules = spark.createDataFrame(
+        [("h.test", "index.html", "index.htm", 5)],
+        ["host", "seg_from", "seg_to", "support"],
+    )
+    frontier = spark.createDataFrame(
+        [("h.test", "HTTP://h.test/a/index.html")], ["host", "url"]
+    )
+    (row,) = apply_dust_rules(frontier, rules).collect()
+    # scheme spelling preserved, never silently dropped
+    assert row["canonical_url"] == "HTTP://h.test/a/index.htm"
+    # and the serial mirror agrees
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    cfg = CrawlConfig(dust_rules=[("h.test", "index.html", "index.htm")])
+    assert (
+        cfg.dust_canonical("HTTP://h.test/a/index.html", "h.test")
+        == "HTTP://h.test/a/index.htm"
+    )
+    assert (
+        cfg.dust_canonical("http://h.test/a/index.html?q=1#f", "h.test")
+        == "http://h.test/a/index.htm?q=1#f"
+    )

@@ -372,3 +372,59 @@ def test_entries_from_sitemaps_and_refetch(spark):
     assert out["http://h.test/none"] == ("no_lastmod", False)
     # unparseable lastmod degrades to advisory-absent, never guesses
     assert out["http://h.test/bad"] == ("no_lastmod", False)
+
+
+def test_parse_entries_keeps_bare_loc_stragglers():
+    from crawler_spark.functions.sitemaps import (
+        parse_sitemap,
+        parse_sitemap_entries,
+    )
+
+    # one well-formed block + one bare loc (generator quirk /
+    # truncated final block): both must survive, matching the URL set
+    # the pre-lastmod parser returned
+    body = (
+        "<urlset><url><loc>http://h.test/a</loc>"
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<loc>http://h.test/b</loc></urlset>"
+    )
+    entries, _ = parse_sitemap_entries(body)
+    assert entries == [
+        ("http://h.test/a", "2024-01-01"),
+        ("http://h.test/b", None),
+    ]
+    assert parse_sitemap(body)[0] == ["http://h.test/a", "http://h.test/b"]
+
+
+def test_refetch_judges_latest_fetch_and_rejects_offsets(spark):
+    from crawler_spark.functions.sitemaps import entries_from_sitemaps
+    from crawler_spark.operators.freshness import sitemap_refetch
+
+    body = (
+        "<urlset>"
+        "<url><loc>http://h.test/p</loc>"
+        "<lastmod>2024-02-10T12:30:00Z</lastmod></url>"
+        "<url><loc>http://h.test/off</loc>"
+        "<lastmod>2024-02-10T12:30:00+02:00</lastmod></url>"
+        "</urlset>"
+    )
+    entries = entries_from_sitemaps(
+        spark.createDataFrame([("http://h.test/s.xml", body)], ["url", "body"])
+    )
+    # /p fetched twice: the stale old fetch and a post-lastmod one —
+    # the LATEST fetch decides, exactly one output row
+    crawled = spark.createDataFrame(
+        [
+            ("http://h.test/p", "2024-02-01 00:00:00"),
+            ("http://h.test/p", "2024-02-20 00:00:00"),
+            ("http://h.test/off", "2024-02-01 00:00:00"),
+        ],
+        ["url", "f"],
+    ).selectExpr("url", "CAST(f AS TIMESTAMP) AS fetched_ts")
+    rows = sitemap_refetch(entries, crawled).collect()
+    out = {r["url"]: (r["reason"], r["refetch"]) for r in rows}
+    assert len(rows) == 2
+    assert out["http://h.test/p"] == ("fresh", False)
+    # explicit zone offsets would be session-timezone-relative ->
+    # advisory-absent, never guessed
+    assert out["http://h.test/off"] == ("no_lastmod", False)
