@@ -49,6 +49,11 @@ PHASES = {
     "tags": "addPageTags (learn.ts:387-426)",
     "sites": "createSites (learn.ts:538-554)",
     "links": "linkCount (reconfigure.ts:55-62)",
+    # north-rule extension — the reference has no canonical handling
+    # (page.ts extracts anchors only): per-page rel=canonical
+    # declarations extracted from the fetched html, chains/cycles
+    # resolved by operators.redirects.canonical_collapse
+    "canonicals": "rel=canonical collapse (extension; no reference phase)",
 }
 
 _BLOCK_PHASES = frozenset(("text", "sentiment", "summaries", "terms", "tags"))
@@ -88,8 +93,10 @@ def learn_outputs(
     out: dict[str, DataFrame] = {}
 
     block_want = [p for p in want if p in _BLOCK_PHASES]
-    if block_want:
+    html = None
+    if block_want or "canonicals" in want:
         html = fetched_pages_html(store, corpus)
+    if block_want:
         blocks = page_blocks(html)
         if len(block_want) > 1:
             # one html extraction feeds every block phase; without this
@@ -109,6 +116,17 @@ def learn_outputs(
                 out["terms"] = terms.select("url", "term", "score")
             if "tags" in want:
                 out["tags"] = page_tags(terms)
+    if "canonicals" in want:
+        from crawler_spark.functions.html import extract_canonical_udf
+        from crawler_spark.operators.redirects import canonical_collapse
+
+        decl = html.select(
+            "url",
+            extract_canonical_udf("html", "url").alias("canonical"),
+        )
+        out["canonicals"] = canonical_collapse(decl).select(
+            "url", "target", "canonical_hops", "canonical_cycle"
+        )
     if "sites" in want:
         out["sites"] = sites(store.read_pages())
     if "links" in want:

@@ -113,3 +113,72 @@ def test_learn_cli_from_foreign_cwd(crawled, tmp_path):
     assert set(counts) == {"terms", "tags", "sites", "links"}
     assert all(v > 0 for v in counts.values())
     assert sorted(os.listdir(out_dir)) == ["links", "sites", "tags", "terms"]
+
+
+def test_canonicals_phase(spark, crawled, tmp_path_factory):
+    import pandas as pd
+
+    store, corpus, _ = crawled
+    # webgen pages declare no canonicals: every fetched page targets
+    # itself, zero hops, no cycles
+    out = learn_outputs(store, corpus, phases=["canonicals"])["canonicals"]
+    rows = out.collect()
+    assert rows and all(
+        r["target"] == r["url"]
+        and r["canonical_hops"] == 0
+        and not r["canonical_cycle"]
+        for r in rows
+    )
+
+    # a corpus that DOES declare canonicals: p2 declares p1
+    pages = pd.DataFrame(
+        [
+            {
+                "url": "http://c.test/",
+                "warc_ts": None,
+                "html": (
+                    '<html><body><p>hub page here</p>'
+                    '<a href="http://c.test/p1">one</a>'
+                    '<a href="http://c.test/p2">two</a></body></html>'
+                ).encode(),
+                "text": None, "lang": "en",
+                "content_type": "text/html", "status": 200,
+                "retry_after": None,
+            },
+            {
+                "url": "http://c.test/p1",
+                "warc_ts": None,
+                "html": "<html><body><p>page one body</p></body></html>".encode(),
+                "text": None, "lang": "en",
+                "content_type": "text/html", "status": 200,
+                "retry_after": None,
+            },
+            {
+                "url": "http://c.test/p2",
+                "warc_ts": None,
+                "html": (
+                    '<html><head><link rel="canonical" '
+                    'href="http://c.test/p1"></head>'
+                    "<body><p>page two body</p></body></html>"
+                ).encode(),
+                "text": None, "lang": "en",
+                "content_type": "text/html", "status": 200,
+                "retry_after": None,
+            },
+        ]
+    )
+    corpus2 = _to_spark_corpus(spark, pages)
+    root = str(tmp_path_factory.mktemp("canonstore"))
+    run_crawl(
+        spark, corpus2, ["http://c.test/"],
+        CrawlConfig(budgets={"*": 10}, max_rounds=3), root,
+        bloom_buckets=4, bloom_bits=1 << 14,
+    )
+    out2 = {
+        r["url"]: (r["target"], r["canonical_hops"])
+        for r in learn_outputs(
+            CrawlStore(spark, root), corpus2, phases=["canonicals"]
+        )["canonicals"].collect()
+    }
+    assert out2["http://c.test/p2"] == ("http://c.test/p1", 1)
+    assert out2["http://c.test/p1"] == ("http://c.test/p1", 0)
