@@ -2479,6 +2479,53 @@ def q_sitemap_recrawl(spark, sf):
     return sitemap_refetch(entries, crawled)
 
 
+def q_soft_404(spark, sf):
+    """Soft-404 detection (`operators.quality.soft_404_flags`,
+    Bar-Yossef et al. WWW 2004): 200-status pages flagged as error
+    pages via phrase match OR tiny-body × per-host exact template
+    repetition. Fixture mixes real bodies, phrase 404s, per-host tiny
+    templates, tiny-but-unique stubs, and honest 404 statuses. Portable
+    mode (template counting keyed on body text) so the DuckDB oracle
+    mirrors the full two-signal logic, not just the construction."""
+    from crawler_spark.operators.quality import soft_404_flags
+
+    d = _read_wide(spark, sf, "documents")
+    i = F.col("doc_id")
+    w = i % 5
+    host = F.concat(F.lit("h"), (i % 9).cast("string"))
+    text = (
+        F.when(w == 0, F.substring("text", 1, 200))
+        .when(
+            w == 1,
+            F.lit(
+                "Error 404 not found - the page you requested "
+                "does not exist."
+            ),
+        )
+        .when(
+            w == 2,
+            F.concat(
+                F.lit("sorry this page is missing from host h"),
+                (i % 9).cast("string"),
+            ),
+        )
+        .when(w == 3, F.concat(F.lit("stub "), i.cast("string")))
+        .otherwise(F.lit("gone for good: 404 not found"))
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), host, F.lit(".test/p/"), i.cast("string"))
+        .alias("url"),
+        host.alias("host"),
+        F.when(w == 4, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        text.alias("text"),
+    )
+    out = soft_404_flags(pages, hash_bodies=False)
+    return out.select(
+        "url", "status", "tiny_body", "error_phrase", "template_dup",
+        "soft_404",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
     # entries in registry order, so the first 50 are all oracle-backed —
@@ -2600,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_canonicalize": q_dust_canonicalize,
         "canonical_collapse": q_canonical_collapse,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "soft_404": q_soft_404,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -5742,5 +5790,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fresh' END AS reason,
                    (i % 3 = 0) OR (i % 4 = 1) AS refetch
             FROM u
+        """,
+        # full SQL mirror of the soft-404 logic over the shared page
+        # construction (portable text-keyed template counting) — see
+        # q_soft_404
+        "soft_404": r"""
+            WITH pages AS (
+                SELECT 'http://h' || CAST(doc_id % 9 AS VARCHAR)
+                           || '.test/p/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+                       CASE WHEN doc_id % 5 = 4 THEN 404 ELSE 200 END
+                           AS status,
+                       CASE doc_id % 5
+                           WHEN 0 THEN substr(text, 1, 200)
+                           WHEN 1 THEN 'Error 404 not found - the '
+                               || 'page you requested does not exist.'
+                           WHEN 2 THEN 'sorry this page is missing '
+                               || 'from host h'
+                               || CAST(doc_id % 9 AS VARCHAR)
+                           WHEN 3 THEN 'stub '
+                               || CAST(doc_id AS VARCHAR)
+                           ELSE 'gone for good: 404 not found'
+                       END AS text
+                FROM documents
+            ), flagged AS (
+                SELECT *,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                trim(coalesce(text, '')), '\s+'))
+                       END <= 20 AS tiny_body,
+                       regexp_matches(lower(coalesce(text, '')),
+                           '(page (could )?not (be )?found'
+                           || '|404 (error|not found)'
+                           || '|does not exist'
+                           || '|no longer (available|exists)'
+                           || '|page you (requested|are looking for))'
+                       ) AS error_phrase
+                FROM pages
+            ), templates AS (
+                SELECT host, text, TRUE AS template_dup
+                FROM flagged WHERE tiny_body
+                GROUP BY host, text
+                HAVING count(DISTINCT url) >= 3
+            )
+            SELECT f.url, f.status, f.tiny_body, f.error_phrase,
+                   coalesce(t.template_dup, FALSE) AS template_dup,
+                   f.status = 200
+                       AND (f.error_phrase
+                            OR (f.tiny_body
+                                AND coalesce(t.template_dup, FALSE)))
+                       AS soft_404
+            FROM flagged f
+            LEFT JOIN templates t
+              ON f.host = t.host AND f.text = t.text
         """,
     }

@@ -123,6 +123,7 @@ HEADLINE = [
     "dust_canonicalize",
     "canonical_collapse",
     "sitemap_recrawl",
+    "soft_404",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

@@ -698,3 +698,87 @@ def host_reputation(
         (spam_u / m).cast("double").alias("spam_score"),
         ((m - spam_u) / m).cast("double").alias("reputation"),
     )
+
+
+def soft_404_flags(
+    pages: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    status_col: str = "status",
+    text_col: str = "text",
+    max_tokens: int = 20,
+    min_template_dup: int = 3,
+    hash_bodies: bool = True,
+) -> DataFrame:
+    """Soft-404 detection: pages that answer HTTP 200 but are really
+    error pages (the classic "sic transit gloria telae" problem,
+    Bar-Yossef et al. WWW 2004). Hard 404s never reach the corpus; the
+    200-status ghosts poison dedup statistics, link-graph ranks, and
+    training data, and no single signal is reliable — so two
+    independent ones are combined:
+
+    - ``error_phrase`` — the body matches a not-found phrase pattern;
+    - ``tiny_body`` AND ``template_dup`` — the body is under
+      ``max_tokens`` whitespace tokens and its EXACT text recurs on
+      ``>= min_template_dup`` distinct pages of the same host: a
+      per-host error template. A tiny-but-unique page (a stub, a
+      redirect notice) is NOT flagged — uniqueness is evidence of
+      content.
+
+    ``soft_404 = status == 200 AND (error_phrase OR (tiny_body AND
+    template_dup))``. Non-200 rows keep their flags but are never
+    soft-404 (the status already tells the truth).
+
+    Scale shape: the per-row signals are zero-shuffle column algebra;
+    template detection filters to tiny bodies FIRST and then counts
+    per ``(host, xxhash64(text))`` — an 8-byte-key shuffle over the
+    tiny subset only, never the corpus text (``hash_bodies=False`` keys
+    on the text itself for oracle parity; tiny bodies are bounded, so
+    both are safe). Returns the input columns plus the four flags.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")) - F.when(
+        F.trim(t) == "", 1
+    ).otherwise(0)
+    tiny = n_tokens <= max_tokens
+    phrase = F.lower(t).rlike(
+        r"(page (could )?not (be )?found|404 (error|not found)"
+        r"|does not exist|no longer (available|exists)"
+        r"|page you (requested|are looking for))"
+    )
+    key = (F.xxhash64(t) if hash_bodies else t).alias("_bk")
+    flagged = pages.select(
+        *pages.columns,
+        tiny.alias("tiny_body"),
+        phrase.alias("error_phrase"),
+        key,
+    )
+    templates = (
+        flagged.where(F.col("tiny_body"))
+        .select(F.col(host_col).alias("_th"), "_bk", F.col(url_col))
+        .groupBy("_th", "_bk")
+        .agg(F.count_distinct(url_col).alias("_n"))
+        .where(F.col("_n") >= min_template_dup)
+        .select(
+            "_th",
+            F.col("_bk").alias("_tbk"),
+            F.lit(True).alias("_dup"),
+        )
+    )
+    joined = flagged.join(
+        templates,
+        (flagged[host_col] == templates["_th"])
+        & (F.col("_bk") == F.col("_tbk")),
+        "left",
+    )
+    dup = F.coalesce(F.col("_dup"), F.lit(False))
+    return joined.select(
+        *pages.columns,
+        "tiny_body",
+        "error_phrase",
+        dup.alias("template_dup"),
+        (
+            (F.col(status_col) == 200)
+            & (F.col("error_phrase") | (F.col("tiny_body") & dup))
+        ).alias("soft_404"),
+    )

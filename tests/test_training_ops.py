@@ -1105,3 +1105,69 @@ def test_fingerprints_null_text_rows_dropped(spark):
     out = fingerprints(df).collect()
     ids = {r.doc_id for r in out}
     assert 1 in ids and 2 not in ids
+
+
+def test_soft_404_flags(spark):
+    from crawler_spark.operators.quality import soft_404_flags
+
+    tmpl = "sorry this page is missing"
+    rows = [
+        # per-host template, 3 distinct urls on h1 -> soft 404
+        ("http://h1.test/a", "h1", 200, tmpl),
+        ("http://h1.test/b", "h1", 200, tmpl),
+        ("http://h1.test/c", "h1", 200, tmpl),
+        # same template on h2 only twice -> below min_template_dup
+        ("http://h2.test/a", "h2", 200, tmpl),
+        ("http://h2.test/b", "h2", 200, tmpl),
+        # phrase match, long body -> soft 404 regardless of size
+        (
+            "http://h1.test/d", "h1", 200,
+            "we are sorry but the page you requested does not exist "
+            + "filler " * 30,
+        ),
+        # tiny but unique -> NOT flagged (uniqueness = content)
+        ("http://h1.test/e", "h1", 200, "short stub page"),
+        # honest 404: flags computed, soft_404 never
+        ("http://h1.test/f", "h1", 404, "404 not found"),
+        # real content
+        ("http://h1.test/g", "h1", 200, "word " * 50),
+        # null text
+        ("http://h1.test/h", "h1", 200, None),
+    ]
+    df = spark.createDataFrame(rows, ["url", "host", "status", "text"])
+    out = {
+        r["url"]: (
+            r["tiny_body"], r["error_phrase"], r["template_dup"],
+            r["soft_404"],
+        )
+        for r in soft_404_flags(df).collect()
+    }
+    assert out["http://h1.test/a"] == (True, False, True, True)
+    assert out["http://h1.test/b"][3] and out["http://h1.test/c"][3]
+    assert out["http://h2.test/a"] == (True, False, False, False)
+    assert out["http://h1.test/d"] == (False, True, False, True)
+    assert out["http://h1.test/e"] == (True, False, False, False)
+    assert out["http://h1.test/f"] == (True, True, False, False)
+    assert out["http://h1.test/g"] == (False, False, False, False)
+    assert out["http://h1.test/h"] == (True, False, False, False)
+
+    # hash and portable text keying agree
+    a = {r["url"]: r["soft_404"]
+         for r in soft_404_flags(df, hash_bodies=True).collect()}
+    b = {r["url"]: r["soft_404"]
+         for r in soft_404_flags(df, hash_bodies=False).collect()}
+    assert a == b
+
+
+def test_soft_404_template_shuffle_ships_hashes_not_text(spark):
+    from crawler_spark.operators.quality import soft_404_flags
+    from crawler_spark.plans.inspect import exchange_partition_keys
+
+    df = spark.createDataFrame(
+        [("http://h1.test/a", "h1", 200, "tiny body")],
+        ["url", "host", "status", "text"],
+    )
+    out = soft_404_flags(df)  # hash mode
+    # no exchange is ever KEYED on the raw text column
+    for keys in exchange_partition_keys(out):
+        assert "text" not in keys
