@@ -2526,6 +2526,33 @@ def q_soft_404(spark, sf):
     )
 
 
+def q_keyword_blocklist(spark, sf):
+    """C4-style keyword blocklist filtering (`operators.quality.
+    blocklist_flags`, Raffel et al. 2020 §2.2): whole-token matches
+    against a broadcast-literal word list; one hit drops the page at
+    the default threshold. Fixture plants 0/1/3 blocklisted tokens by
+    residue (including a substring decoy — 'xxxtra' must NOT match
+    'xxx'). The oracle mirrors tokenization and counting in SQL with
+    the identical word list."""
+    from crawler_spark.operators.quality import blocklist_flags
+
+    d = _read_wide(spark, sf, "documents")
+    i = F.col("doc_id")
+    text = F.concat(
+        F.substring("text", 1, 80),
+        F.when(i % 7 == 0, F.lit(" win the casino jackpot now")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            i % 11 == 0, F.lit(" viagra Casino xxxtra offer")
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    return blocklist_flags(
+        pages, words=frozenset(["casino", "jackpot", "viagra", "xxx"])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate grades the first 50
     # entries in registry order, so the first 50 are all oracle-backed —
@@ -2648,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_collapse": q_canonical_collapse,
         "sitemap_recrawl": q_sitemap_recrawl,
         "soft_404": q_soft_404,
+        "keyword_blocklist": q_keyword_blocklist,
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,
@@ -5844,5 +5872,43 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged f
             LEFT JOIN templates t
               ON f.host = t.host AND f.text = t.text
+        """,
+        # whole-token blocklist matching on the shared tokenization —
+        # see q_keyword_blocklist ('xxxtra' must not match 'xxx')
+        "keyword_blocklist": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       substr(text, 1, 80)
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' win the casino jackpot now'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' viagra Casino xxxtra offer'
+                               ELSE '' END AS text
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(coalesce(text, '')), '[^a-z0-9]+'
+                           ),
+                           t -> t <> ''
+                       ) AS l
+                FROM pages
+            ), hits AS (
+                SELECT doc_id,
+                       list_filter(
+                           l,
+                           t -> t IN
+                               ('casino', 'jackpot', 'viagra', 'xxx')
+                       ) AS h
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(h) AS BIGINT) AS blocked_count,
+                   CAST(len(list_distinct(h)) AS BIGINT)
+                       AS blocked_distinct,
+                   len(h) <= 0 AS keep
+            FROM hits
         """,
     }

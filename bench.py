@@ -124,6 +124,7 @@ HEADLINE = [
     "canonical_collapse",
     "sitemap_recrawl",
     "soft_404",
+    "keyword_blocklist",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

@@ -145,3 +145,35 @@ if os.path.exists(_AFINN111_FILE):
 if os.path.exists(_AFINN_FILE):
     AFINN.clear()
     AFINN.update(load_afinn(_AFINN_FILE))
+
+
+def load_wordlist(path: str) -> frozenset[str]:
+    """One lowercase word per line, ``#`` comments and blanks ignored —
+    the format of the public blocklists pipelines actually use (the
+    C4 paper filters on the "List of Dirty, Naughty, Obscene..." list,
+    published in exactly this shape; UT1 category lists likewise).
+    Same packaging contract as :func:`load_afinn`: drop the file NEXT
+    TO THIS MODULE so driver and executors resolve identical data."""
+    out = set()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            w = line.strip().lower()
+            if w and not w.startswith("#"):
+                out.add(w)
+    return frozenset(out)
+
+
+_BLOCKLIST_FILE = os.path.join(os.path.dirname(__file__), "blocklist-en.txt")
+
+# Keyword blocklist seed (spam-signal terms only — the real public
+# lists are not vendorable here; drop one in as ``blocklist-en.txt``
+# to replace this, loader above). C4 (Raffel et al. 2020 §2.2) drops
+# any page containing any listed word.
+BLOCKLIST: frozenset[str] = frozenset(
+    """casino jackpot viagra cialis xxx porn escort betting payday
+    replica counterfeit warez keygen crack torrent pills enlargement
+    lottery winnings prince inheritance bitcoin doubler forex signals
+    miracle cure weight loss pills""".split()
+)
+if os.path.exists(_BLOCKLIST_FILE):
+    BLOCKLIST = load_wordlist(_BLOCKLIST_FILE)

@@ -782,3 +782,52 @@ def soft_404_flags(
             & (F.col("error_phrase") | (F.col("tiny_body") & dup))
         ).alias("soft_404"),
     )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    words: frozenset[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style keyword blocklist filtering (Raffel et al. 2020 §2.2:
+    drop any page containing any word from a public blocklist; UT1
+    category lists are used the same way). ``words`` defaults to
+    ``functions.lexicons.BLOCKLIST`` (a spam-term seed — ship the real
+    public list as ``blocklist-en.txt`` next to the lexicons module,
+    same drop-in contract as AFINN).
+
+    Matching is whole-token on a simple documented tokenization
+    (lowercase, split on non-alphanumeric runs) — "scunthorpe" never
+    matches a blocklisted substring. Returns ``(id, blocked_count,
+    blocked_distinct, keep)`` where ``keep = blocked_count <=
+    max_hits`` (C4 semantics at the default 0: one hit drops the
+    page).
+
+    Scale shape: the word set rides the plan as a LITERAL array inside
+    whole-stage codegen — zero shuffle, zero UDF, no join; list sizes
+    here are hundreds-to-thousands of tokens, far under literal-plan
+    limits.
+    """
+    wl = sorted(words if words is not None else _default_blocklist())
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    lit_words = F.array(*[F.lit(w) for w in wl])
+    hits = F.filter(toks, lambda x: F.array_contains(lit_words, x))
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("blocked_count"),
+        F.size(F.array_distinct(hits)).cast("long").alias(
+            "blocked_distinct"
+        ),
+        (F.size(hits) <= max_hits).alias("keep"),
+    )
+
+
+def _default_blocklist() -> frozenset[str]:
+    from crawler_spark.functions.lexicons import BLOCKLIST
+
+    return BLOCKLIST

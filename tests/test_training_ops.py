@@ -1171,3 +1171,40 @@ def test_soft_404_template_shuffle_ships_hashes_not_text(spark):
     # no exchange is ever KEYED on the raw text column
     for keys in exchange_partition_keys(out):
         assert "text" not in keys
+
+
+def test_blocklist_flags(spark):
+    from crawler_spark.operators.quality import blocklist_flags
+
+    rows = [
+        (1, "a clean page about cooking and gardens"),
+        (2, "win the CASINO jackpot tonight"),          # 2 hits
+        (3, "xxxtra value offer"),                      # substring decoy
+        (4, None),                                      # null text
+        (5, "casino casino casino"),                    # repeats count
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wl = frozenset(["casino", "jackpot", "xxx"])
+    out = {
+        r["doc_id"]: (r["blocked_count"], r["blocked_distinct"], r["keep"])
+        for r in blocklist_flags(df, words=wl).collect()
+    }
+    assert out[1] == (0, 0, True)
+    assert out[2] == (2, 2, False)
+    assert out[3] == (0, 0, True)   # whole-token: 'xxxtra' != 'xxx'
+    assert out[4] == (0, 0, True)
+    assert out[5] == (3, 1, False)
+    # threshold: allow up to 2 hits
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in blocklist_flags(df, words=wl, max_hits=2).collect()
+    }
+    assert out2[2] is True and out2[5] is False
+
+
+def test_blocklist_zero_shuffle(spark):
+    from crawler_spark.operators.quality import blocklist_flags
+    from crawler_spark.plans.inspect import exchange_count
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    assert exchange_count(blocklist_flags(df)) == 0
