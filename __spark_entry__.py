@@ -2581,7 +2581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_frontier_ingest": q_stream_frontier_ingest,
         "stream_host_budget": q_stream_host_budget,
         "round_windows": q_round_windows,
-        "session_windows": q_session_windows,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2589,8 +2588,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": q_simhash_portable,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "chunk_dedup": q_chunk_dedup,
-        "dup_span_stats": q_dup_span_stats,
+        # round-4 final session families (round-5 window rebalance —
+        # one in-window slot each, as VERDICT r4 item 5 prescribed):
+        # DUST rewrite, canonical-URL collapse, sitemap-driven
+        # freshness, soft-404 detection, C4 keyword blocklist,
+        # host-boilerplate removal. Displaced: chunk_dedup,
+        # dup_span_stats, session_windows, embedding_quantization,
+        # doc_unigram_xent, temperature_mix — each family-redundant
+        # with an entry that stays (doc_exact_dedup/minhash/simhash
+        # cover dedup; round_windows covers windows; ivf/semantic
+        # cover embeddings; doc_quality/doc_token_stats cover text
+        # stats; temperature_sample covers sampling) — all six sit
+        # right below the window, still value-checked by the full
+        # gate and tests/test_tail_oracles.py.
+        "dust_canonicalize": q_dust_canonicalize,
+        "canonical_collapse": q_canonical_collapse,
+        "sitemap_recrawl": q_sitemap_recrawl,
+        "soft_404": q_soft_404,
+        "keyword_blocklist": q_keyword_blocklist,
+        "host_boilerplate": q_host_boilerplate,
         # round-3 final session: one slot per NEW operator family
         # (scheduler allocation, graph trust, signal fusion, URL
         # hygiene, soft dedup) — the displaced dedup/similarity entries
@@ -2604,23 +2620,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "ivf_portable": q_ivf_portable,
         "semantic_dedup_portable": q_semantic_dedup_portable,
-        "embedding_quantization": q_embedding_quantization,
         "doc_quality": q_doc_quality,
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_repetition": q_doc_repetition,
         "doc_language_id": q_doc_language_id,
         "doc_token_stats": q_doc_token_stats,
-        "doc_unigram_xent": q_doc_unigram_xent,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_normalize": q_doc_normalize,
         "doc_fingerprint": q_doc_fingerprint,
         "corpus_curation": q_corpus_curation,
         "doc_stratified_sample": q_doc_stratified_sample,
         "temperature_sample": q_temperature_sample,
-        "temperature_mix": q_temperature_mix,
         "training_shards": q_training_shards,
         # ---- oracle-backed extras past the 50-entry gate window
         # (value-checked by tools/check_correctness.py runs) ----
+        "chunk_dedup": q_chunk_dedup,
+        "session_windows": q_session_windows,
+        "embedding_quantization": q_embedding_quantization,
+        "doc_unigram_xent": q_doc_unigram_xent,
+        "dup_span_stats": q_dup_span_stats,
+        "temperature_mix": q_temperature_mix,
         "minhash_collapse_portable": q_minhash_collapse_portable,
         "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
         "simhash_near_dups_portable": q_simhash_near_dups_portable,

@@ -221,6 +221,7 @@ def run_crawl(
     frontier_snapshot_every: int = 1,
     seen_filter: str = "bloom",
     cuckoo_entries: int = 1 << 16,
+    priority_df: DataFrame | str | None = None,
 ) -> CrawlStats:
     """Run (or resume) the crawl to completion; state lives in the store.
 
@@ -253,10 +254,35 @@ def run_crawl(
     store = CrawlStore(spark, store_root, max_write_partitions=write_partitions)
     robots_ok = _robots_filter_udf(spark, config)
     budget_df, budget_default = _budget_df(spark, config)
-    # host-priority map (config.priority) — broadcast-sized like the
-    # budget/cooldown tables; None keeps the default BFS path join-free
+    # host-priority table. Two feeds, one contract (host -> score):
+    #  - ``priority_df`` (DataFrame or parquet path, columns
+    #    (host, priority)) — the DISTRIBUTED feed: the rank table stays
+    #    an executor-side DataFrame end-to-end, never a driver dict, so
+    #    a 10^8-host universe (where a collect() would OOM the driver)
+    #    costs one ordinary join per round and AQE picks broadcast vs
+    #    shuffle by its actual size. Mined feeds
+    #    (operators.graphrank.host_ranks_df / fused_host_priority_df)
+    #    return exactly this shape; takes precedence over the dict.
+    #  - ``config.priority`` (dict) — the serial-oracle-shaped feed for
+    #    tests and small curated lists; broadcast-hinted because a dict
+    #    that fit in driver memory is broadcast-sized by construction.
+    # None keeps the default BFS path join-free.
     prio_df = None
-    if config.priority:
+    prio_hint = F.broadcast  # dict feed: politeness-table-sized
+    if priority_df is not None:
+        if isinstance(priority_df, str):
+            priority_df = spark.read.parquet(priority_df)
+        missing = {"host", "priority"} - set(priority_df.columns)
+        if missing:
+            raise ValueError(
+                f"priority_df needs columns (host, priority); missing "
+                f"{sorted(missing)} in {priority_df.columns}"
+            )
+        prio_df = priority_df.select(
+            "host", F.col("priority").cast("double").alias("_hp")
+        )
+        prio_hint = lambda df: df  # let AQE size the join  # noqa: E731
+    elif config.priority:
         prio_df = spark.createDataFrame(
             [(h, float(p)) for h, p in config.priority.items()],
             "host string, _hp double",
@@ -424,12 +450,13 @@ def run_crawl(
         # default: pure BFS (disc_round, disc_seq) — the reference's FIFO
         # pop. With host priorities configured (north-rule priority
         # queue), the order key becomes (priority DESC, BFS): one more
-        # broadcast join against a politeness-table-sized rank map.
+        # join against the rank table — broadcast-hinted for the dict
+        # feed, AQE-sized for the distributed priority_df feed.
         _t0 = time.perf_counter()
         order_cols = ["disc_round", "disc_seq"]
         if prio_df is not None:
             scheduled = (
-                scheduled.join(F.broadcast(prio_df), "host", "left")
+                scheduled.join(prio_hint(prio_df), "host", "left")
                 .withColumn(
                     "_nprio", -F.coalesce(F.col("_hp"), F.lit(0.0))
                 )

@@ -148,12 +148,14 @@ if os.path.exists(_AFINN_FILE):
 
 
 def load_wordlist(path: str) -> frozenset[str]:
-    """One lowercase word per line, ``#`` comments and blanks ignored —
+    """One lowercase entry per line, ``#`` comments and blanks ignored —
     the format of the public blocklists pipelines actually use (the
     C4 paper filters on the "List of Dirty, Naughty, Obscene..." list,
-    published in exactly this shape; UT1 category lists likewise).
-    Same packaging contract as :func:`load_afinn`: drop the file NEXT
-    TO THIS MODULE so driver and executors resolve identical data."""
+    published in exactly this shape; UT1 category lists likewise; both
+    contain multiword entries, which ``blocklist_flags`` matches as
+    consecutive-token phrases). Same packaging contract as
+    :func:`load_afinn`: drop the file NEXT TO THIS MODULE so driver
+    and executors resolve identical data."""
     out = set()
     with open(path, encoding="utf-8") as f:
         for line in f:
@@ -168,12 +170,20 @@ _BLOCKLIST_FILE = os.path.join(os.path.dirname(__file__), "blocklist-en.txt")
 # Keyword blocklist seed (spam-signal terms only — the real public
 # lists are not vendorable here; drop one in as ``blocklist-en.txt``
 # to replace this, loader above). C4 (Raffel et al. 2020 §2.2) drops
-# any page containing any listed word.
+# any page containing any listed word. Entries with spaces are PHRASES
+# matched as consecutive whole tokens (``operators.quality.
+# blocklist_flags``); single-word entries must be unambiguous on their
+# own — generic words like "weight", "loss", "cure", "prince" would
+# make the default max_hits=0 filter drop ordinary prose, so multiword
+# spam signals stay phrases instead of being exploded into unigrams.
 BLOCKLIST: frozenset[str] = frozenset(
-    """casino jackpot viagra cialis xxx porn escort betting payday
-    replica counterfeit warez keygen crack torrent pills enlargement
-    lottery winnings prince inheritance bitcoin doubler forex signals
-    miracle cure weight loss pills""".split()
+    [
+        "casino", "jackpot", "viagra", "cialis", "xxx", "porn",
+        "escort", "payday", "counterfeit", "warez", "keygen",
+        "weight loss pills", "miracle cure", "forex signals",
+        "bitcoin doubler", "prince inheritance", "penis enlargement",
+        "lottery winnings", "replica watches",
+    ]
 )
 if os.path.exists(_BLOCKLIST_FILE):
     BLOCKLIST = load_wordlist(_BLOCKLIST_FILE)

@@ -71,10 +71,18 @@ __all__ = [
 def path_segments(url):
     """Slash-split path segments of ``url`` as an array column.
 
-    ``parse_url`` runs JVM-side; the leading ``/`` is stripped so the
-    root path yields ``[]``, not ``['']``.
+    Pure-regex decomposition — scheme://authority prefix, then the
+    rest up to the first ``?`` or ``#`` — the SAME split the serial
+    oracle (``CrawlConfig.dust_canonical``) uses. ``parse_url`` is
+    deliberately avoided: Java's URL parser returns NULL for inputs it
+    rejects (unencoded spaces, malformed authority), which would make
+    this side silently pass a URL through while the oracle's regex
+    split rewrites it. One leading ``/`` is stripped so the root path
+    yields ``[]``, not ``['']``.
     """
-    path = F.parse_url(url, F.lit("PATH"))
+    prefix = F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*://[^/]*)", 1)
+    rest = F.substr(url, F.length(prefix) + F.lit(1))
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     trimmed = F.regexp_replace(path, r"^/", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, "/")

@@ -731,10 +731,16 @@ def soft_404_flags(
 
     Scale shape: the per-row signals are zero-shuffle column algebra;
     template detection filters to tiny bodies FIRST and then counts
-    per ``(host, xxhash64(text))`` — an 8-byte-key shuffle over the
-    tiny subset only, never the corpus text (``hash_bodies=False`` keys
-    on the text itself for oracle parity; tiny bodies are bounded, so
-    both are safe). Returns the input columns plus the four flags.
+    per ``(host, xxhash64(text), text)`` — the 8-byte hash leads the
+    shuffle key for cheap comparison but the text itself rides along,
+    so a 64-bit collision between a unique stub and an error template
+    can never conflate them (same hash-then-exact pattern as the
+    URL-seen filter; equal text ⇒ equal hash, so the groups are
+    byte-exact either way). Only the tiny subset — bounded by
+    ``max_tokens`` — ever shuffles its text, never the corpus.
+    ``hash_bodies=False`` drops the hash prefix and keys on the text
+    alone; both paths are exact. Returns the input columns plus the
+    four flags.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_tokens = F.size(F.split(F.trim(t), r"\s+")) - F.when(
@@ -753,24 +759,30 @@ def soft_404_flags(
         phrase.alias("error_phrase"),
         key,
     )
+    # exact-text confirm column: with hash_bodies the hash only LEADS
+    # the key — grouping and joining also on the text makes a 64-bit
+    # collision harmless (there is no downstream re-check to catch it,
+    # unlike dedup candidates, so exactness must live here)
+    tkey = [t.alias("_bt")] if hash_bodies else []
     templates = (
         flagged.where(F.col("tiny_body"))
-        .select(F.col(host_col).alias("_th"), "_bk", F.col(url_col))
-        .groupBy("_th", "_bk")
+        .select(F.col(host_col).alias("_th"), "_bk", *tkey, F.col(url_col))
+        .groupBy("_th", "_bk", *(["_bt"] if hash_bodies else []))
         .agg(F.count_distinct(url_col).alias("_n"))
         .where(F.col("_n") >= min_template_dup)
         .select(
             "_th",
             F.col("_bk").alias("_tbk"),
+            *([F.col("_bt").alias("_tbt")] if hash_bodies else []),
             F.lit(True).alias("_dup"),
         )
     )
-    joined = flagged.join(
-        templates,
-        (flagged[host_col] == templates["_th"])
-        & (F.col("_bk") == F.col("_tbk")),
-        "left",
+    cond = (flagged[host_col] == templates["_th"]) & (
+        F.col("_bk") == F.col("_tbk")
     )
+    if hash_bodies:
+        cond = cond & (t == F.col("_tbt"))
+    joined = flagged.join(templates, cond, "left")
     dup = F.coalesce(F.col("_dup"), F.lit(False))
     return joined.select(
         *pages.columns,
@@ -800,30 +812,65 @@ def blocklist_flags(
 
     Matching is whole-token on a simple documented tokenization
     (lowercase, split on non-alphanumeric runs) — "scunthorpe" never
-    matches a blocklisted substring. Returns ``(id, blocked_count,
-    blocked_distinct, keep)`` where ``keep = blocked_count <=
-    max_hits`` (C4 semantics at the default 0: one hit drops the
-    page).
+    matches a blocklisted substring. Multiword entries ("weight loss
+    pills") match as CONSECUTIVE whole tokens of the same stream —
+    the shape the real public lists (DLP, UT1) use for compound spam
+    signals whose constituent words ("weight", "loss") are ordinary
+    prose; exploding them into unigrams would make the default
+    ``max_hits=0`` filter far more aggressive than C4 intends.
+    Returns ``(id, blocked_count, blocked_distinct, keep)`` where
+    ``keep = blocked_count <= max_hits`` (C4 semantics at the default
+    0: one hit drops the page); phrase occurrences count once each
+    (non-overlapping) and a phrase counts once toward
+    ``blocked_distinct``.
 
     Scale shape: the word set rides the plan as a LITERAL array inside
-    whole-stage codegen — zero shuffle, zero UDF, no join; list sizes
-    here are hundreds-to-thousands of tokens, far under literal-plan
-    limits.
+    whole-stage codegen and each phrase as a literal regex over the
+    space-joined token stream — zero shuffle, zero UDF, no join; list
+    sizes here are hundreds-to-thousands of tokens, far under
+    literal-plan limits.
     """
-    wl = sorted(words if words is not None else _default_blocklist())
+    import re as _re
+
+    raw = sorted(words if words is not None else _default_blocklist())
+    # normalize every entry through the SAME tokenization as the text
+    # so "Weight-Loss  Pills" in a dropped-in list file still matches
+    norm = [" ".join(_re.split(r"[^a-z0-9]+", w.lower())).strip()
+            for w in raw]
+    wl = sorted({w for w in norm if w and " " not in w})
+    phrases = sorted({w for w in norm if " " in w})
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(
         F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != ""
     )
     lit_words = F.array(*[F.lit(w) for w in wl])
     hits = F.filter(toks, lambda x: F.array_contains(lit_words, x))
+    uni_count = F.size(hits).cast("long")
+    uni_distinct = F.size(F.array_distinct(hits)).cast("long")
+    if phrases:
+        # one normalized stream; (?:^| )…(?= |$) keeps matches token-
+        # aligned and the lookahead lets adjacent occurrences both count
+        stream = F.array_join(toks, " ")
+        pc = [
+            F.regexp_count(
+                stream, F.lit("(?:^| )" + _re.escape(p) + "(?= |$)")
+            ).cast("long")
+            for p in phrases
+        ]
+        ph_count = pc[0]
+        ph_distinct = (pc[0] > 0).cast("long")
+        for c in pc[1:]:
+            ph_count = ph_count + c
+            ph_distinct = ph_distinct + (c > 0).cast("long")
+    else:
+        ph_count = F.lit(0).cast("long")
+        ph_distinct = F.lit(0).cast("long")
+    total = uni_count + ph_count
     return df.select(
         F.col(id_col),
-        F.size(hits).cast("long").alias("blocked_count"),
-        F.size(F.array_distinct(hits)).cast("long").alias(
-            "blocked_distinct"
-        ),
-        (F.size(hits) <= max_hits).alias("keep"),
+        total.alias("blocked_count"),
+        (uni_distinct + ph_distinct).alias("blocked_distinct"),
+        (total <= max_hits).alias("keep"),
     )
 
 

@@ -185,7 +185,11 @@ def _temperature_rates(
     ``p = target_fraction · (s^alpha / Σ s^alpha) / s``. The rate table
     is strata-sized (dimension cardinality), so the unpartitioned
     windows below run over a handful of rows; the corpus-sized count
-    aggregation above them still partial-aggregates normally."""
+    aggregation above them still partial-aggregates normally.
+    (This is one of the repo's two audited `WindowExec: No Partition
+    Defined` warning sites — safe because the windowed input is the
+    post-aggregation rate table, bounded by |strata|, never the
+    corpus; see BASELINE.md "WindowExec warnings ... pre-answered".)"""
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(strata_col).alias("_s")).agg(

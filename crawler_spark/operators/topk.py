@@ -151,7 +151,11 @@ def with_global_seq(
     instead of twice. The deliberate single-partition window is safe BY
     the bound's contract; an over-optimistic hint degrades to one slow
     sort task, never to a wrong sequence. At 10^10-frontier scale rounds
-    exceed the bound and the range-partitioned path engages unchanged."""
+    exceed the bound and the range-partitioned path engages unchanged.
+    (This is one of the repo's two audited ``WindowExec: No Partition
+    Defined`` warning sites — the warning fires exactly when
+    ``small_hint <= small_max_rows`` certified the input as one-task
+    sized; see BASELINE.md "WindowExec warnings ... pre-answered".)"""
     spark = df.sparkSession
     if small_hint is not None and small_hint <= small_max_rows:
         base = df.localCheckpoint(eager=False)

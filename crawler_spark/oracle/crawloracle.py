@@ -99,12 +99,17 @@ class CrawlConfig:
         """Mirror of ``operators.dust.apply_dust_rules`` for one URL."""
         if not self.dust_rules:
             return url
-        by_host = getattr(self, "_dust_by_host", None)
-        if by_host is None:
+        # memo keyed on the rule list's CONTENT — a test mutating
+        # config.dust_rules between calls must not keep the stale index
+        rules_key = tuple(self.dust_rules)
+        cached = getattr(self, "_dust_by_host", None)
+        if cached is not None and cached[0] == rules_key:
+            by_host = cached[1]
+        else:
             by_host = {}
             for h, f, t in sorted(self.dust_rules, key=lambda r: (r[1], r[2])):
                 by_host.setdefault(h, []).append((f, t))
-            self._dust_by_host = by_host
+            self._dust_by_host = (rules_key, by_host)
         rl = by_host.get(host)
         if not rl:
             return url

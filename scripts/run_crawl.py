@@ -104,6 +104,18 @@ def main() -> None:
                          "reputation (e.g. 'pagerank,trust,reputation'); "
                          "requires --resume like --pagerank-priority; "
                          "BFS breaks remaining ties")
+    ap.add_argument("--priority-parquet", default=None, metavar="PARQUET",
+                    help="parquet of (host, priority) to order rounds "
+                         "by — the distributed feed: the rank table "
+                         "never lands on the driver (use for mined "
+                         "priorities at real host-universe scale; a "
+                         "prior --priority-save export, or offline "
+                         "ranking over another crawl)")
+    ap.add_argument("--priority-save", default=None, metavar="PARQUET",
+                    help="with --pagerank-priority/--priority-fusion: "
+                         "also write the mined (host, priority) table "
+                         "to this parquet for later --priority-parquet "
+                         "sessions")
     ap.add_argument("--round-capacity", type=int, default=0,
                     help="max pages per round across all hosts "
                          "(0 = unlimited); overflow stays in the "
@@ -206,17 +218,29 @@ def main() -> None:
     else:
         periods = {}
 
-    priority: dict[str, float] = {}
-    if args.pagerank_priority and args.priority_fusion:
-        ap.error("--pagerank-priority and --priority-fusion are exclusive "
-                 "(fusion with signals=pagerank subsumes the former)")
+    # host priority: every feed stays a DataFrame end-to-end — mined
+    # ranks are never collect()ed into a driver dict (a 10^8-host
+    # universe must not pass through driver memory); the scheduler
+    # joins the table AQE-sized per round
+    priority_df = None
+    n_prio_flags = sum(bool(x) for x in (
+        args.pagerank_priority, args.priority_fusion, args.priority_parquet
+    ))
+    if n_prio_flags > 1:
+        ap.error("--pagerank-priority / --priority-fusion / "
+                 "--priority-parquet are exclusive (one priority feed "
+                 "per session)")
+    if args.priority_save and not (args.pagerank_priority
+                                   or args.priority_fusion):
+        ap.error("--priority-save needs a mining flag "
+                 "(--pagerank-priority or --priority-fusion)")
     if args.pagerank_priority:
         if not args.resume:
             ap.error("--pagerank-priority requires --resume (ranks come "
                      "from the link graph a prior session crawled)")
-        from crawler_spark.operators.graphrank import host_ranks_from_links
+        from crawler_spark.operators.graphrank import host_ranks_df
 
-        priority = host_ranks_from_links(
+        priority_df = host_ranks_df(
             CrawlStore(spark, args.store).read_links()
         )
     elif args.priority_fusion:
@@ -224,12 +248,12 @@ def main() -> None:
             ap.error("--priority-fusion requires --resume (signals come "
                      "from the crawl a prior session committed)")
         from crawler_spark.functions.urls import get_hostname
-        from crawler_spark.operators.graphrank import fused_host_priority
+        from crawler_spark.operators.graphrank import fused_host_priority_df
 
         signals = [s.strip() for s in args.priority_fusion.split(",")
                    if s.strip()]
         st = CrawlStore(spark, args.store)
-        priority = fused_host_priority(
+        priority_df = fused_host_priority_df(
             st.read_links(),
             signals,
             seed_hosts=sorted({get_hostname(u) for u in seeds}),
@@ -238,6 +262,19 @@ def main() -> None:
                 if "reputation" in signals else None
             ),
         )
+    elif args.priority_parquet:
+        priority_df = args.priority_parquet  # run_crawl reads it
+    if args.priority_save and priority_df is not None:
+        # persist BEFORE the crawl starts; per-round scheduling then
+        # reads the parquet instead of recomputing the rank lineage
+        priority_df.write.mode("overwrite").parquet(args.priority_save)
+        priority_df = args.priority_save
+    elif priority_df is not None and not isinstance(priority_df, str):
+        # mined but not saved: cut the iterative rank lineage once so
+        # each round's schedule joins a materialized table instead of
+        # re-running n_iter PageRank shuffles (stays executor-side —
+        # the driver never holds the host universe)
+        priority_df = priority_df.localCheckpoint(eager=True)
 
     dust_rules: list[tuple[str, str, str]] = []
     if args.dust_mine and args.dust_rules:
@@ -273,7 +310,6 @@ def main() -> None:
         limit_to=args.limit_to,
         max_rounds=args.max_rounds,
         round_seconds=args.round_seconds,
-        priority=priority,
         round_capacity=args.round_capacity,
         global_budget=args.global_budget,
         dust_rules=dust_rules,
@@ -291,6 +327,7 @@ def main() -> None:
         frontier_snapshot_every=args.snapshot_every,
         seen_filter=args.seen_filter,
         cuckoo_entries=args.cuckoo_entries,
+        priority_df=priority_df,
     )
     store = CrawlStore(spark, args.store)
     print(json.dumps({

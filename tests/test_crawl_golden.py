@@ -454,3 +454,75 @@ def test_global_budget_skew_fills_rounds_golden(
     assert max(fills) == budget
     # and the whole web was crawled exactly once
     assert sum(fills) == len(pages)
+
+
+def test_priority_df_parquet_feed_golden(spark, small_web, tmp_path_factory):
+    """The DISTRIBUTED priority feed (run_crawl(priority_df=...), round-5
+    item 1): the rank table is loaded from parquet and joined
+    executor-side — the driver never holds a host-universe dict — and
+    the crawl is byte-identical to (a) the serial oracle with the same
+    scores as a config dict and (b) the dict-fed driver run."""
+    from crawler_spark.functions.urls import get_hostname
+
+    w = small_web
+    hosts = sorted({get_hostname(u) for u in w.pages.url})
+    prio = {h: float(i % 3) for i, h in enumerate(hosts)}
+    base = dict(
+        budgets={
+            r.host: int(r.budget_per_round)
+            for r in w.politeness.itertuples()
+        },
+        robots=[(r.host, r.rule, bool(r.allow))
+                for r in w.robots.itertuples()],
+        max_rounds=18,
+        round_capacity=9,
+    )
+    seeds = w.seeds.url.tolist()
+    oracle = crawl_oracle(w.pages, seeds, CrawlConfig(priority=prio, **base))
+
+    pq = str(tmp_path_factory.mktemp("prio") / "ranks.parquet")
+    spark.createDataFrame(
+        sorted(prio.items()), "host string, priority double"
+    ).write.parquet(pq)
+
+    corpus = _to_spark_corpus(spark, w.pages)
+    key = ["round", "seq"]
+    cols = ["round", "seq", "url", "host", "status", "type"]
+
+    # parquet-path feed; config carries NO dict
+    root = str(tmp_path_factory.mktemp("priodf"))
+    run_crawl(spark, corpus, seeds, CrawlConfig(**base), root,
+              bloom_buckets=8, bloom_bits=1 << 16, priority_df=pq)
+    got = (
+        CrawlStore(spark, root).read_pages().toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    want = oracle.crawl_order.sort_values(key).reset_index(drop=True)
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
+
+    # DataFrame feed (what the mined graphrank *_df functions return)
+    root2 = str(tmp_path_factory.mktemp("priodf2"))
+    run_crawl(spark, corpus, seeds, CrawlConfig(**base), root2,
+              bloom_buckets=8, bloom_bits=1 << 16,
+              priority_df=spark.read.parquet(pq))
+    got2 = (
+        CrawlStore(spark, root2).read_pages().toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert list(map(tuple, got2[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
+
+
+def test_priority_df_rejects_wrong_schema(spark, small_web, tmp_path_factory):
+    import pytest as _pytest
+
+    w = small_web
+    corpus = _to_spark_corpus(spark, w.pages)
+    bad = spark.createDataFrame([("h", 1.0)], "host string, rank double")
+    with _pytest.raises(ValueError, match="priority"):
+        run_crawl(spark, corpus, w.seeds.url.tolist(), CrawlConfig(),
+                  str(tmp_path_factory.mktemp("priobad")),
+                  priority_df=bad)

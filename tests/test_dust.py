@@ -220,3 +220,53 @@ def test_apply_preserves_uppercase_scheme(spark):
         cfg.dust_canonical("http://h.test/a/index.html?q=1#f", "h.test")
         == "http://h.test/a/index.htm?q=1#f"
     )
+
+
+def test_malformed_urls_match_serial_oracle(spark):
+    """URLs Java's URL parser rejects (unencoded space, bare-word
+    authority junk) must take the SAME path as the serial oracle's
+    pure-regex split: both rewrite, or both pass through — never a
+    silent one-sided passthrough (ADVICE r4: parse_url returned NULL
+    for these, diverging from dust_canonical)."""
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    rules = spark.createDataFrame(
+        [("h.test", "b", "a", 2)],
+        ["host", "seg_from", "seg_to", "support"],
+    )
+    cases = [
+        "http://h.test/b/has space/page",   # unencoded space in path
+        "http://h.test/b/%zz/bad-escape",   # invalid percent escape
+        "http://h.test/b/é/unicode",   # raw non-ASCII segment
+        "not a url at all/b/x",             # no scheme, junk + space
+        "http://h.test/a/clean",            # control: no rewrite
+    ]
+    frontier = spark.createDataFrame(
+        [("h.test", u) for u in cases], ["host", "url"]
+    )
+    got = {
+        r["url"]: r["canonical_url"]
+        for r in apply_dust_rules(frontier, rules).collect()
+    }
+    cfg = CrawlConfig(dust_rules=[("h.test", "b", "a")])
+    for u in cases:
+        assert got[u] == cfg.dust_canonical(u, "h.test"), u
+
+
+def test_oracle_dust_cache_invalidates_on_rule_change(spark):
+    """Mutating config.dust_rules after the first dust_canonical call
+    must not keep applying the stale rule index (ADVICE r4)."""
+    from crawler_spark.oracle.crawloracle import CrawlConfig
+
+    cfg = CrawlConfig(dust_rules=[("h.test", "b", "a")])
+    assert cfg.dust_canonical("http://h.test/b/x", "h.test") == (
+        "http://h.test/a/x"
+    )
+    cfg.dust_rules = [("h.test", "b", "c")]
+    assert cfg.dust_canonical("http://h.test/b/x", "h.test") == (
+        "http://h.test/c/x"
+    )
+    cfg.dust_rules = []
+    assert cfg.dust_canonical("http://h.test/b/x", "h.test") == (
+        "http://h.test/b/x"
+    )

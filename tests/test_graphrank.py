@@ -219,3 +219,92 @@ def test_host_trust_from_links(spark):
     assert trust["spam1.biz"] == 0.0 and trust["spam2.biz"] == 0.0
     assert trust["good.com"] > trust["blog.com"] > 0.0
     assert sum(trust.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_deep_run_valve_renormalizes(spark, graph):
+    """Past depth 8 the lineage valve also renormalizes (ADVICE r4):
+    magnitudes are bounded per 8-iteration segment and — linearity —
+    the final scores still match the per-iteration-normalized numpy
+    reference."""
+    from crawler_spark.operators.graphrank import hits
+
+    edges, nodes = graph
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    rows = hits(df, n_iter=9).collect()
+    got_h = {r["node"]: r["hub"] for r in rows}
+    got_a = {r["node"]: r["auth"] for r in rows}
+    want_h, want_a = _np_hits(edges, nodes, n_iter=9)
+    for n in nodes:
+        assert got_h[n] == pytest.approx(want_h[n], abs=1e-9)
+        assert got_a[n] == pytest.approx(want_a[n], abs=1e-9)
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_exact_warn_flags_dense_graphs(spark):
+    """exact_warn measures mean degree and warns when the exact-
+    integer-double bound for a segment is exceeded (ADVICE r4: the
+    docstring's old degree^12 claim was wrong for mean degree >= ~21
+    at default depth)."""
+    import warnings
+
+    from crawler_spark.operators.graphrank import hits
+
+    # dense clique: 8 nodes, all ordered pairs -> mean degree 7, and
+    # 7^12 ~ 1.4e10 < 2^53 -> NO warning at depth 6
+    small = [(s, d) for s in range(8) for d in range(8) if s != d]
+    df = spark.createDataFrame(small, "src: long, dst: long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        hits(df, n_iter=6, exact_warn=True).collect()
+
+    # 30 nodes, complete digraph -> mean degree 29; 29^12 > 2^53
+    big = [(s, d) for s in range(30) for d in range(30) if s != d]
+    df2 = spark.createDataFrame(big, "src: long, dst: long")
+    with pytest.warns(UserWarning, match="exact-integer-double"):
+        hits(df2, n_iter=6, exact_warn=True).collect()
+
+
+def test_priority_df_variants_match_dict_wrappers(spark):
+    """The distributed (host, priority) DataFrame feeds are the source
+    of truth; the dict wrappers are collect()s of them — equal values,
+    and the DF schema is exactly what run_crawl(priority_df=) expects."""
+    from pyspark.sql import DataFrame
+
+    from crawler_spark.operators.graphrank import (
+        fused_host_priority,
+        fused_host_priority_df,
+        host_ranks_df,
+        host_ranks_from_links,
+        host_trust_df,
+        host_trust_from_links,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
+            ("a.com", "c.com"), ("spam.com", "spam2.com"),
+            ("spam2.com", "spam.com"),
+        ],
+        "source_host: string, host: string",
+    )
+    for df_fn, dict_fn, kw in [
+        (host_ranks_df, host_ranks_from_links, {}),
+        (host_trust_df, host_trust_from_links,
+         {"seed_hosts": ["a.com"]}),
+        (fused_host_priority_df, fused_host_priority,
+         {"signals": ["pagerank", "trust"], "seed_hosts": ["a.com"]}),
+    ]:
+        if "signals" in kw:
+            df = df_fn(links, kw.pop("signals2", kw["signals"]),
+                       seed_hosts=kw["seed_hosts"])
+            d = dict_fn(links, kw["signals"], seed_hosts=kw["seed_hosts"])
+        else:
+            df = df_fn(links, **kw)
+            d = dict_fn(links, **kw)
+        assert isinstance(df, DataFrame)
+        assert df.columns == ["host", "priority"]
+        got = {r["host"]: r["priority"] for r in df.collect()}
+        assert got.keys() == d.keys()
+        for h in d:
+            assert got[h] == pytest.approx(d[h], abs=1e-12)

@@ -43,3 +43,19 @@ def test_entry_punct_literal_matches_engine():
     from crawler_spark.functions.textops import PUNCT_CLASS
 
     assert em.PUNCT_RE == PUNCT_CLASS
+
+
+def test_every_new_family_has_an_in_window_slot():
+    """Round-5 rebalance (VERDICT r4 item 5): each family added in
+    round 4 keeps one slot inside the driver-graded window so its
+    correctness is driver-recorded, not only locally re-checked."""
+    window = set(list(em.queries())[:WINDOW])
+    for k in [
+        "dust_canonicalize",     # DUST rewrite family
+        "canonical_collapse",    # canonical-URL collapse
+        "sitemap_recrawl",       # sitemap-driven freshness
+        "soft_404",              # soft-404 detection
+        "keyword_blocklist",     # C4 keyword blocklist
+        "host_boilerplate",      # host-boilerplate removal
+    ]:
+        assert k in window, k

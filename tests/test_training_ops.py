@@ -1159,7 +1159,11 @@ def test_soft_404_flags(spark):
     assert a == b
 
 
-def test_soft_404_template_shuffle_ships_hashes_not_text(spark):
+def test_soft_404_template_shuffle_hash_leads_every_text_key(spark):
+    """Template shuffles are keyed hash-first; the text column may ride
+    the key ONLY alongside the hash (the exact-confirm leg — tiny
+    bodies only), never alone: the corpus-wide text never keys an
+    exchange by itself."""
     from crawler_spark.operators.quality import soft_404_flags
     from crawler_spark.plans.inspect import exchange_partition_keys
 
@@ -1168,9 +1172,9 @@ def test_soft_404_template_shuffle_ships_hashes_not_text(spark):
         ["url", "host", "status", "text"],
     )
     out = soft_404_flags(df)  # hash mode
-    # no exchange is ever KEYED on the raw text column
     for keys in exchange_partition_keys(out):
-        assert "text" not in keys
+        if any(("text" in k) or ("_bt" in k) for k in keys):
+            assert any("_bk" in k for k in keys), keys
 
 
 def test_blocklist_flags(spark):
@@ -1208,3 +1212,80 @@ def test_blocklist_zero_shuffle(spark):
 
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     assert exchange_count(blocklist_flags(df)) == 0
+
+
+def test_blocklist_phrases_match_consecutive_tokens(spark):
+    """Multiword blocklist entries match as consecutive whole tokens
+    (ADVICE r4: the old seed .split() exploded 'weight loss pills'
+    into benign unigrams, dropping ordinary prose at max_hits=0)."""
+    from crawler_spark.operators.quality import blocklist_flags
+
+    rows = [
+        (1, "watching my weight and cutting my loss on pills"),  # words scattered
+        (2, "buy Weight-Loss PILLS here"),        # phrase across punct/case
+        (3, "weight loss pills weight loss pills"),  # adjacent repeats
+        (4, "loss pills weight"),                 # wrong order
+        (5, "miracle weight loss pills cure"),    # phrase inside prose
+        (6, "casino and weight loss pills"),      # unigram + phrase mix
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wl = frozenset(["casino", "weight loss pills"])
+    out = {
+        r["doc_id"]: (r["blocked_count"], r["blocked_distinct"], r["keep"])
+        for r in blocklist_flags(df, words=wl).collect()
+    }
+    assert out[1] == (0, 0, True)   # constituent words never hit
+    assert out[2] == (1, 1, False)  # tokenization-normalized phrase
+    assert out[3] == (2, 1, False)  # adjacent occurrences both count
+    assert out[4] == (0, 0, True)
+    assert out[5] == (1, 1, False)
+    assert out[6] == (2, 2, False)
+
+
+def test_blocklist_seed_has_no_generic_unigrams(spark):
+    """The vendored seed keeps multiword spam signals as phrases; its
+    unigrams must not contain everyday words (ADVICE r4)."""
+    from crawler_spark.functions.lexicons import BLOCKLIST
+    from crawler_spark.operators.quality import blocklist_flags
+
+    generic = {"weight", "loss", "cure", "signals", "crack", "replica",
+               "prince", "pills", "miracle", "bitcoin", "forex",
+               "inheritance", "winnings", "lottery", "betting"}
+    unigrams = {w for w in BLOCKLIST if " " not in w}
+    assert not (unigrams & generic)
+    # and ordinary prose built from those words survives the default list
+    df = spark.createDataFrame(
+        [(1, "the prince studied weight loss and his lottery "
+             "inheritance with miracle signals")],
+        ["doc_id", "text"],
+    )
+    (row,) = blocklist_flags(df).collect()
+    assert row["keep"] and row["blocked_count"] == 0
+
+
+def test_blocklist_phrases_stay_zero_shuffle(spark):
+    from crawler_spark.operators.quality import blocklist_flags
+    from crawler_spark.plans.inspect import exchange_count
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    assert exchange_count(blocklist_flags(df)) == 0
+
+
+def test_soft_404_template_key_is_hash_then_exact_text(spark):
+    """With hash_bodies=True the template aggregate keys on BOTH the
+    64-bit hash and the text itself (ADVICE r4: a collision between a
+    unique stub and an error template must not flag live content —
+    there is no downstream re-check)."""
+    from crawler_spark.operators.quality import soft_404_flags
+    from crawler_spark.plans.inspect import exchange_partition_keys
+
+    df = spark.createDataFrame(
+        [("http://h1.test/a", "h1", 200, "tiny body")],
+        ["url", "host", "status", "text"],
+    )
+    out = soft_404_flags(df, hash_bodies=True)
+    keysets = exchange_partition_keys(out)
+    assert any(
+        any("_bk" in k for k in keys) and any("_bt" in k for k in keys)
+        for keys in keysets
+    ), keysets
