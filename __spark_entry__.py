@@ -1883,6 +1883,53 @@ def q_stream_near_dedup(spark, sf):
     )
 
 
+def q_stream_near_dedup_h3(spark, sf):
+    """Streaming near-dedup, hamming 1-3 rung (`streaming.curation.
+    streamed_near_dedup(max_hamming=3)`): same arrival fixture as
+    `stream_near_dedup`, but a document is suppressed when ANY earlier
+    in-watermark arrival's portable simhash is within 3 bits —
+    pigeonhole-banded candidates + bit_count(xor) verify per
+    micro-batch, versioned signature state across batches. The oracle
+    replays the identical signature math and the causal suppression
+    rule (NOT EXISTS earlier row within hamming 3) relationally."""
+    import os
+
+    from crawler_spark.streaming.curation import streamed_near_dedup
+
+    tmp = tempfile.mkdtemp(prefix="stream_nd3_")
+    docs = _read(spark, sf, "documents").select("doc_id", "lang", "text")
+    base = docs.withColumn(
+        "fetch_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    shuffled = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.reverse(F.split(F.col("text"), " ")), "  "
+            ),
+        )
+        .withColumn(
+            "fetch_ts",
+            F.timestamp_seconds(F.lit(1800000000) + F.col("doc_id")),
+        )
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    cols = ["doc_id", "fetch_ts", "lang", "text"]
+    src = base.select(cols).unionByName(shuffled.select(cols))
+    d = os.path.join(tmp, "docs")
+    src.orderBy("fetch_ts", "doc_id").coalesce(1).write.parquet(d)
+    q = streamed_near_dedup(
+        spark, d, f"{tmp}/out", f"{tmp}/ckpt", watermark="3650 days",
+        max_hamming=3,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "lang", "simhash", F.col("n_tokens").cast("long")
+        .alias("n_tokens")
+    )
+
+
 def q_cuckoo_seen(spark, sf):
     """Cuckoo-filter seen set (the deletable bloom twin, north-rule
     "bloom/cuckoo"): add 2k urls, delete every third, probe a superset —
@@ -2688,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_portable": q_classify_portable,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
+        "stream_near_dedup_h3": q_stream_near_dedup_h3,
         "host_boilerplate": q_host_boilerplate,
         "dust_rules": q_dust_rules,
         "dust_canonicalize": q_dust_canonicalize,
@@ -4590,6 +4638,61 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM rows_
             ) WHERE rn = 1
+        """,
+        # hamming 1-3 rung: identical signature CTEs, suppression is
+        # "NOT EXISTS an earlier arrival within 3 bits" — the causal
+        # replay of simhash_near_dups' pigeonhole contract
+        "stream_near_dedup_h3": r"""
+            WITH src AS (
+                SELECT doc_id, 1700000000 + doc_id AS arr, lang, text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 1800000000 + doc_id, lang,
+                       array_to_string(
+                           list_reverse(string_split(text, ' ')), '  ')
+                FROM documents WHERE doc_id % 7 = 0
+            ), toks AS (
+                SELECT doc_id, arr, lang,
+                       list_filter(
+                           string_split_regex(
+                               lower(trim(coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS l
+                FROM src
+            ), tok AS (
+                SELECT doc_id, unnest(l) AS t FROM toks WHERE len(l) > 0
+            ), h AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(1, 16),
+                           j -> (strpos('0123456789abcdef',
+                                        substr(md5(t), j, 1)) - 1)::BIGINT
+                                * (1::BIGINT << (4*(15 - j)))))
+                            AS BIGINT) AS h
+                FROM tok
+            ), votes AS (
+                SELECT doc_id, b.i AS bit,
+                       sum(((h >> b.i) & 1) * 2 - 1) AS v
+                FROM h CROSS JOIN range(0, 60) AS b(i)
+                GROUP BY 1, 2
+            ), sigs AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0
+                                THEN (1::BIGINT << bit) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
+            ), rows_ AS (
+                SELECT t.doc_id, t.arr, t.lang,
+                       CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash,
+                       CAST(len(t.l) AS BIGINT) AS n_tokens
+                FROM toks t LEFT JOIN sigs s USING (doc_id)
+            )
+            SELECT r.doc_id, r.lang, r.simhash, r.n_tokens
+            FROM rows_ r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rows_ p
+                WHERE (p.arr < r.arr
+                       OR (p.arr = r.arr AND p.doc_id < r.doc_id))
+                  AND bit_count(xor(p.simhash, r.simhash)) <= 3
+            )
         """,
         "simhash_near_dups_portable": r"""
             WITH toks AS (

@@ -661,6 +661,35 @@ def simhash_portable_signatures(
     )
 
 
+def simhash_chunks(max_hamming: int, sig_col: str = "simhash"):
+    """Pigeonhole chunk array for a 64-bit simhash column: ``d + 1``
+    disjoint bit ranges as ``struct<chunk:int, val:bigint>`` — d bit
+    flips cannot touch every chunk, so two signatures within hamming d
+    share at least one equal chunk value. Shared by the batch pair
+    generator (:func:`simhash_near_dups`) and the streaming hamming
+    rung (``streaming.curation.streamed_near_dedup``) so both band
+    identically."""
+    n_chunks = max_hamming + 1
+    base_w, extra = divmod(64, n_chunks)
+    bounds = []
+    off = 0
+    for c in range(n_chunks):
+        w = base_w + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col(sig_col), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for c, (off, w) in enumerate(bounds)
+        ]
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -719,28 +748,10 @@ def simhash_near_dups(
                 F.lit(0).alias("hamming"),
             )
         )
-    n_chunks = max_hamming + 1
-    base_w, extra = divmod(64, n_chunks)
-    bounds = []
-    off = 0
-    for c in range(n_chunks):
-        w = base_w + (1 if c < extra else 0)
-        bounds.append((off, w))
-        off += w
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("val"),
-            )
-            for c, (off, w) in enumerate(bounds)
-        ]
-    )
-    ex = sigs.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
-        id_col, "simhash", "c.chunk", "c.val"
-    )
+    ex = sigs.select(
+        id_col, "simhash",
+        F.explode(simhash_chunks(max_hamming)).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
     if max_bucket_size is not None:
         w_b = Window.partitionBy("chunk", "val")
         ex = (

@@ -25,6 +25,8 @@ gate + first-arrival-dedup semantics end-to-end.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -88,6 +90,27 @@ def streamed_doc_curation(
     return writer.start()
 
 
+def _watermark_seconds(watermark: str) -> int:
+    """Parse the tiny interval grammar the curation streams use
+    ('N second[s]|minute[s]|hour[s]|day[s]') to seconds — the hamming
+    rung manages its own state eviction, so the delay must be a number
+    there, not a Spark interval string."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", watermark.lower()
+    )
+    if not m:
+        raise ValueError(
+            f"unsupported watermark {watermark!r}; use "
+            f"'N seconds|minutes|hours|days'"
+        )
+    n = int(m.group(1))
+    return n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        m.group(2)
+    ]
+
+
 def streamed_near_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -95,48 +118,222 @@ def streamed_near_dedup(
     checkpoint_dir: str,
     watermark: str = "1 hour",
     available_now: bool = True,
+    max_hamming: int = 0,
+    max_bucket_size: int | None = 10_000,
+    max_files_per_trigger: int = 16,
 ):
-    """Streaming NEAR-dup suppression — the hamming-0 rung: each
-    arriving document gets a simhash signature (per-bit majority vote
-    over token hashes — word-order insensitive, multiplicity-weighted),
-    and only the FIRST in-watermark arrival per signature survives.
-    Re-crawled pages whose bytes differ but whose token multiset is
-    unchanged (reordered boilerplate, whitespace churn, fragment
-    reshuffles) collapse to one signature, strictly more suppression
-    than ``streamed_doc_curation``'s exact content hash; hamming 1-3
-    neighbors are the BATCH operator's job (``dedup.simhash_near_dups``
-    pigeonhole banding — banding needs a self-join, which streaming
-    state cannot express bounded).
+    """Streaming NEAR-dup suppression, two rungs.
 
-    The signature is the SQL-portable column-algebra simhash
-    (``dedup.with_portable_simhash`` — zero UDF, so the whole stream
-    stays in codegen and the DuckDB oracle can mirror it); state is one
-    64-bit key per distinct signature inside the watermark, evicted by
+    **Hamming 0 (default)**: each arriving document gets a simhash
+    signature (per-bit majority vote over token hashes — word-order
+    insensitive, multiplicity-weighted), and only the FIRST
+    in-watermark arrival per signature survives. Re-crawled pages whose
+    bytes differ but whose token multiset is unchanged (reordered
+    boilerplate, whitespace churn, fragment reshuffles) collapse to one
+    signature, strictly more suppression than
+    ``streamed_doc_curation``'s exact content hash. State is one 64-bit
+    key per distinct in-watermark signature, evicted by
     ``dropDuplicatesWithinWatermark`` exactly like the exact-hash gate.
 
+    **Hamming 1-3** (``max_hamming`` in 1..3): a document is suppressed
+    when ANY previously seen in-watermark document's signature is
+    within ``max_hamming`` bits — the batch
+    ``dedup.simhash_near_dups`` contract replayed causally.
+    Checking against all SEEN docs (not just survivors) gives
+    chain-collapse: a→b→c chains where only adjacent links are near
+    collapse to the first arrival, exactly what batch
+    connected-components collapse produces for causally ordered
+    fixtures (a late edge joining two already-emitted components is the
+    one case streaming cannot retract — same re-admission trade as the
+    watermark itself, documented and tested). Built on ``foreachBatch``
+    rather than a keyed-state UDF because banding needs TWO stateful
+    shapes at once — per-band candidate buckets and a per-doc verdict —
+    which chained streaming state cannot express bounded, while a
+    per-micro-batch join against a versioned signature table keeps the
+    whole thing Catalyst-planned: candidates come from an equi-join on
+    pigeonhole chunks (``dedup.simhash_chunks`` — the SAME banding as
+    batch), verified with JVM-side ``bit_count(xor)``; the state table
+    holds one (simhash, fetch_ts) row per seen doc inside the
+    watermark, evicted when ``max(event time seen) - delay`` passes,
+    and is versioned per micro-batch id so failure-replay is
+    idempotent (re-running batch N rewrites ``state/batch=N`` and
+    ``out/batch=N`` deterministically from ``state/batch=N-1``).
+    ``max_bucket_size`` guards the chunk join like the batch operator
+    (identical-signature cliques belong to the hamming-0 rung / exact
+    dedup, not the banding join).
+
     Output rows: (doc_id, fetch_ts, lang, simhash, n_tokens), first
-    arrival per signature in arrival order.
+    arrival per signature (h0) / per near-dup chain (h1-3) in arrival
+    order; the hamming rung's output lands under ``out/batch=N/``
+    (read the root with ``spark.read.parquet(out_dir)``).
     """
     from crawler_spark.operators.dedup import with_portable_simhash
 
     src = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(docs_dir)
     )
-    deduped = (
-        with_portable_simhash(src)
-        .withColumn("n_tokens", ws_token_count(F.col("text")))
-        .withWatermark("fetch_ts", watermark)
-        .dropDuplicatesWithinWatermark(["simhash"])
-        .select("doc_id", "fetch_ts", "lang", "simhash", "n_tokens")
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("max_hamming must be in [0, 3]")
+    if max_hamming == 0:
+        deduped = (
+            with_portable_simhash(src)
+            .withColumn("n_tokens", ws_token_count(F.col("text")))
+            .withWatermark("fetch_ts", watermark)
+            .dropDuplicatesWithinWatermark(["simhash"])
+            .select("doc_id", "fetch_ts", "lang", "simhash", "n_tokens")
+        )
+        writer = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    delay_s = _watermark_seconds(watermark)
+    state_root = os.path.join(checkpoint_dir, "neardup_state")
+    sigs = with_portable_simhash(src).withColumn(
+        "n_tokens", ws_token_count(F.col("text"))
     )
+
+    def _process(batch_df, batch_id):
+        _near_dedup_batch(
+            batch_df, batch_id, out_dir, state_root,
+            max_hamming=max_hamming, delay_s=delay_s,
+            max_bucket_size=max_bucket_size,
+        )
+
     writer = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
+        sigs.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _latest_state(spark: SparkSession, state_root: str, before: int):
+    """Newest committed state version strictly below ``before`` (the
+    micro-batch being (re)computed must read its PREDECESSOR's state,
+    even on failure replay)."""
+    import glob
+
+    vers = []
+    for p in glob.glob(os.path.join(state_root, "batch=*")):
+        if os.path.exists(os.path.join(p, "_SUCCESS")):
+            try:
+                v = int(os.path.basename(p).split("=", 1)[1])
+            except ValueError:
+                continue
+            if v < before:
+                vers.append(v)
+    if not vers:
+        return None
+    return os.path.join(state_root, f"batch={max(vers)}")
+
+
+def _near_dedup_batch(
+    batch_df,
+    batch_id: int,
+    out_dir: str,
+    state_root: str,
+    max_hamming: int,
+    delay_s: int,
+    max_bucket_size: int | None,
+) -> None:
+    """One micro-batch of the hamming 1-3 rung (see
+    :func:`streamed_near_dedup`). Pure function of (predecessor state,
+    batch rows) — idempotent under Structured Streaming's
+    failure-replay of a batch id."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.dedup import simhash_chunks
+
+    spark = batch_df.sparkSession
+    rows = batch_df.select(
+        "doc_id", "fetch_ts", "lang", "simhash", "n_tokens"
+    ).localCheckpoint()  # one materialization; joined three ways below
+
+    prev_path = _latest_state(spark, state_root, batch_id)
+    state_schema = "simhash bigint, fetch_ts timestamp"
+    state = (
+        spark.read.schema(state_schema).parquet(prev_path)
+        if prev_path is not None
+        else spark.createDataFrame([], state_schema)
+    )
+
+    # watermark: max event time ever seen (state carries its own high
+    # water) minus the delay; state entries below it evict NOW, so the
+    # comparison set is exactly the in-watermark seen set
+    hi = rows.agg(F.max("fetch_ts").alias("m")).collect()[0]["m"]
+    shi = state.agg(F.max("fetch_ts").alias("m")).collect()[0]["m"]
+    high = max(t for t in (hi, shi) if t is not None) if (hi or shi) else None
+    if high is not None:
+        cut = F.lit(high) - F.expr(f"INTERVAL {delay_s} SECONDS")
+        state = state.where(F.col("fetch_ts") >= cut)
+
+    # candidate generation: equi-join on pigeonhole chunks — batch rows
+    # vs (prior state ∪ strictly-earlier rows of this batch)
+    def chunked(df, cols):
+        return df.select(
+            *cols, F.explode(simhash_chunks(max_hamming)).alias("c")
+        ).select(*cols, "c.chunk", "c.val")
+
+    probe = chunked(rows, ["doc_id", "fetch_ts", "simhash"])
+    prior = chunked(
+        state.withColumn("doc_id", F.lit(None).cast("bigint")),
+        ["doc_id", "fetch_ts", "simhash"],
+    ).unionByName(probe)
+    if max_bucket_size is not None:
+        w_b = Window.partitionBy("chunk", "val")
+        prior = (
+            prior.withColumn("_bsz", F.count("*").over(w_b))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    a, b = prior.alias("a"), probe.alias("b")
+    earlier = (F.col("a.fetch_ts") < F.col("b.fetch_ts")) | (
+        (F.col("a.fetch_ts") == F.col("b.fetch_ts"))
+        & (
+            F.col("a.doc_id").isNull()  # state rows precede every batch row
+            | (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & earlier,
+        )
+        .where(ham <= max_hamming)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = rows.join(dup_ids, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+    # seen-semantics state: every batch row's signature joins the set
+    # (writes to batch=N while reading batch=N-1 — never in-place)
+    state.unionByName(rows.select("simhash", "fetch_ts")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_root, f"batch={batch_id}"))
+    # GC superseded state versions (best-effort; only versions BELOW
+    # the predecessor — a replay of batch N still needs N-1)
+    import glob
+    import shutil
+
+    for p in glob.glob(os.path.join(state_root, "batch=*")):
+        try:
+            v = int(os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if v < batch_id - 1:
+            shutil.rmtree(p, ignore_errors=True)
