@@ -801,21 +801,34 @@ def main() -> None:
     if mode == "--curation-scale":
         # training-tier amortization evidence (the curation analogue of
         # BASELINE.md's crawl round-size table): the guarded near-dup
-        # chain over 1x and 8x the corpus. Replicated docs get a short
-        # per-replicate text suffix so they are NEAR- but not
-        # byte-identical — exact dedup keeps them all, and the minhash/
-        # banding/cluster stages do the full 8x work (then find the
-        # cross-replicate near-dup cliques, the realistic boilerplate
-        # shape). docs/sec rising with corpus size = the chain is
-        # data-bound, not per-job fixed-cost bound.
+        # chain over 1x/8x/32x the corpus, PLUS SemDeDup over 1x/8x/32x
+        # the embeddings. Replicated docs get a short per-replicate text
+        # suffix so they are NEAR- but not byte-identical — exact dedup
+        # keeps them all, and the minhash/banding/cluster stages do the
+        # full replicated work (then find the cross-replicate near-dup
+        # cliques, the realistic boilerplate shape). Replicated
+        # embeddings are EXACT vector copies under new ids — the worst
+        # case for cell skew, which is precisely what the cell cap +
+        # cap_stats counters are here to witness. docs/sec rising with
+        # corpus size = the chain is data-bound, not per-job fixed-cost
+        # bound; cap counters > 0 at high replication = the mega-bucket
+        # guards genuinely engage at bench scale (VERDICT r4 item 4).
+        import numpy as np
         from pyspark.sql import functions as F
 
         from crawler_spark.operators.dedup import near_dup_curation
+        from crawler_spark.operators.similarity import (
+            _centroids,
+            semantic_dedup,
+        )
 
+        levels = tuple(
+            int(x) for x in (sys.argv[2:] or ["1", "8", "32"])
+        )
         spark = _spark(CPUS)
         try:
             out = {}
-            for replicate in (1, 8):
+            for replicate in levels:
                 docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
                 if replicate > 1:
                     docs = docs.crossJoin(
@@ -829,11 +842,13 @@ def main() -> None:
                 docs = docs.repartition(128, "doc_id").cache()
                 n = docs.count()  # synthesis + cache fill excluded
                 runs = []
-                for _ in range(2):
+                caps = {}
+                for i in range(2):
                     t0 = time.perf_counter()
                     _materialize(
                         near_dup_curation(
-                            docs, threshold=0.4, max_bucket_size=10000
+                            docs, threshold=0.4, max_bucket_size=10000,
+                            cap_stats=caps if i == 0 else None,
                         ).select("doc_id", "lang", "n_chars")
                     )
                     runs.append(round(time.perf_counter() - t0, 3))
@@ -843,14 +858,49 @@ def main() -> None:
                     "sec": min(runs),
                     "docs_per_sec": round(n / min(runs), 1),
                     "all_sec": runs,
+                    "cap_hits": caps,
                 }
-            ratio = (out["8"]["docs_per_sec"]
-                     / out["1"]["docs_per_sec"])
+            sem = {}
+            for replicate in levels:
+                emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+                if replicate > 1:
+                    emb = emb.crossJoin(
+                        spark.range(replicate).withColumnRenamed("id", "_rep")
+                    ).withColumn(
+                        "vec_id", F.col("vec_id") * replicate + F.col("_rep")
+                    ).drop("_rep")
+                emb = emb.repartition(128, "vec_id").cache()
+                n = emb.count()
+                cents = _centroids(
+                    spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+                    16, "vec_id", "embedding",
+                )
+                runs = []
+                caps = {}
+                for i in range(2):
+                    t0 = time.perf_counter()
+                    _materialize(semantic_dedup(
+                        emb, threshold=0.95, centroids=cents,
+                        max_cell_size=max(2000, (2 * n) // 16),
+                        cap_stats=caps if i == 0 else None,
+                    ))
+                    runs.append(round(time.perf_counter() - t0, 3))
+                emb.unpersist()
+                sem[str(replicate)] = {
+                    "vecs": n,
+                    "sec": min(runs),
+                    "vecs_per_sec": round(n / min(runs), 1),
+                    "all_sec": runs,
+                    "cap_hits": caps,
+                }
+            hi, lo = str(max(levels)), str(min(levels))
+            ratio = out[hi]["docs_per_sec"] / out[lo]["docs_per_sec"]
             print(json.dumps({
-                "metric": "curation_amortization_8x",
+                "metric": f"curation_amortization_{hi}x",
                 "value": round(ratio, 2),
                 "unit": "throughput_ratio",
                 "levels": out,
+                "semantic_levels": sem,
                 "sf": _sf_of(SF_DIR),
                 "cpus": CPUS,
             }))

@@ -282,6 +282,29 @@ def band_rows(
     ).select(id_col, "b.band", "b.bhash")
 
 
+def _report_cap_hits(
+    sized: DataFrame, keys: list[str], cap: int, cap_stats: dict
+) -> None:
+    """Fill ``cap_stats`` with how hard a mega-bucket guard bit:
+    ``buckets_over_cap`` (distinct over-cap groups) and ``rows_dropped``
+    (banding rows those groups excluded from the join). Diagnostic-only
+    — costs one extra aggregation job over the slim sized rows, so it
+    runs only when a caller (bench harness, capacity test) asks."""
+    row = (
+        sized.where(F.col("_bsz") > cap)
+        .groupBy(*keys)
+        .agg(F.first("_bsz").alias("_n"))
+        .agg(
+            F.count("*").alias("b"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("r"),
+        )
+        .collect()[0]
+    )
+    cap_stats["buckets_over_cap"] = int(row["b"])
+    cap_stats["rows_dropped"] = int(row["r"])
+    cap_stats["cap"] = cap
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -289,6 +312,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = 10000,
     portable: bool = False,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs sharing ≥1 LSH band bucket, with
     ``est_jaccard`` = signature agreement fraction.
@@ -320,10 +344,13 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         # window count over (band, bhash): one shuffle over slim rows
         w = Window.partitionBy("band", "bhash")
-        exploded = (
-            exploded.withColumn("_bsz", F.count("*").over(w))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        sized = exploded.withColumn("_bsz", F.count("*").over(w))
+        if cap_stats is not None:
+            _report_cap_hits(
+                sized, ["band", "bhash"], max_bucket_size, cap_stats
+            )
+        exploded = sized.where(F.col("_bsz") <= max_bucket_size).drop(
+            "_bsz"
         )
 
     a = exploded.alias("a")
@@ -370,6 +397,7 @@ def minhash_dedup(
     max_bucket_size: int | None = 10000,
     portable: bool = False,
     collapse_identical: bool = False,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs with est_jaccard ≥ threshold.
 
@@ -414,7 +442,7 @@ def minhash_dedup(
         reps, members = collapse_identical_signatures(sigs, id_col)
         rep_pairs = lsh_candidate_pairs(
             reps, id_col, n_bands, rows_per_band, max_bucket_size,
-            portable=portable,
+            portable=portable, cap_stats=cap_stats,
         )
         member_pairs = members.select(
             F.col("rep_id").alias("id_a"),  # rep = group min, so id_a < id_b
@@ -426,7 +454,7 @@ def minhash_dedup(
         ).unionByName(member_pairs)
     return lsh_candidate_pairs(
         sigs, id_col, n_bands, rows_per_band, max_bucket_size,
-        portable=portable,
+        portable=portable, cap_stats=cap_stats,
     ).where(F.col("est_jaccard") >= threshold)
 
 
@@ -697,6 +725,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     max_bucket_size: int | None = 10_000,
     portable: bool = False,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ d via pigeonhole banding.
 
@@ -754,11 +783,12 @@ def simhash_near_dups(
     ).select(id_col, "simhash", "c.chunk", "c.val")
     if max_bucket_size is not None:
         w_b = Window.partitionBy("chunk", "val")
-        ex = (
-            ex.withColumn("_bsz", F.count("*").over(w_b))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        sized = ex.withColumn("_bsz", F.count("*").over(w_b))
+        if cap_stats is not None:
+            _report_cap_hits(
+                sized, ["chunk", "val"], max_bucket_size, cap_stats
+            )
+        ex = sized.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(
@@ -1018,6 +1048,7 @@ def near_dup_curation(
     threshold: float = 0.7,
     max_bucket_size: int | None = 10000,
     portable: bool = False,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """The guarded end-to-end near-dup removal chain, composed in the
     order the individual operators' contracts require:
@@ -1054,7 +1085,7 @@ def near_dup_curation(
     pairs = minhash_dedup(
         unique, id_col, text_col, k, n_bands, rows_per_band,
         threshold, max_bucket_size, portable,
-        collapse_identical=not portable,
+        collapse_identical=not portable, cap_stats=cap_stats,
     )
     dup_ids = (
         dedup_clusters(pairs)

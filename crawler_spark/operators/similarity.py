@@ -407,6 +407,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_cell_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate removal (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -440,7 +442,10 @@ def semantic_dedup(
     assigned = ivf_assign(emb, centroids, id_col, vec_col).localCheckpoint(
         eager=False
     )
-    pairs = semantic_cell_pairs(assigned, threshold, id_col, vec_col)
+    pairs = semantic_cell_pairs(
+        assigned, threshold, id_col, vec_col,
+        max_cell_size=max_cell_size, cap_stats=cap_stats,
+    )
     dups = (
         dedup_clusters(pairs)
         .where(F.col("is_dup"))
@@ -454,11 +459,37 @@ def semantic_cell_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Within-cell (id_a < id_b, cosine ≥ threshold) pairs over an
     ``(id, vec, cell)`` assignment — :func:`semantic_dedup`'s compare
     stage, public so its plan (a cell-keyed equi-join, never a
-    cartesian) is independently inspectable/testable."""
+    cartesian) is independently inspectable/testable.
+
+    ``max_cell_size`` is the cell-level twin of the minhash/simhash
+    mega-bucket guards: the within-cell join is quadratic in cell size,
+    and a degenerate centroid layout (or an embedding-space hotspot of
+    boilerplate vectors) can funnel a corpus-scale fraction into one
+    cell — over-cap cells are skipped entirely, so Σ c_i² stays bounded
+    by cap·n. Default None: :func:`semantic_dedup`'s standalone
+    contract (and its oracle) is the full within-cell pair set; the
+    scale chain opts in. ``cap_stats`` (a dict) receives
+    ``buckets_over_cap`` / ``rows_dropped`` diagnostics like the
+    dedup-module guards."""
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell")
+        sized = assigned.withColumn("_csz", F.count("*").over(w))
+        if cap_stats is not None:
+            from crawler_spark.operators.dedup import _report_cap_hits
+
+            sized2 = sized.withColumnRenamed("_csz", "_bsz")
+            _report_cap_hits(sized2, ["cell"], max_cell_size, cap_stats)
+        assigned = sized.where(F.col("_csz") <= max_cell_size).drop(
+            "_csz"
+        )
     a = assigned.select(
         "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )

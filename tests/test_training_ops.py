@@ -1289,3 +1289,92 @@ def test_soft_404_template_key_is_hash_then_exact_text(spark):
         any("_bk" in k for k in keys) and any("_bt" in k for k in keys)
         for keys in keysets
     ), keysets
+
+
+def test_mega_bucket_cap_trips_and_reports(spark):
+    """VERDICT r4 item 4: a constructed mega-bucket actually trips
+    max_bucket_size and the cap_stats diagnostic records the drop —
+    for the minhash banding guard, the simhash chunk guard, and the
+    semantic cell guard."""
+    from crawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_near_dups,
+        word_shingles,
+    )
+
+    # 12 byte-identical docs share EVERY band bucket; cap 8 < 12 —
+    # every one of the 16 band buckets goes over
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(12)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(word_shingles(df), n_hashes=64)
+    stats = {}
+    pairs = lsh_candidate_pairs(
+        sigs, n_bands=16, rows_per_band=4, max_bucket_size=8,
+        cap_stats=stats,
+    )
+    assert pairs.count() == 0  # clique lost: that is the documented cap
+    assert stats["buckets_over_cap"] == 16
+    assert stats["rows_dropped"] == 16 * 12
+    assert stats["cap"] == 8
+
+    # uncapped control: the clique pairs exist (C(12,2) = 66)
+    assert lsh_candidate_pairs(
+        sigs, n_bands=16, rows_per_band=4, max_bucket_size=None,
+    ).count() == 66
+
+    # simhash chunk guard: identical docs share all 4 chunks
+    stats2 = {}
+    p2 = simhash_near_dups(df, max_hamming=3, max_bucket_size=8,
+                           cap_stats=stats2)
+    assert p2.count() == 0
+    assert stats2["buckets_over_cap"] == 4
+    assert stats2["rows_dropped"] == 4 * 12
+
+    # semantic cell guard: every vector in one cell, cap below it
+    from crawler_spark.operators.similarity import (
+        ivf_assign,
+        semantic_cell_pairs,
+    )
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    assigned = ivf_assign(emb, cents)
+    stats3 = {}
+    p3 = semantic_cell_pairs(
+        assigned, threshold=0.5, max_cell_size=4, cap_stats=stats3,
+    )
+    assert p3.count() == 0
+    assert stats3["buckets_over_cap"] == 1
+    assert stats3["rows_dropped"] == 10
+    # cap off (default None) keeps the full within-cell pair set
+    assert semantic_cell_pairs(assigned, threshold=0.5).count() == 45
+
+
+def test_curation_chain_collapse_survives_over_cap_clique_with_stats(
+    spark,
+):
+    """The production chain's collapse path removes an over-cap
+    identical clique (signatures collapse before banding) and the
+    cap_stats dict reports zero over-cap buckets AFTER collapse — the
+    guard exists but no longer needs to bite for identical docs."""
+    from crawler_spark.operators.dedup import near_dup_curation
+
+    clique = [(i, "one two three four five six seven eight")
+              for i in range(12)]
+    others = [(100 + i, f"unique document number {i} about topic {i}")
+              for i in range(4)]
+    df = spark.createDataFrame(clique + others, ["doc_id", "text"])
+    stats = {}
+    out = near_dup_curation(df, max_bucket_size=8, cap_stats=stats)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 100, 101, 102, 103]
+    assert stats["buckets_over_cap"] == 0  # collapse shrank the buckets
+    assert stats["rows_dropped"] == 0
