@@ -194,7 +194,8 @@ def _bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     return out, runs
 
 
-def _bench_crawl(spark, replicate: int = 8, snapshot_every: int = 1) -> dict:
+def _bench_crawl(spark, replicate: int = 8, snapshot_every: int = 1,
+                 priority_df=None, priority_dict=None) -> dict:
     """End-to-end crawl (budgets, robots, bloom seen-set, checkpoints) over
     the documents-derived mini-web, replicated to ~40k pages so per-round
     fixed overhead is amortized as it would be at production round sizes."""
@@ -220,12 +221,14 @@ def _bench_crawl(spark, replicate: int = 8, snapshot_every: int = 1) -> dict:
     cfg = CrawlConfig(
         budgets={"*": 1500 * replicate, "hot.docs.test": 6000 * replicate},
         max_rounds=5,
+        priority=priority_dict or {},
     )
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.perf_counter()
     stats = run_crawl(spark, corpus, seed_urls(64 * replicate), cfg, root,
                       bloom_buckets=16, bloom_bits=1 << 22,
-                      frontier_snapshot_every=snapshot_every)
+                      frontier_snapshot_every=snapshot_every,
+                      priority_df=priority_df)
     dt = time.perf_counter() - t0
     corpus.unpersist()
     return {
@@ -980,6 +983,73 @@ def main() -> None:
             return
         if mode == "--crawl-only":
             print(json.dumps(_bench_crawl(spark)))
+            return
+        if mode == "--priority-scale":
+            # evidence for the round-5 fix of r4's one scale defect: the
+            # host-priority feed as a PARQUET-BACKED DataFrame at a
+            # 10^6-host universe (999x larger than the corpus's real
+            # host set — the shape where a collect()-into-dict feed
+            # would serialize the universe through driver memory).
+            # Reported: pages/sec with the feed off, with the mined-size
+            # dict feed, and with the mega parquet feed — the parquet
+            # overhead bound IS the claim "priority costs one ordinary
+            # AQE-sized join per round".
+            import tempfile as _tf
+
+            from pyspark.sql import functions as F
+
+            n_pad = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            from crawler_spark.fixtures.doccorpus import (
+                corpus_from_documents,
+            )
+
+            real = (
+                corpus_from_documents(docs)
+                .select(F.parse_url("url", F.lit("HOST")).alias("host"))
+                .distinct()
+            )
+            rank = F.pmod(F.xxhash64("host"), F.lit(1000)) / F.lit(1000.0)
+            pad = spark.range(n_pad).select(
+                F.concat(F.lit("pad"), F.col("id"), F.lit(".test"))
+                .alias("host")
+            )
+            pq = _tf.mkdtemp(prefix="bench_prio_") + "/ranks.parquet"
+            real.unionByName(pad).select(
+                "host", rank.alias("priority")
+            ).repartition(32).write.parquet(pq)
+            n_ranks = spark.read.parquet(pq).count()
+            small = {
+                r["host"]: float(r["priority"])
+                for r in real.select("host", rank.alias("priority"))
+                .collect()
+            }
+            out = {}
+            for name, kw in (
+                ("bfs", {}),
+                ("dict_feed", {"priority_df": None}),
+                ("parquet_1m", {"priority_df": pq}),
+            ):
+                if name == "dict_feed":
+                    kw = {"priority_dict": small}
+                runs = [_bench_crawl(spark, **kw) for _ in range(2)]
+                best = max(runs, key=lambda r: r["pages_per_sec"])
+                best["all_pages_per_sec"] = [
+                    r["pages_per_sec"] for r in runs
+                ]
+                out[name] = best
+            print(json.dumps({
+                "metric": "priority_feed_overhead",
+                "value": round(
+                    out["parquet_1m"]["pages_per_sec"]
+                    / out["bfs"]["pages_per_sec"], 3,
+                ),
+                "unit": "throughput_ratio_vs_bfs",
+                "n_rank_rows": n_ranks,
+                "levels": out,
+                "sf": _sf_of(SF_DIR),
+                "cpus": CPUS,
+            }))
             return
         if mode == "--skew-crawl":
             n_hot = int(sys.argv[2]) if len(sys.argv) > 2 else 20000

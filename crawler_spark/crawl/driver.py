@@ -244,7 +244,17 @@ def run_crawl(
     Both filters drive the identical crawl (goldens assert it): the exact
     seen-log re-check is the correctness authority, the filter only
     bounds how much of it each round reads. Resume with the same
-    ``seen_filter`` the store was written with."""
+    ``seen_filter`` the store was written with.
+
+    ``priority_df`` is the DISTRIBUTED host-priority feed — a DataFrame
+    or parquet path with columns ``(host, priority)`` (what the mined
+    ``operators.graphrank.host_ranks_df`` / ``fused_host_priority_df``
+    return). It takes precedence over ``config.priority`` (the
+    dict-shaped feed the serial oracle shares) and never passes through
+    driver memory: the scheduler joins it AQE-sized per round, so a
+    10^8-host rank table costs one ordinary join instead of a driver
+    dict whose row count is the host universe. Golden-tested equal to
+    the dict feed at equal scores."""
     if config.round_capacity < 0:
         # a negative cap would silently schedule nothing here while the
         # serial oracle's list slice would keep all-but-the-last rows
