@@ -288,9 +288,12 @@ def run_crawl(
                 f"priority_df needs columns (host, priority); missing "
                 f"{sorted(missing)} in {priority_df.columns}"
             )
+        # the rank table joins once per round for the whole crawl —
+        # persist so rounds scan executor memory (spilling to local disk
+        # at 10^8-host sizes), not the parquet files, every round
         prio_df = priority_df.select(
             "host", F.col("priority").cast("double").alias("_hp")
-        )
+        ).persist()
         prio_hint = lambda df: df  # let AQE size the join  # noqa: E731
     elif config.priority:
         prio_df = spark.createDataFrame(
@@ -712,6 +715,8 @@ def run_crawl(
         )
         _reload_prev = round(time.perf_counter() - _t0, 3)
 
+    if priority_df is not None:
+        prio_df.unpersist()
     return stats
 
 

@@ -192,13 +192,16 @@ def lsh_ann_topk(
 
 
 def _pair_cosine(vec_a, vec_b):
-    """JVM-side cosine between two array columns (zip_with + aggregate)."""
+    """JVM-side cosine between two array columns (zip_with + aggregate).
+    ``try_divide`` so an all-zero vector yields NULL (dropped by every
+    ``>= threshold`` filter — a zero vector is near-dup of nothing)
+    instead of ANSI-mode DIVIDE_BY_ZERO aborting the whole job."""
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return dot / (_norm_col(vec_a) * _norm_col(vec_b))
+    return F.try_divide(dot, _norm_col(vec_a) * _norm_col(vec_b))
 
 
 def cosine_pairs_exact(
@@ -409,6 +412,7 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     max_cell_size: int | None = None,
     cap_stats: dict | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate removal (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -432,7 +436,28 @@ def semantic_dedup(
     ``centroids``: pass pre-normalized rows for a reproducible cell
     layout (the oracle query uses the lowest-id embeddings, mirroring
     ``ivf_portable``); default is the deterministic xxhash64 sample of
-    :func:`_centroids`."""
+    :func:`_centroids`.
+
+    ``collapse_identical`` (default on) is the semantic twin of the
+    minhash identical-signature collapse: byte-identical embeddings —
+    the embedding of an exact-duplicate document, the dominant dup
+    shape in a web corpus — form a fully-connected clique under any
+    ``threshold < 1.0`` (cosine(v, v) = 1; all-zero vectors are
+    near-dup of NOTHING — ``_pair_cosine`` yields NULL for them — so
+    they are excluded from the collapse and pass straight through).
+    Each clique collapses to
+    its min-id representative BEFORE the quadratic within-cell compare,
+    so a boilerplate clique of size m costs O(m) instead of O(m²)
+    pairs — without it, a corpus that is 50% exact-dup embeddings makes
+    every cell compare quadratic in the dup count no matter how fine
+    the cell layout. Result-identical to the uncollapsed run (clique
+    members share every outside edge, so components and min-id
+    survivors are unchanged — golden-tested); auto-disabled at
+    ``threshold >= 1.0`` where float rounding of cosine(v, v) could
+    diverge from the exact path. The collapse keys on ``xxhash64(vec)``
+    and confirms on the exact vector in the join (the seen-filter's
+    hash-then-confirm pattern — a 64-bit collision cannot merge
+    distinct vectors)."""
     from crawler_spark.operators.dedup import dedup_clusters
 
     if centroids is None:
@@ -442,8 +467,34 @@ def semantic_dedup(
     assigned = ivf_assign(emb, centroids, id_col, vec_col).localCheckpoint(
         eager=False
     )
+    compare = assigned
+    clique_dups = None
+    if collapse_identical and threshold < 1.0:
+        # NULL key for zero vectors (cosine NULL ⇒ never a dup) keeps
+        # them out of the collapse; null keys drop from the equi-join,
+        # so route them around it untouched
+        sq = F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x,
+        )
+        keyed = assigned.withColumn(
+            "_vkey", F.when(sq > 0, F.xxhash64(F.col(vec_col)))
+        ).localCheckpoint(eager=False)
+        collapsible = keyed.where(F.col("_vkey").isNotNull())
+        passthrough = keyed.where(F.col("_vkey").isNull()).drop("_vkey")
+        reps = collapsible.groupBy("_vkey", vec_col).agg(
+            F.min(id_col).alias("_rep")
+        )
+        joined = collapsible.join(reps, ["_vkey", vec_col])
+        clique_dups = joined.where(
+            F.col(id_col) != F.col("_rep")
+        ).select(F.col(id_col))
+        compare = joined.where(F.col(id_col) == F.col("_rep")).drop(
+            "_vkey", "_rep"
+        ).unionByName(passthrough)
     pairs = semantic_cell_pairs(
-        assigned, threshold, id_col, vec_col,
+        compare, threshold, id_col, vec_col,
         max_cell_size=max_cell_size, cap_stats=cap_stats,
     )
     dups = (
@@ -451,6 +502,8 @@ def semantic_dedup(
         .where(F.col("is_dup"))
         .select(F.col("node").alias(id_col))
     )
+    if clique_dups is not None:
+        dups = dups.unionByName(clique_dups)
     return assigned.select(id_col, "cell").join(dups, id_col, "left_anti")
 
 

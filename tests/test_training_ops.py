@@ -573,6 +573,57 @@ def test_semantic_dedup_cell_confinement_and_min_id(spark):
     assert out[3] == 0 and out[4] == 1
 
 
+def test_semantic_dedup_identical_collapse_parity(spark, emb):
+    """The identical-embedding collapse (default on) is result-identical
+    to the uncollapsed run on a corpus salted with exact-duplicate
+    cliques — the clique members share every outside edge, so the
+    component structure and min-id survivors cannot change. This is the
+    golden contract that lets the collapse default on: it is purely a
+    Σ-pairs optimization (clique of m costs O(m) instead of O(m²))."""
+    from crawler_spark.operators.similarity import (
+        _centroids,
+        semantic_dedup,
+    )
+
+    base = emb.where(F.col("vec_id") < 80).select("vec_id", "embedding")
+    # 3 exact copies of every vector under fresh ids (the exact-dup-doc
+    # embedding shape), plus an identical all-zero pair (cosine NULL via
+    # try_divide — near-dup of nothing, excluded from the collapse)
+    salted = base
+    for k in (1, 2, 3):
+        salted = salted.unionByName(
+            base.select(
+                (F.col("vec_id") + 1000 * k).alias("vec_id"), "embedding"
+            )
+        )
+    zero = spark.createDataFrame(
+        [(5000, [0.0] * 64), (5001, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    salted = salted.unionByName(zero).cache()
+    cents = _centroids(base, 8, "vec_id", "embedding")
+    on = {
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(
+            salted, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    off = {
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(
+            salted, threshold=0.9, centroids=cents,
+            collapse_identical=False,
+        ).collect()
+    }
+    assert on == off
+    # every non-zero clique collapsed to its min id: no +1000k copy
+    # survives; BOTH zero rows survive (zero vectors are near-dup of
+    # nothing — cosine NULL — and the collapse must not merge them)
+    assert all(v < 1000 or v in (5000, 5001) for v, _ in on)
+    assert {5000, 5001} <= {v for v, _ in on}
+    salted.unpersist()
+
+
 def test_lsh_near_dup_pairs_recall(spark, emb):
     from crawler_spark.operators.similarity import (
         cosine_pairs_exact,
