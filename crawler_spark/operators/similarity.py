@@ -454,10 +454,17 @@ def semantic_dedup(
     members share every outside edge, so components and min-id
     survivors are unchanged — golden-tested); auto-disabled at
     ``threshold >= 1.0`` where float rounding of cosine(v, v) could
-    diverge from the exact path. The collapse keys on ``xxhash64(vec)``
-    and confirms on the exact vector in the join (the seen-filter's
-    hash-then-confirm pattern — a 64-bit collision cannot merge
-    distinct vectors)."""
+    diverge from the exact path. The collapse costs exactly ONE extra
+    shuffle: a groupBy on ``(xxhash64(vec), vec, cell)`` whose map-side
+    partial aggregation folds each clique to one row per map task
+    before anything moves. Grouping on the exact vector alongside its
+    hash is the seen-filter's hash-then-confirm pattern — a 64-bit
+    collision lands two distinct vectors in two distinct groups, never
+    merging them — and the group's min-id row IS the compare set, so no
+    join-back is needed: non-representatives are excluded from the
+    survivor output by construction (identical vectors share a cell —
+    ``ivf_assign`` is deterministic in the vector — so the group key
+    adding ``cell`` never splits a clique)."""
     from crawler_spark.operators.dedup import dedup_clusters
 
     if centroids is None:
@@ -468,31 +475,32 @@ def semantic_dedup(
         eager=False
     )
     compare = assigned
-    clique_dups = None
     if collapse_identical and threshold < 1.0:
         # NULL key for zero vectors (cosine NULL ⇒ never a dup) keeps
-        # them out of the collapse; null keys drop from the equi-join,
-        # so route them around it untouched
+        # them out of the collapse; they pass straight to the compare
+        # set, each surviving on its own id
         sq = F.aggregate(
             F.col(vec_col),
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x,
         )
-        keyed = assigned.withColumn(
-            "_vkey", F.when(sq > 0, F.xxhash64(F.col(vec_col)))
-        ).localCheckpoint(eager=False)
-        collapsible = keyed.where(F.col("_vkey").isNotNull())
-        passthrough = keyed.where(F.col("_vkey").isNull()).drop("_vkey")
-        reps = collapsible.groupBy("_vkey", vec_col).agg(
-            F.min(id_col).alias("_rep")
+        keyed = assigned.select(
+            id_col, vec_col, "cell",
+            F.when(sq > 0, F.xxhash64(F.col(vec_col))).alias("_vkey"),
         )
-        joined = collapsible.join(reps, ["_vkey", vec_col])
-        clique_dups = joined.where(
-            F.col(id_col) != F.col("_rep")
-        ).select(F.col(id_col))
-        compare = joined.where(F.col(id_col) == F.col("_rep")).drop(
-            "_vkey", "_rep"
-        ).unionByName(passthrough)
+        reps = (
+            keyed.where(F.col("_vkey").isNotNull())
+            .groupBy("_vkey", vec_col, "cell")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, vec_col, "cell")
+        )
+        passthrough = keyed.where(F.col("_vkey").isNull()).select(
+            id_col, vec_col, "cell"
+        )
+        # the compare set feeds the within-cell self-join (twice) and
+        # the survivor select — freeze it so the collapse groupBy runs
+        # once, mirroring the `assigned` checkpoint it supersedes
+        compare = reps.unionByName(passthrough).localCheckpoint(eager=False)
     pairs = semantic_cell_pairs(
         compare, threshold, id_col, vec_col,
         max_cell_size=max_cell_size, cap_stats=cap_stats,
@@ -502,9 +510,10 @@ def semantic_dedup(
         .where(F.col("is_dup"))
         .select(F.col("node").alias(id_col))
     )
-    if clique_dups is not None:
-        dups = dups.unionByName(clique_dups)
-    return assigned.select(id_col, "cell").join(dups, id_col, "left_anti")
+    # survivors come from the COMPARE set: with the collapse on, clique
+    # non-representatives are absent from it (dropped by construction),
+    # so no explicit clique-dup list or join-back is ever built
+    return compare.select(id_col, "cell").join(dups, id_col, "left_anti")
 
 
 def semantic_cell_pairs(
