@@ -752,6 +752,41 @@ def q_incremental_dedup_portable(spark, sf):
     )
 
 
+def q_incremental_semantic_portable(spark, sf):
+    """Incremental SemDeDup — the recurring-crawl shape for the
+    semantic tier (`operators.similarity.semantic_dedup_incremental`):
+    embeddings with vec_id % 3 == 0 'arrive this round', the rest are
+    the already-assigned corpus state; the round pays cell assignment
+    for the NEW vectors plus one cell-keyed join against the state
+    pruned to touched cells, never re-pairing the corpus with itself.
+    Portable centroid pick (16 lowest vec_ids, as in
+    `semantic_dedup_portable`) so assignment and the pair set are
+    SQL-reproducible end-to-end."""
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup_incremental,
+    )
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id").where(
+        F.col("vec_id") < 400
+    )
+    cent_rows = e.where("vec_id < 16").orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in cent_rows], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    old = ivf_assign(e.where(F.col("vec_id") % 3 != 0), cents)
+    pairs, _new_assigned = semantic_dedup_incremental(
+        e.where(F.col("vec_id") % 3 == 0), old, cents, threshold=0.35
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("cosine", 6).cast("double").alias("cosine"),
+        "vs_corpus",
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate-cluster resolution: near-dup PAIRS (embedding cosine ≥
     0.35, the oracle-checked exact pair set) → transitive closure →
@@ -2719,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_split": q_host_split,
         "image_counts": q_image_counts,
         "incremental_dedup_portable": q_incremental_dedup_portable,
+        "incremental_semantic_portable": q_incremental_semantic_portable,
         "line_dedup": q_line_dedup,
         "link_counts": q_link_counts,
         "max_normalized_price": q_max_normalized_price,
@@ -4461,6 +4497,40 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: ivf_portable's nearest-centroid assignment subquery,
         # within-cell cosine pairs, dedup_clusters' recursive closure,
         # min-id survivors
+        # same portable assignment subquery as semantic_dedup_portable;
+        # the incremental restriction is pure relational algebra: pairs
+        # where the b side arrived this round (vec_id % 3 = 0), corpus
+        # rows pairing with every new row and new rows only with later
+        # new rows — the full-run pair set restricted to new-touching
+        # pairs, which is semantic_dedup_incremental's equivalence
+        # contract
+        "incremental_semantic_portable": """
+            WITH cents AS (
+                SELECT vec_id AS c, embedding FROM embeddings
+                WHERE vec_id < 16
+            ), assigned AS (
+                SELECT e.vec_id, e.embedding,
+                       (SELECT c FROM cents
+                        ORDER BY list_cosine_similarity(
+                            CAST(cents.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])) DESC, c
+                        LIMIT 1) AS cell
+                FROM embeddings e WHERE e.vec_id < 400
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])
+                   ), 6) AS DOUBLE) AS cosine,
+                   (a.vec_id % 3 <> 0) AS vs_corpus
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell
+             AND b.vec_id % 3 = 0
+             AND (a.vec_id % 3 <> 0 OR a.vec_id < b.vec_id)
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
         "semantic_dedup_portable": """
             WITH RECURSIVE cents AS (
                 SELECT vec_id AS c, embedding FROM embeddings

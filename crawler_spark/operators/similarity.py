@@ -565,3 +565,101 @@ def semantic_cell_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def semantic_dedup_incremental(
+    new_emb: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    cap_stats: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic near-dup PAIRS for the embeddings arriving THIS crawl
+    round, against an already-assigned corpus AND each other — without
+    re-pairing the corpus with itself. Returns ``(pairs, new_assigned)``
+    — the semantic twin of :func:`~crawler_spark.operators.dedup.
+    minhash_dedup_incremental`, completing the recurring-crawl story
+    for the SemDeDup tier.
+
+    Per-round cost ∝ the round, not the corpus: the new embeddings are
+    assigned to cells with one numpy matmul per Arrow batch
+    (:func:`ivf_assign` — ``centroids`` must be the SAME array every
+    round or cell identities drift), the corpus state is pruned to the
+    cells the round actually touches (a cell-keyed semi-join; store
+    ``corpus_assigned`` partitioned by ``cell`` and the prune becomes
+    partition pruning at the scan), and one cell-keyed equi-join
+    compares (corpus-in-touched-cells ∪ new) against the NEW rows only.
+    State carried forward is ``corpus_assigned ∪`` the returned
+    ``new_assigned`` (the caller typically appends only the round's
+    SURVIVORS — dups never enter the state, so identical-embedding
+    cliques cannot accumulate in it across rounds, which is why this
+    operator needs no clique collapse of its own).
+
+    ``pairs`` columns: ``(id_a, id_b, cosine, vs_corpus)`` where
+    ``id_b`` is always a new row; ``vs_corpus`` marks corpus-side
+    ``id_a`` (new-new pairs have ``id_a < id_b``). EQUIVALENCE: with
+    the same centroids and cap, the pair set equals the full
+    :func:`semantic_cell_pairs` over ``corpus ∪ new`` restricted to
+    pairs touching a new row — ``max_cell_size`` counts corpus and new
+    rows together per cell, exactly the population the full run counts
+    (untouched cells contribute no new-touching pairs, so pruning them
+    never changes the restriction; property-tested). Requires new ids
+    disjoint from (and, for orientation parity with the full run,
+    greater than) corpus ids — a crawl store's monotone ids satisfy
+    this."""
+    new_assigned = ivf_assign(
+        new_emb, centroids, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    touched = new_assigned.select("cell").distinct()
+    old = corpus_assigned.join(touched, "cell", "left_semi")
+    un = (
+        old.select(id_col, vec_col, "cell")
+        .withColumn("_new", F.lit(False))
+        .unionByName(
+            new_assigned.select(id_col, vec_col, "cell").withColumn(
+                "_new", F.lit(True)
+            )
+        )
+    )
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell")
+        sized = un.withColumn("_csz", F.count("*").over(w))
+        if cap_stats is not None:
+            from crawler_spark.operators.dedup import _report_cap_hits
+
+            _report_cap_hits(
+                sized.withColumnRenamed("_csz", "_bsz"),
+                ["cell"],
+                max_cell_size,
+                cap_stats,
+            )
+        un = sized.where(F.col("_csz") <= max_cell_size).drop("_csz")
+    un = un.localCheckpoint(eager=False)  # feeds both join sides
+    a, b = un.alias("a"), un.where(F.col("_new")).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (
+                (~F.col("a._new"))  # corpus rows pair with every new row
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .withColumn(
+            "cosine",
+            _pair_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+            (~F.col("a._new")).alias("vs_corpus"),
+        )
+    )
+    return pairs, new_assigned

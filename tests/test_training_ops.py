@@ -624,6 +624,78 @@ def test_semantic_dedup_identical_collapse_parity(spark, emb):
     salted.unpersist()
 
 
+def test_incremental_semantic_equals_full_run_restriction(spark, emb):
+    """semantic_dedup_incremental(new, corpus_assigned) must produce
+    exactly the full semantic_cell_pairs(old ∪ new) pair set restricted
+    to pairs touching a new row — with AND without the cell cap (the
+    cap counts corpus and new rows together, like the full run) — the
+    contract that lets a recurring crawl run SemDeDup per-round without
+    re-pairing the corpus."""
+    from crawler_spark.operators.similarity import (
+        _centroids,
+        ivf_assign,
+        semantic_cell_pairs,
+        semantic_dedup_incremental,
+    )
+
+    base = emb.where(F.col("vec_id") < 120).select("vec_id", "embedding")
+    # cross-set near-dups: exact copies of some corpus vectors under new
+    # (strictly larger) ids, plus genuinely new vectors
+    clones = base.where("vec_id % 5 = 0").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    fresh = emb.where("vec_id >= 120 AND vec_id < 150").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    new = clones.unionByName(fresh)
+    full = base.unionByName(new)
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    cents = _centroids(base, 8, "vec_id", "embedding")
+
+    old_assigned = ivf_assign(base, cents)
+    full_assigned = ivf_assign(full, cents)
+    # a cap strictly between the smallest and largest cell provably
+    # engages (drops the biggest cell) without emptying the pair set
+    sizes = sorted(
+        r["n"]
+        for r in full_assigned.groupBy("cell").agg(
+            F.count("*").alias("n")
+        ).collect()
+    )
+    assert sizes[0] < sizes[-1], sizes
+    results = {}
+    for cap in (None, sizes[-1] - 1):
+        want = {
+            (r.id_a, r.id_b)
+            for r in semantic_cell_pairs(
+                full_assigned, 0.35, max_cell_size=cap
+            ).collect()
+            if r.id_a in new_ids or r.id_b in new_ids
+        }
+        pairs, new_assigned = semantic_dedup_incremental(
+            new, old_assigned, cents, threshold=0.35, max_cell_size=cap
+        )
+        got_rows = pairs.collect()
+        got = {(r.id_a, r.id_b) for r in got_rows}
+        assert want == got, (cap, len(want), len(got))
+        results[cap] = got
+        # id_b is always new; vs_corpus marks corpus-side id_a
+        for r in got_rows:
+            assert r.id_b in new_ids
+            assert r.vs_corpus == (r.id_a not in new_ids)
+    # the uncapped run found pairs and the cap genuinely dropped some
+    assert results[None]
+    assert results[sizes[-1] - 1] < results[None]
+    # the returned assignment is the full run's assignment for new rows
+    full_cells = {
+        r.vec_id: r.cell
+        for r in full_assigned.collect()
+        if r.vec_id in new_ids
+    }
+    inc_cells = {r.vec_id: r.cell for r in new_assigned.collect()}
+    assert full_cells == inc_cells
+
+
 def test_lsh_near_dup_pairs_recall(spark, emb):
     from crawler_spark.operators.similarity import (
         cosine_pairs_exact,
