@@ -567,6 +567,48 @@ def semantic_cell_pairs(
     )
 
 
+def _incremental_compare_set(
+    new_assigned: DataFrame,
+    corpus_assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_cell_size: int | None = None,
+    cap_stats: dict | None = None,
+) -> DataFrame:
+    """The (corpus-in-touched-cells ∪ new) frame the incremental round
+    compares, flagged ``_new`` — public-shaped so its plan (cell-keyed
+    semi-join prune, combined-population cell cap) is inspectable in
+    tests independently of the checkpoint boundary that hides it from
+    the final pair plan."""
+    touched = new_assigned.select("cell").distinct()
+    old = corpus_assigned.join(touched, "cell", "left_semi")
+    un = (
+        old.select(id_col, vec_col, "cell")
+        .withColumn("_new", F.lit(False))
+        .unionByName(
+            new_assigned.select(id_col, vec_col, "cell").withColumn(
+                "_new", F.lit(True)
+            )
+        )
+    )
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell")
+        sized = un.withColumn("_csz", F.count("*").over(w))
+        if cap_stats is not None:
+            from crawler_spark.operators.dedup import _report_cap_hits
+
+            _report_cap_hits(
+                sized.withColumnRenamed("_csz", "_bsz"),
+                ["cell"],
+                max_cell_size,
+                cap_stats,
+            )
+        un = sized.where(F.col("_csz") <= max_cell_size).drop("_csz")
+    return un
+
+
 def semantic_dedup_incremental(
     new_emb: DataFrame,
     corpus_assigned: DataFrame,
@@ -613,33 +655,10 @@ def semantic_dedup_incremental(
     new_assigned = ivf_assign(
         new_emb, centroids, id_col, vec_col
     ).localCheckpoint(eager=False)
-    touched = new_assigned.select("cell").distinct()
-    old = corpus_assigned.join(touched, "cell", "left_semi")
-    un = (
-        old.select(id_col, vec_col, "cell")
-        .withColumn("_new", F.lit(False))
-        .unionByName(
-            new_assigned.select(id_col, vec_col, "cell").withColumn(
-                "_new", F.lit(True)
-            )
-        )
-    )
-    if max_cell_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("cell")
-        sized = un.withColumn("_csz", F.count("*").over(w))
-        if cap_stats is not None:
-            from crawler_spark.operators.dedup import _report_cap_hits
-
-            _report_cap_hits(
-                sized.withColumnRenamed("_csz", "_bsz"),
-                ["cell"],
-                max_cell_size,
-                cap_stats,
-            )
-        un = sized.where(F.col("_csz") <= max_cell_size).drop("_csz")
-    un = un.localCheckpoint(eager=False)  # feeds both join sides
+    un = _incremental_compare_set(
+        new_assigned, corpus_assigned, id_col, vec_col,
+        max_cell_size=max_cell_size, cap_stats=cap_stats,
+    ).localCheckpoint(eager=False)  # feeds both join sides
     a, b = un.alias("a"), un.where(F.col("_new")).alias("b")
     pairs = (
         a.join(

@@ -154,6 +154,53 @@ def test_semantic_dedup_cell_confined_plan(spark):
     ), plan
 
 
+def test_incremental_semantic_plan(spark):
+    """The incremental SemDeDup round must stay cell-confined like the
+    full run: the compare is a cell-KEYED equi-join (never a cartesian)
+    and the corpus state is pruned to touched cells by a cell-keyed
+    semi-join BEFORE the pair join — the per-round-cost-∝-round
+    contract (with cell-partitioned state the semi-join becomes scan
+    partition pruning)."""
+    import re
+
+    import numpy as np
+
+    from crawler_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup_incremental,
+    )
+    from crawler_spark.plans.inspect import simple_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = np.array(
+        [r.embedding for r in emb.where("vec_id < 16").collect()],
+        dtype="float64",
+    )
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    old = ivf_assign(emb.where("vec_id % 3 != 0"), cents)
+    new_assigned = ivf_assign(emb.where("vec_id % 3 = 0"), cents)
+    pairs, _ = semantic_dedup_incremental(
+        emb.where("vec_id % 3 = 0"), old, cents, threshold=0.35
+    )
+    assert not has_cartesian(pairs)
+    plan = simple_plan(pairs)
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell#", plan
+    ), plan
+    # the state prune (hidden from the pair plan by the checkpoint
+    # boundary): a cell-keyed LeftSemi against the touched-cell set
+    from crawler_spark.operators.similarity import _incremental_compare_set
+
+    prune_plan = simple_plan(
+        _incremental_compare_set(new_assigned, old, "vec_id", "embedding")
+    )
+    assert re.search(r"LeftSemi", prune_plan), prune_plan
+    assert re.search(r"Join \[cell#|Join.*\[cell#", prune_plan) or re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell#",
+        prune_plan,
+    ), prune_plan
+
+
 def test_bucketed_fetch_join_one_sided(spark, tmp_path):
     """With the corpus persisted bucketed by url, the per-round fetch
     join must NOT exchange the corpus (the 100 TB side): the scan says
