@@ -53,6 +53,50 @@ def test_cli_crawl_from_foreign_cwd(spark, tmp_path):
     assert n == stats["pages"]
 
 
+def test_cli_curate_from_foreign_cwd(tmp_path):
+    """The curation-tier CLI (scripts/run_curate.py) drives quality →
+    guarded near-dedup → deterministic sample → shard export as one
+    job, from any cwd; the printed JSON line's counts must agree with
+    what actually landed on disk (curated parquet rows, shard manifest
+    vs the jsonl lines)."""
+    out = str(tmp_path / "cur")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "8"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "run_curate.py"),
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--min-words", "10", "--sample-rate", "50",
+            "--shard-tokens", "20000", "--format", "jsonl",
+        ],
+        cwd=str(tmp_path),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert (
+        line["input_docs"]
+        >= line["after_quality"]
+        >= line["after_near_dedup"]
+        >= line["after_sample"]
+        == line["curated_docs"]
+        > 0
+    )
+    assert line["cap_hits"]["buckets_over_cap"] == 0
+    n_curated = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/curated/*.parquet')"
+    ).fetchone()[0]
+    assert n_curated == line["curated_docs"]
+    n_jsonl, n_shards = duckdb.sql(
+        "select count(*), count(distinct regexp_extract(filename, "
+        "'(lang=[^/]+/shard_id=[0-9]+)', 1)) from read_json("
+        f"'{out}/shards/lang=*/shard_id=*/part-*', "
+        "format='newline_delimited', filename=true)"
+    ).fetchone()
+    assert n_jsonl == line["shards"]["n_docs"]
+    assert n_shards == line["shards"]["n_shards"]
+
+
 def test_bench_scaling_summary_contract():
     """The default bench line embeds the newest committed --scaling
     record (the north rule's two-parallelism evidence); pin the summary
