@@ -2772,13 +2772,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
         "stream_near_dedup_h3": q_stream_near_dedup_h3,
-        "host_boilerplate": q_host_boilerplate,
         "dust_rules": q_dust_rules,
-        "dust_canonicalize": q_dust_canonicalize,
-        "canonical_collapse": q_canonical_collapse,
-        "sitemap_recrawl": q_sitemap_recrawl,
-        "soft_404": q_soft_404,
-        "keyword_blocklist": q_keyword_blocklist,
+        # (dust_canonicalize / canonical_collapse / sitemap_recrawl /
+        # soft_404 / keyword_blocklist / host_boilerplate moved INTO
+        # the gate window above — no duplicate keys here: a dict
+        # literal keeps the first key's position but the LAST value,
+        # so a stale extras copy would silently shadow the in-window
+        # binding on any future edit)
         # ---- rows-only (kernel / crawl / sketch operators) —
         # golden/property-checked in pytest instead of SQL-checked ----
         "classify_images": q_classify_images,

@@ -811,11 +811,16 @@ def main() -> None:
         # full replicated work (then find the cross-replicate near-dup
         # cliques, the realistic boilerplate shape). Replicated
         # embeddings are EXACT vector copies under new ids — the worst
-        # case for cell skew, which is precisely what the cell cap +
-        # cap_stats counters are here to witness. docs/sec rising with
-        # corpus size = the chain is data-bound, not per-job fixed-cost
-        # bound; cap counters > 0 at high replication = the mega-bucket
-        # guards genuinely engage at bench scale (VERDICT r4 item 4).
+        # case for cell skew. docs/sec rising with corpus size = the
+        # chain is data-bound, not per-job fixed-cost bound. NOTE the
+        # cap counters are EXPECTED to read 0 here even at 32x: the
+        # identical-signature / identical-embedding collapse absorbs
+        # the replicate cliques BEFORE the banding join and cell
+        # compare ever see them (see BASELINE.md round-5 notes) — that
+        # zero is the evidence the collapse works, not that the guards
+        # do; the guards actually tripping (counter > 0 plus the
+        # logged drop) is pinned by tests/test_training_ops.py on a
+        # constructed mega-bucket the collapse cannot absorb.
         import numpy as np
         from pyspark.sql import functions as F
 

@@ -290,10 +290,22 @@ def run_crawl(
             )
         # the rank table joins once per round for the whole crawl —
         # persist so rounds scan executor memory (spilling to local disk
-        # at 10^8-host sizes), not the parquet files, every round
-        prio_df = priority_df.select(
-            "host", F.col("priority").cast("double").alias("_hp")
-        ).persist()
+        # at 10^8-host sizes), not the parquet files, every round.
+        # max-per-host first: the dict feed was duplicate-free by
+        # construction, but a parquet feed (e.g. a union of signal
+        # exports) can carry a host twice, and a duplicate key in this
+        # left join would schedule the same URL twice in one round —
+        # one host-keyed aggregation at crawl START (not per round)
+        # buys the uniqueness invariant deterministically (max beats
+        # dropDuplicates' partition-order pick).
+        prio_df = (
+            priority_df.select(
+                "host", F.col("priority").cast("double").alias("_hp")
+            )
+            .groupBy("host")
+            .agg(F.max("_hp").alias("_hp"))
+            .persist()
+        )
         prio_hint = lambda df: df  # let AQE size the join  # noqa: E731
     elif config.priority:
         prio_df = spark.createDataFrame(

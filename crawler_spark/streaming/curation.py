@@ -217,21 +217,58 @@ def streamed_near_dedup(
     return writer.start()
 
 
+def _state_versions(
+    spark: SparkSession, state_root: str, committed_only: bool = True
+) -> list[int]:
+    """Batch versions present under ``state_root``, via the Hadoop
+    FileSystem API so hdfs:// and s3a:// checkpoint dirs work — a
+    driver-local ``glob`` would silently see nothing on a remote
+    checkpoint and restart every micro-batch from empty state (no
+    error, just no cross-batch suppression). ``committed_only`` keeps
+    versions with a ``_SUCCESS`` marker (read path); GC clears
+    uncommitted leftovers too."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_root)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    vers = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch=")):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if committed_only and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            continue
+        vers.append(v)
+    return sorted(vers)
+
+
+def _delete_state_version(
+    spark: SparkSession, state_root: str, version: int
+) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(state_root, f"batch={version}")
+    )
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)  # recursive; best-effort like the old rmtree
+
+
 def _latest_state(spark: SparkSession, state_root: str, before: int):
     """Newest committed state version strictly below ``before`` (the
     micro-batch being (re)computed must read its PREDECESSOR's state,
     even on failure replay)."""
-    import glob
-
-    vers = []
-    for p in glob.glob(os.path.join(state_root, "batch=*")):
-        if os.path.exists(os.path.join(p, "_SUCCESS")):
-            try:
-                v = int(os.path.basename(p).split("=", 1)[1])
-            except ValueError:
-                continue
-            if v < before:
-                vers.append(v)
+    vers = [
+        v for v in _state_versions(spark, state_root) if v < before
+    ]
     if not vers:
         return None
     return os.path.join(state_root, f"batch={max(vers)}")
@@ -260,7 +297,13 @@ def _near_dedup_batch(
     ).localCheckpoint()  # one materialization; joined three ways below
 
     prev_path = _latest_state(spark, state_root, batch_id)
-    state_schema = "simhash bigint, fetch_ts timestamp"
+    # state keeps doc_id so "earlier" is ONE total order — (fetch_ts,
+    # doc_id), the batch simhash_near_dups / oracle tie-break — applied
+    # uniformly to state and batch rows. Erasing doc_id here would make
+    # every state row precede every equal-fetch_ts batch row, silently
+    # diverging from the pinned contract whenever equal event times
+    # straddle a micro-batch boundary.
+    state_schema = "doc_id bigint, simhash bigint, fetch_ts timestamp"
     state = (
         spark.read.schema(state_schema).parquet(prev_path)
         if prev_path is not None
@@ -286,8 +329,7 @@ def _near_dedup_batch(
 
     probe = chunked(rows, ["doc_id", "fetch_ts", "simhash"])
     prior = chunked(
-        state.withColumn("doc_id", F.lit(None).cast("bigint")),
-        ["doc_id", "fetch_ts", "simhash"],
+        state, ["doc_id", "fetch_ts", "simhash"]
     ).unionByName(probe)
     if max_bucket_size is not None:
         w_b = Window.partitionBy("chunk", "val")
@@ -297,12 +339,13 @@ def _near_dedup_batch(
             .drop("_bsz")
         )
     a, b = prior.alias("a"), probe.alias("b")
+    # the batch-contract total order; an already-emitted state row that
+    # this order places LATER than a new equal-fetch_ts arrival cannot
+    # be retracted (both rows emit — the downstream batch dedup stage
+    # catches it), the same trade as watermark re-admission
     earlier = (F.col("a.fetch_ts") < F.col("b.fetch_ts")) | (
         (F.col("a.fetch_ts") == F.col("b.fetch_ts"))
-        & (
-            F.col("a.doc_id").isNull()  # state rows precede every batch row
-            | (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     dup_ids = (
@@ -322,18 +365,14 @@ def _near_dedup_batch(
     )
     # seen-semantics state: every batch row's signature joins the set
     # (writes to batch=N while reading batch=N-1 — never in-place)
-    state.unionByName(rows.select("simhash", "fetch_ts")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_root, f"batch={batch_id}"))
+    state.unionByName(
+        rows.select("doc_id", "simhash", "fetch_ts")
+    ).write.mode("overwrite").parquet(
+        os.path.join(state_root, f"batch={batch_id}")
+    )
     # GC superseded state versions (best-effort; only versions BELOW
-    # the predecessor — a replay of batch N still needs N-1)
-    import glob
-    import shutil
-
-    for p in glob.glob(os.path.join(state_root, "batch=*")):
-        try:
-            v = int(os.path.basename(p).split("=", 1)[1])
-        except ValueError:
-            continue
+    # the predecessor — a replay of batch N still needs N-1). Hadoop FS
+    # delete, not shutil: the checkpoint dir may be hdfs:// or s3a://.
+    for v in _state_versions(spark, state_root, committed_only=False):
         if v < batch_id - 1:
-            shutil.rmtree(p, ignore_errors=True)
+            _delete_state_version(spark, state_root, v)

@@ -98,39 +98,60 @@ def main() -> None:
     if args.docs:
         docs = spark.read.parquet(args.docs).select("doc_id", "text", "lang")
     else:
+        # read_page_text yields one row per FETCH, so a retracted-and-
+        # recrawled url appears once per round; latest-round-wins keeps
+        # doc_id = xxhash64(url) unique (one aggregation on url — the
+        # same shuffle key the store already buckets by)
         pages = CrawlStore(spark, args.store).read_page_text()
-        base = pages.select(
-            F.xxhash64("url").alias("doc_id"), "text"
-        ).where(F.col("text").isNotNull())
+        base = (
+            pages.where(F.col("text").isNotNull())
+            .groupBy("url")
+            .agg(F.max_by("text", "round").alias("text"))
+            .select(F.xxhash64("url").alias("doc_id"), "text")
+        )
         docs = base.join(
             language_id(base), "doc_id"
         ).withColumnRenamed("pred_lang", "lang")
-    out["input_docs"] = docs.count()
+
+    def advance(prev, new, key):
+        # each stage is consumed by the next stage's build, its own
+        # count, AND the final writes — persist so the guarded dedup
+        # chain executes once, not once per downstream action
+        new = new.persist()
+        out[key] = new.count()
+        if prev is not None:
+            prev.unpersist()
+        return new
+
+    docs = advance(None, docs, "input_docs")
 
     if not args.no_quality:
         kept = gopher_quality_flags(docs, min_words=args.min_words).where(
             "keep"
         ).select("doc_id")
-        docs = docs.join(kept, "doc_id", "left_semi")
-        out["after_quality"] = docs.count()
+        docs = advance(docs, docs.join(kept, "doc_id", "left_semi"),
+                       "after_quality")
 
     if not args.no_near_dedup:
         caps: dict = {}
-        docs = near_dup_curation(
+        deduped = near_dup_curation(
             docs,
             threshold=args.near_dup_threshold,
             max_bucket_size=args.max_bucket_size,
             cap_stats=caps,
         ).select("doc_id", "text", "lang")
-        out["after_near_dedup"] = docs.count()
+        docs = advance(docs, deduped, "after_near_dedup")
         out["cap_hits"] = caps
 
     if args.sample_rate < 100:
-        docs = stratified_sample(
-            docs, "doc_id", strata_col="lang", rates={},
-            default_rate=args.sample_rate, salt=args.sample_salt,
+        docs = advance(
+            docs,
+            stratified_sample(
+                docs, "doc_id", strata_col="lang", rates={},
+                default_rate=args.sample_rate, salt=args.sample_salt,
+            ),
+            "after_sample",
         )
-        out["after_sample"] = docs.count()
 
     curated = docs
     if args.write_partitions:

@@ -97,6 +97,65 @@ def test_cli_curate_from_foreign_cwd(tmp_path):
     assert n_shards == line["shards"]["n_shards"]
 
 
+def test_cli_curate_store_with_refetched_urls(spark, tmp_path):
+    """--store input must stay one-row-per-url when the store carries
+    REFETCHES (retract → resume writes a second pages row per victim):
+    doc_id = xxhash64(url) is only unique if the reader takes
+    latest-round-wins first. Regression: the raw read_page_text join
+    row-multiplied refetched urls (and cross-paired old text with new
+    lang rows) straight into the curated output."""
+    from crawler_spark import CrawlConfig, CrawlStore, retract_urls, run_crawl
+    from crawler_spark.fixtures.doccorpus import corpus_from_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = corpus_from_documents(docs).cache()
+    seeds = [
+        r.url for r in corpus.select("url").orderBy("url").limit(2).collect()
+    ]
+    store = str(tmp_path / "store")
+    cfg = dict(budgets={"*": 50})
+    run_crawl(spark, corpus, seeds, CrawlConfig(max_rounds=2, **cfg),
+              store, bloom_buckets=8, bloom_bits=1 << 16)
+    st = CrawlStore(spark, store)
+    victims = sorted(
+        r.url for r in st.read_pages().select("url").distinct()
+        .orderBy("url").limit(2).collect()
+    )
+    retract_urls(spark, store, victims)
+    run_crawl(spark, corpus, seeds, CrawlConfig(max_rounds=4, **cfg),
+              store, bloom_buckets=8, bloom_bits=1 << 16, resume=True)
+    # precondition: the store genuinely holds >1 pages row per victim
+    dup_rows = st.read_page_text().groupBy("url").count().where(
+        "count > 1"
+    ).count()
+    assert dup_rows >= len(victims)
+    n_urls = (
+        st.read_page_text().where("text is not null")
+        .select("url").distinct().count()
+    )
+
+    out = str(tmp_path / "cur")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "8"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "run_curate.py"),
+            "--store", store, "--out", out,
+            "--no-quality", "--no-near-dedup",
+        ],
+        cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["input_docs"] == line["curated_docs"] == n_urls
+    n_rows, n_ids = duckdb.sql(
+        "select count(*), count(distinct doc_id) "
+        f"from read_parquet('{out}/curated/*.parquet')"
+    ).fetchone()
+    assert n_rows == n_ids == n_urls
+
+
 def test_bench_scaling_summary_contract():
     """The default bench line embeds the newest committed --scaling
     record (the north rule's two-parallelism evidence); pin the summary

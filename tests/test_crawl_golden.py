@@ -516,6 +516,59 @@ def test_priority_df_parquet_feed_golden(spark, small_web, tmp_path_factory):
     )
 
 
+def test_priority_df_duplicate_hosts_dedupe_max(
+    spark, small_web, tmp_path_factory
+):
+    """A parquet feed carrying a host TWICE (e.g. a union of two signal
+    exports) must not row-multiply the scheduler's left join — the
+    driver aggregates max(priority) per host at crawl start, so the
+    crawl equals the oracle fed the max-per-host dict and every url is
+    fetched exactly once."""
+    from crawler_spark.functions.urls import get_hostname
+
+    w = small_web
+    hosts = sorted({get_hostname(u) for u in w.pages.url})
+    prio = {h: float(i % 3) for i, h in enumerate(hosts)}
+    base = dict(
+        budgets={
+            r.host: int(r.budget_per_round)
+            for r in w.politeness.itertuples()
+        },
+        robots=[(r.host, r.rule, bool(r.allow))
+                for r in w.robots.itertuples()],
+        max_rounds=18,
+        round_capacity=9,
+    )
+    seeds = w.seeds.url.tolist()
+    oracle = crawl_oracle(w.pages, seeds, CrawlConfig(priority=prio, **base))
+
+    # every host twice: the true score plus a LOWER decoy — max wins
+    dup_rows = sorted(prio.items()) + [
+        (h, p - 1.0) for h, p in sorted(prio.items())
+    ]
+    pq = str(tmp_path_factory.mktemp("priodup") / "ranks.parquet")
+    spark.createDataFrame(
+        dup_rows, "host string, priority double"
+    ).write.parquet(pq)
+
+    corpus = _to_spark_corpus(spark, w.pages)
+    root = str(tmp_path_factory.mktemp("priodupw"))
+    run_crawl(spark, corpus, seeds, CrawlConfig(**base), root,
+              bloom_buckets=8, bloom_bits=1 << 16, priority_df=pq)
+    got = (
+        CrawlStore(spark, root).read_pages().toPandas()
+        .sort_values(["round", "seq"]).reset_index(drop=True)
+    )
+    assert got.url.is_unique  # no double-fetch from the duplicate key
+    cols = ["round", "seq", "url", "host", "status", "type"]
+    want = oracle.crawl_order.sort_values(["round", "seq"]).reset_index(
+        drop=True
+    )
+    assert list(map(tuple, got[cols].itertuples(index=False))) == list(
+        map(tuple, want[cols].itertuples(index=False))
+    )
+
+
 def test_priority_df_rejects_wrong_schema(spark, small_web, tmp_path_factory):
     import pytest as _pytest
 

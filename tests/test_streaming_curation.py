@@ -268,6 +268,44 @@ def test_stream_near_dedup_hamming3_microbatch_invariant_and_resumable(
     assert got2 == [1, 5, 6, 8]
 
 
+def test_stream_near_dedup_hamming3_equal_ts_tiebreak_across_batches(
+    spark, tmp_path
+):
+    """Equal event times straddling a micro-batch boundary follow the
+    SAME (fetch_ts, doc_id) total order the batch contract and oracle
+    pin: a state row suppresses an equal-ts arrival only when its
+    doc_id is LOWER (state keeps doc_id for exactly this comparison —
+    erasing it would make every state row precede every equal-ts batch
+    row). The one non-retractable edge: when the LOWER id arrives
+    later, the already-emitted higher-id row cannot be withdrawn, so
+    both emit and downstream batch dedup catches it."""
+    from crawler_spark.streaming.curation import streamed_near_dedup
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        q = streamed_near_dedup(
+            spark, d, out, ck, watermark="1 hour", max_hamming=3
+        )
+        q.awaitTermination()
+
+    _write_docs(d, [(10, TS0, "en", BASE_H)], "f1")
+    run()
+    # same event time, both near-twins of doc 10 (and of each other):
+    # id=20 is LATER than state row 10 in the total order → suppressed;
+    # id=5 is EARLIER than 10 → not suppressed (10 already emitted —
+    # the documented non-retractable edge, so both 5 and 10 appear)
+    _write_docs(d, [
+        (5, TS0, "en", BASE_H + " chi"),
+        (20, TS0, "en", "  ".join(reversed(BASE_H.split(" ")))),
+    ], "f2")
+    run()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [5, 10]
+
+
 def test_stream_near_dedup_hamming3_watermark_readmits(spark, tmp_path):
     """Signature state is watermark-bounded: a near-twin arriving
     beyond the delay re-admits (the documented re-admission trade —
