@@ -341,8 +341,34 @@ def run_crawl(
     cooldown: dict[str, int] = {}
     empty_streak = 0  # consecutive rounds scheduling nothing (period wait)
 
+    # the filter's shape, recorded in the store at crawl start and
+    # validated on resume: geometry is not recoverable from the snapshot
+    # bytes, and a silent mismatch (different bits/buckets/entries)
+    # probes the loaded state at the wrong positions — false NEGATIVES,
+    # already-crawled urls bypassing the exact re-check
+    geometry = {"seen_filter": seen_filter, "buckets": bloom_buckets}
+    if seen_filter == "cuckoo":
+        geometry["entries"] = cuckoo_entries
+    else:
+        geometry["bits"] = bloom_bits
+
     last = store.resume_round() if resume else None
     if last is None:
+        if not resume:
+            stale = store.committed_rounds()
+            if stale:
+                # starting fresh over a store with committed rounds
+                # would overwrite the early rounds but leave later
+                # manifests behind — a subsequent resume would pick up
+                # the OLD crawl's last round mixed with the new tables.
+                # Refuse rather than wipe: the driver never deletes a
+                # store it did not just create.
+                raise ValueError(
+                    f"store at {store_root} already holds committed "
+                    f"rounds {stale[:3]}{'...' if len(stale) > 3 else ''} "
+                    f"— pass resume=True to continue that crawl, or "
+                    f"point store_root at a fresh directory"
+                )
         frontier = seed_discoveries(spark, seeds, config)
         n_frontier = frontier.count()
         bloom = _seen_filter_empty(
@@ -351,9 +377,20 @@ def run_crawl(
         bloom = bloom.add(frontier.select("url"))
         start_round = 0
         seed_disc = frontier  # committed with round 0
+        have_bloom_snapshot = False  # round 0 must write the first one
+        store.write_filter_geometry(geometry)
     else:
         import os as _os
 
+        stored_geo = store.read_filter_geometry()
+        if stored_geo is not None and stored_geo != geometry:
+            raise ValueError(
+                f"seen-filter geometry mismatch: store was written with "
+                f"{stored_geo}, resume asked for {geometry} — resume "
+                f"with the geometry the crawl started with"
+            )
+        if stored_geo is None:  # pre-geometry store: record for later
+            store.write_filter_geometry(geometry)
         store.backfill_seen(bloom_buckets, last)
         # consumed retraction records (url already recrawled) retire here
         # so one campaign doesn't permanently tax every future resume
@@ -378,10 +415,21 @@ def run_crawl(
             )
         cd = store.read_snapshot("cooldown", last, COOLDOWN_SCHEMA).collect()
         cooldown = {r["host"]: r["expire_round"] for r in cd}
+        # newest filter checkpoint at or below `last`: empty (cooldown/
+        # period-wait) rounds skip the rewrite of an unchanged filter,
+        # so `last` itself may have no snapshot
+        bloom_rnd = store.latest_snapshot_round("bloom", last)
+        if bloom_rnd is None:
+            raise ValueError(
+                f"no seen-filter checkpoint at or below round {last} in "
+                f"{store_root} — store is corrupt or was pruned past its "
+                f"last filter snapshot"
+            )
         bloom = _seen_filter_load(
-            spark, store.table_round_path("bloom", last), seen_filter,
+            spark, store.table_round_path("bloom", bloom_rnd), seen_filter,
             bloom_buckets, bloom_bits, cuckoo_entries,
         )
+        have_bloom_snapshot = True
         if store.has_retractions():
             # apply pending retractions to the LOADED filter, never the
             # on-disk snapshot (an in-place overwrite of a committed
@@ -551,11 +599,22 @@ def run_crawl(
                     store, rnd, spark, bloom.n_buckets, job_group=job_group
                 )
                 rc.begin(_empty_pages(spark), _empty_links(spark))
+                # an empty round adds nothing to the filter — skip the
+                # full-state checkpoint rewrite (at 10^10-frontier scale
+                # that state is GBs; a 50-round cooldown wait must not
+                # rewrite it 50 times for zero change) UNLESS no snapshot
+                # exists on disk yet (first round of a fresh crawl: the
+                # seed urls live only in the in-memory filter). Resume
+                # falls back to latest_snapshot_round; the in-memory
+                # retraction mutations are reconstructable because the
+                # retraction records retire only after recrawl.
                 rc.finish(disc_empty, frontier, cooldown, bloom, stats,
                           n_frontier=n_frontier,
                           write_frontier=(
                               (rnd % max(1, frontier_snapshot_every)) == 0
-                          ))
+                          ),
+                          write_bloom=not have_bloom_snapshot)
+                have_bloom_snapshot = True
                 scheduled.unpersist()
                 continue
             scheduled.unpersist()
@@ -701,6 +760,7 @@ def run_crawl(
                 n_frontier=n_frontier, config=config, phase_timings=phase_t,
                 write_frontier=snap,
             )
+            have_bloom_snapshot = True
         except BaseException:
             # drain the fetch-side writers begun above before unwinding —
             # see _RoundCommit.abort (no manifest was written, so resume
@@ -919,6 +979,7 @@ class _RoundCommit:
         config: CrawlConfig | None = None,
         phase_timings: dict[str, float] | None = None,
         write_frontier: bool = True,
+        write_bloom: bool = True,
     ) -> None:
         rnd, store = self.rnd, self.store
         f_disc = self._submit(
@@ -933,9 +994,17 @@ class _RoundCommit:
             if write_frontier
             else None
         )
-        f_bloom = self._submit(
-            "w_bloom",
-            lambda: bloom.checkpoint(store.table_round_path("bloom", rnd)),
+        # write_bloom=False: empty round, filter unchanged since the last
+        # written checkpoint — resume walks back to it
+        f_bloom = (
+            self._submit(
+                "w_bloom",
+                lambda: bloom.checkpoint(
+                    store.table_round_path("bloom", rnd)
+                ),
+            )
+            if write_bloom
+            else None
         )
 
         lineage: dict[str, list[str]] = {}
@@ -964,7 +1033,8 @@ class _RoundCommit:
             lineage["frontier"], _ = f_frontier.result()
         else:
             lineage["frontier"] = []  # merge-on-read round, no snapshot
-        f_bloom.result()
+        if f_bloom is not None:
+            f_bloom.result()
         self._pool.shutdown(wait=True)
 
         # cooldown is driver-resident state (a small dict) — pyarrow
@@ -985,7 +1055,7 @@ class _RoundCommit:
             "cooldown", rnd, cd_pdf, cd_schema
         )
         self.timings["w_cooldown"] = round(time.perf_counter() - t0, 3)
-        lineage["bloom"] = ["bloom.parquet"]
+        lineage["bloom"] = ["bloom.parquet"] if f_bloom is not None else []
 
         timings = dict(phase_timings or {})
         t0 = timings.pop("_round_t0", None)

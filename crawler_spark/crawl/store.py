@@ -153,6 +153,46 @@ class CrawlStore:
                 out.append(int(name[len("round-") : -len(".json")]))
         return sorted(out)
 
+    # -- seen-filter geometry --------------------------------------------
+
+    def _geometry_path(self) -> str:
+        return os.path.join(self.root, "filter_geometry.json")
+
+    def write_filter_geometry(self, geo: dict[str, Any]) -> None:
+        """Record the seen-filter's shape (kind + bucket count + size
+        params) once at crawl start. The filter snapshot itself carries
+        no geometry: resuming with different ``bloom_bits`` /
+        ``bloom_buckets`` / ``cuckoo_entries`` would silently probe the
+        loaded bitsets at the wrong positions — false NEGATIVES, i.e.
+        already-crawled urls bypassing the exact re-check and being
+        fetched again. This file makes the mismatch loud at load."""
+        tmp = self._geometry_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(geo, f, indent=1)
+        os.replace(tmp, self._geometry_path())
+
+    def read_filter_geometry(self) -> dict[str, Any] | None:
+        """None for stores created before geometry recording."""
+        if not os.path.exists(self._geometry_path()):
+            return None
+        with open(self._geometry_path()) as f:
+            return json.load(f)
+
+    def latest_snapshot_round(self, table: str, upto: int) -> int | None:
+        """Newest round ≤ ``upto`` with a snapshot dir for ``table`` —
+        resume's fallback for tables whose snapshot a round may
+        legitimately skip (interval-snapshotted frontier, unchanged
+        seen filter on an empty round)."""
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return None
+        rounds = [
+            int(n.split("=")[1])
+            for n in os.listdir(tdir)
+            if n.startswith("round=")
+        ]
+        return max((r for r in rounds if r <= upto), default=None)
+
     def read_manifest(self, rnd: int) -> dict[str, Any]:
         with open(self._manifest_path(rnd)) as f:
             return json.load(f)
@@ -256,6 +296,14 @@ class CrawlStore:
         df = self._read_all(table, schema).where(F.col("round") <= upto_round)
         if self.max_write_partitions is not None:
             df = df.coalesce(self.max_write_partitions)
+        if "bucket" in df.columns:
+            # the per-round seen files are deliberately bucket-sorted so
+            # read_seen's `bucket IN (...)` exact re-check prunes at
+            # row-group level; a compaction that just interleaves many
+            # sorted runs flattens the min/max stats and re-opens the
+            # whole seen history to every later round — re-sort the
+            # consolidated segment the same way
+            df = df.sortWithinPartitions("bucket")
         df.write.mode("overwrite").parquet(tmp)
         n = self._rows_in(
             tmp, [f for f in os.listdir(tmp) if f.endswith(".parquet")]
@@ -286,15 +334,30 @@ class CrawlStore:
 
     def prune_snapshots(self, last_round: int) -> None:
         """Drop per-round snapshot state (frontier/cooldown/bloom) older
-        than ``last_round`` — only the latest snapshot is needed to
-        resume; history lives in the append-only logs + manifests."""
+        than the NEWEST snapshot each table actually has at or below
+        ``last_round`` — only that one is needed to resume; history lives
+        in the append-only logs + manifests. Per-table, not a blanket
+        ``< last_round``: interval-snapshotted frontiers and skip-if-
+        unchanged seen-filter checkpoints legitimately have no dir at
+        ``last_round``, and pruning their newest earlier snapshot would
+        orphan the resume path."""
         for table in ("frontier", "cooldown", "bloom"):
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            for name in os.listdir(tdir):
-                if name.startswith("round=") and int(name.split("=")[1]) < last_round:
-                    shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+            rounds = [
+                int(n.split("=")[1])
+                for n in os.listdir(tdir)
+                if n.startswith("round=")
+            ]
+            keep = max((r for r in rounds if r <= last_round), default=None)
+            if keep is None:
+                continue
+            for r in rounds:
+                if r < keep:
+                    shutil.rmtree(
+                        os.path.join(tdir, f"round={r}"), ignore_errors=True
+                    )
 
     # -- reads ----------------------------------------------------------------
 

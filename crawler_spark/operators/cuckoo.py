@@ -27,21 +27,16 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+# one mixer and one bucket projection for BOTH approximate filters:
+# filter_unseen_via pairs either filter's probe with the same bucketed
+# seen log, so the bucket formula must be computed identically — import,
+# don't re-implement, or the copies drift
+from crawler_spark.operators.seen import _splitmix, _with_bucket_hash
 
 CUCKOO_SCHEMA = "bucket int, slots binary, n_items long"
 
 _MAX_KICKS = 500
-
-
-def _splitmix(z: np.ndarray) -> np.ndarray:
-    z = z.copy()
-    z ^= z >> np.uint64(30)
-    z *= np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
-    z *= np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(31)
-    return z
 
 
 def _fingerprints(h: np.ndarray) -> np.ndarray:
@@ -52,7 +47,14 @@ def _fingerprints(h: np.ndarray) -> np.ndarray:
 
 
 def _entry1(h: np.ndarray, m: int) -> np.ndarray:
-    return (h % np.uint64(m)).astype(np.int64)
+    # mix BEFORE the mod: the bucket id is pmod(h, n_buckets), so within
+    # one bucket the low bits of h are constant — with B and m both
+    # powers of two an unmixed h % m would confine every key in the
+    # bucket to m/B of the entry range, overloading that slice (eviction
+    # thrash, then 'over capacity') far below the documented ~95% load
+    # factor. Same correlation hazard seen.py's _splitmix docstring
+    # records for the bloom positions.
+    return (_splitmix(h) % np.uint64(m)).astype(np.int64)
 
 
 def _alt_entry(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
@@ -71,13 +73,6 @@ def _load_slots(
         .copy()
     )
     return slots, int(right["n_items"].iloc[0])
-
-
-def _with_bucket_hash(df: DataFrame, url_col: str, n_buckets: int) -> DataFrame:
-    h = F.xxhash64(F.col(url_col))
-    return df.withColumn("_h", h).withColumn(
-        "bucket", F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
-    )
 
 
 class CuckooSeenSet:

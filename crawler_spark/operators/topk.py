@@ -10,10 +10,10 @@ O1, §2.9 T2) — and generally useful relational operators.
     deliberately gives one host ~40% of pages, and at 10^10-frontier scale
     a hot domain can hold billions of rows. We run two phases:
 
-    1. salt each group into ``salt`` shards (``pmod(xxhash64(order key),
-       S)``), rank within ``(group, shard)``, keep ``rank <= k`` — the
-       survivor set per group is ≤ ``S·k`` rows but provably contains the
-       true top-k;
+    1. salt each group into ``salt`` shards (``pmod(xxhash64(row
+       content), S)`` — deterministic under task retries), rank within
+       ``(group, shard)``, keep ``rank <= k`` — the survivor set per
+       group is ≤ ``S·k`` rows but provably contains the true top-k;
     2. exact rank within ``group`` over survivors.
 
     Phase-2 partitions are bounded by ``S·k``, independent of group skew.
@@ -54,11 +54,21 @@ def topk_per_group(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
     if salt > 1:
-        # Shard assignment only has to SPREAD rows — the phase-2 exact rank
-        # makes the output invariant to which shard a row competed in, so a
-        # partition-local id is a valid (and sort-expression-safe) salt.
+        # Shard assignment has to SPREAD rows and be DETERMINISTIC per
+        # row: phase 1 is a lossy filter feeding a shuffle, so a
+        # nondeterministic id (monotonically_increasing_id) means a task
+        # retry can re-assign shards mid-job and phase 2 sees a survivor
+        # set mixing two assignments — rows dropped or ranked twice
+        # (the SPARK-23207 hazard class). Hash the full input row
+        # instead: retry-stable, and valid because the phase-2 exact
+        # rank makes the OUTPUT invariant to which shard a row competed
+        # in. order_cols may be sort expressions (not value
+        # expressions, so not hashable directly); the input columns
+        # subsume them. Fully duplicate rows share a shard — harmless
+        # (identical rows are interchangeable in a top-k).
+        in_cols = [c for c in df.columns if c != "_k"]
         shard = F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+            F.xxhash64(*[F.col(c) for c in in_cols]), F.lit(salt)
         )
         df = df.withColumn("_shard", shard)
         w1 = Window.partitionBy(*group_cols, "_shard").orderBy(*cols)
