@@ -1338,6 +1338,39 @@ def q_semantic_dedup_ann(spark, sf):
     )
 
 
+def q_kmeans_portable(spark, sf):
+    """Distributed Lloyd's k-means (`operators.cluster`), engine-portable
+    twin: embeddings quantized to the floor(x·1000) integer grid (exact
+    order-independent M-step sums), dots/norms as left folds in array
+    order, argmax ties to the lowest cell — assignments after iterations
+    1 and 2 agree with the unrolled DuckDB oracle BIT-FOR-BIT (no float
+    tolerance caveat; same fold-exact treatment as `lsh_pairs_portable`).
+    Production is `kmeans_ivf` (numpy spherical k-means, rows-only)."""
+    from crawler_spark.operators.cluster import kmeans_portable_assign
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
+    return kmeans_portable_assign(e, k=8, n_iter=2)
+
+
+def q_kmeans_ivf(spark, sf):
+    """Production composition: spherical k-means
+    (`operators.cluster.kmeans_fit` — broadcast E-step matmul,
+    partition-partial M-step, centroid-table-sized driver state) trains
+    the codebook, then IVF top-10 searches the trained cells
+    (`similarity.ivf_topk(centroids=...)`). Rows-only: the iteration
+    mechanics are value-proven bit-exactly by `kmeans_portable`."""
+    from crawler_spark.operators.cluster import kmeans_fit
+    from crawler_spark.operators.similarity import ivf_topk
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
+    cents = kmeans_fit(e, k=16, n_iter=3)
+    q_row = e.where("vec_id = 0").collect()[0]
+    out = ivf_topk(e, [float(x) for x in q_row["embedding"]], 10, centroids=cents)
+    return out.select(
+        "vec_id", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
 def q_corpus_near_dedup(spark, sf):
     """The GUARDED near-dup chain end-to-end (exact dedup → capped-bucket
     minhash-LSH → connected components → survivors) — the configuration a
@@ -2728,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "lsh_pairs_portable": q_lsh_pairs_portable,
+        "kmeans_portable": q_kmeans_portable,
         "anchor_topk": q_anchor_topk,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
@@ -2793,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "extract_text": q_extract_text,
         "ivf_ann": q_ivf_ann,
+        "kmeans_ivf": q_kmeans_ivf,
         "lsh_ann": q_lsh_ann,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "minhash_near_dups": q_minhash_near_dups,
@@ -4603,6 +4638,73 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos DESC, cand.vec_id
                 LIMIT 10
             )
+        """,
+        # quantized integer-grid Lloyd's: M-step sums are order-
+        # independent-exact, dots/norms left folds — bit-identical to
+        # operators.cluster.kmeans_portable_assign (init = 8 lowest
+        # vec_ids; argmax ties to the lowest cell on both engines)
+        "kmeans_portable": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(CAST(floor(x * 1000) AS BIGINT)
+                                     AS DOUBLE)) AS q
+                FROM embeddings
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                       q AS cent
+                FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)
+            ), a1 AS (
+                SELECT vec_id, q, cell FROM (
+                    SELECT e.vec_id, e.q, c0.c AS cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_reduce(
+                                            list_transform(range(1, 65),
+                                                i -> q[i] * cent[i]),
+                                            (a, b) -> a + b)
+                                        / sqrt(list_reduce(
+                                              list_transform(cent,
+                                                  x -> x * x),
+                                              (a, b) -> a + b)) DESC,
+                                        c0.c
+                           ) AS rn
+                    FROM e CROSS JOIN c0
+                ) WHERE rn = 1
+            ), m1 AS (
+                SELECT cell, d.i AS i,
+                       CAST(sum(CAST(q[d.i] AS BIGINT)) AS BIGINT) AS s,
+                       count(*) AS n
+                FROM a1 CROSS JOIN range(1, 65) AS d(i)
+                GROUP BY cell, d.i
+            ), c1 AS (
+                SELECT c0.c, COALESCE(m.cent, c0.cent) AS cent
+                FROM c0 LEFT JOIN (
+                    SELECT cell,
+                           list(CAST(s AS DOUBLE) / n ORDER BY i) AS cent
+                    FROM m1 GROUP BY cell
+                ) m ON m.cell = c0.c
+            ), a2 AS (
+                SELECT vec_id, cell FROM (
+                    SELECT e.vec_id, c1.c AS cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_reduce(
+                                            list_transform(range(1, 65),
+                                                i -> q[i] * cent[i]),
+                                            (a, b) -> a + b)
+                                        / sqrt(list_reduce(
+                                              list_transform(cent,
+                                                  x -> x * x),
+                                              (a, b) -> a + b)) DESC,
+                                        c1.c
+                           ) AS rn
+                    FROM e CROSS JOIN c1
+                ) WHERE rn = 1
+            )
+            SELECT a1.vec_id, CAST(a1.cell AS INT) AS cell_first,
+                   CAST(a2.cell AS INT) AS cell
+            FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
         """,
         # identical dyadic md5 weights + left-fold dots reproduce the
         # Spark sign bits exactly; banding + cosine verify follow

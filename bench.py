@@ -125,6 +125,9 @@ HEADLINE = [
     "sitemap_recrawl",
     "soft_404",
     "keyword_blocklist",
+    # round 5: trained-codebook clustering (Lloyd's k-means over the
+    # embedding column — the IVF/SemDeDup centroid trainer, D4-style)
+    "kmeans_ivf",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

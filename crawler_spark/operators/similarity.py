@@ -391,10 +391,17 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: search only the ``n_probe`` cells whose centroids are
-    closest to the query. Exact within probed cells."""
-    cents = _centroids(emb, n_centroids, id_col, vec_col)
+    closest to the query. Exact within probed cells. Pass ``centroids``
+    (unit rows, e.g. from ``operators.cluster.kmeans_fit``) to search a
+    TRAINED codebook; the default is the untrained hash pick."""
+    cents = (
+        _centroids(emb, n_centroids, id_col, vec_col)
+        if centroids is None
+        else centroids
+    )
     qv = np.asarray(query, dtype="float64")
     qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
     probe = np.argsort(-(cents @ qv))[:n_probe].tolist()
