@@ -1371,6 +1371,24 @@ def q_kmeans_ivf(spark, sf):
     )
 
 
+def q_cluster_sample_portable(spark, sf):
+    """D4-style diversification (Tirumala et al. 2023: embed → k-means →
+    rebalance cluster mass) as ONE composed plan: trained cells from the
+    fold-exact portable k-means feed `scrub.temperature_sample` (keep
+    rates toward share^0.5 over CELLS instead of languages, md5-portable
+    row selection). The corpus never shuffles for the sampling half —
+    only the 8-row cell-count table moves; the oracle composes the
+    `kmeans_portable` CTE with the `temperature_sample` SQL verbatim."""
+    from crawler_spark.operators.cluster import kmeans_portable_assign
+    from crawler_spark.operators.scrub import temperature_sample
+
+    e = _read_wide(spark, sf, "embeddings", key="vec_id")
+    cells = kmeans_portable_assign(e, k=8, n_iter=2).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    return temperature_sample(cells, "vec_id", "cell", alpha=0.5, salt="d4")
+
+
 def q_corpus_near_dedup(spark, sf):
     """The GUARDED near-dup chain end-to-end (exact dedup → capped-bucket
     minhash-LSH → connected components → survivors) — the configuration a
@@ -2762,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "lsh_pairs_portable": q_lsh_pairs_portable,
         "kmeans_portable": q_kmeans_portable,
+        "cluster_sample_portable": q_cluster_sample_portable,
         "anchor_topk": q_anchor_topk,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
@@ -4705,6 +4724,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT a1.vec_id, CAST(a1.cell AS INT) AS cell_first,
                    CAST(a2.cell AS INT) AS cell
             FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+        """,
+        # D4 composition: the kmeans_portable assignment CTE feeding the
+        # temperature_sample rebalance verbatim (share^0.5 over cells)
+        "cluster_sample_portable": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(CAST(floor(x * 1000) AS BIGINT)
+                                     AS DOUBLE)) AS q
+                FROM embeddings
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                       q AS cent
+                FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)
+            ), a1 AS (
+                SELECT vec_id, q, cell FROM (
+                    SELECT e.vec_id, e.q, c0.c AS cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_reduce(
+                                            list_transform(range(1, 65),
+                                                i -> q[i] * cent[i]),
+                                            (a, b) -> a + b)
+                                        / sqrt(list_reduce(
+                                              list_transform(cent,
+                                                  x -> x * x),
+                                              (a, b) -> a + b)) DESC,
+                                        c0.c
+                           ) AS rn
+                    FROM e CROSS JOIN c0
+                ) WHERE rn = 1
+            ), m1 AS (
+                SELECT cell, d.i AS i,
+                       CAST(sum(CAST(q[d.i] AS BIGINT)) AS BIGINT) AS s,
+                       count(*) AS n
+                FROM a1 CROSS JOIN range(1, 65) AS d(i)
+                GROUP BY cell, d.i
+            ), c1 AS (
+                SELECT c0.c, COALESCE(m.cent, c0.cent) AS cent
+                FROM c0 LEFT JOIN (
+                    SELECT cell,
+                           list(CAST(s AS DOUBLE) / n ORDER BY i) AS cent
+                    FROM m1 GROUP BY cell
+                ) m ON m.cell = c0.c
+            ), cells AS (
+                SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+                    SELECT e.vec_id, c1.c AS cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_reduce(
+                                            list_transform(range(1, 65),
+                                                i -> q[i] * cent[i]),
+                                            (a, b) -> a + b)
+                                        / sqrt(list_reduce(
+                                              list_transform(cent,
+                                                  x -> x * x),
+                                              (a, b) -> a + b)) DESC,
+                                        c1.c
+                           ) AS rn
+                    FROM e CROSS JOIN c1
+                ) WHERE rn = 1
+            ), cnt AS (
+                SELECT cell AS s, CAST(count(*) AS DOUBLE) AS n
+                FROM cells GROUP BY cell
+            ), tot AS (
+                SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt
+            ), w AS (
+                SELECT s, n, nn, pow(n / nn, 0.5) AS w
+                FROM cnt CROSS JOIN tot
+            ), ws AS (
+                SELECT sum(w) AS ww FROM w
+            ), rates AS (
+                SELECT s,
+                       CAST(round(least(1.0, (w / ws.ww) / (n / nn))
+                                  * 1000000.0) AS BIGINT) AS keep_p6
+                FROM w CROSS JOIN ws
+            )
+            SELECT c.vec_id, c.cell, r.keep_p6
+            FROM cells c JOIN rates r ON r.s = c.cell
+            WHERE CAST(list_sum(list_transform(range(1, 16),
+                      i -> (strpos('0123456789abcdef',
+                                   substr(md5(CAST(c.vec_id AS VARCHAR)
+                                              || 'd4'), i, 1))
+                            - 1)::BIGINT
+                           * (1::BIGINT << (4*(15 - i))))) AS BIGINT)
+                  % 1000000 < r.keep_p6
         """,
         # identical dyadic md5 weights + left-fold dots reproduce the
         # Spark sign bits exactly; banding + cosine verify follow
