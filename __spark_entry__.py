@@ -1383,9 +1383,7 @@ def q_cluster_sample_portable(spark, sf):
     from crawler_spark.operators.scrub import temperature_sample
 
     e = _read_wide(spark, sf, "embeddings", key="vec_id")
-    cells = kmeans_portable_assign(e, k=8, n_iter=2).select(
-        "vec_id", F.col("cell").cast("int").alias("cell")
-    )
+    cells = kmeans_portable_assign(e, k=8, n_iter=2).select("vec_id", "cell")
     return temperature_sample(cells, "vec_id", "cell", alpha=0.5, salt="d4")
 
 
@@ -4682,10 +4680,11 @@ def oracle_sql() -> dict[str, str]:
                                             list_transform(range(1, 65),
                                                 i -> q[i] * cent[i]),
                                             (a, b) -> a + b)
-                                        / sqrt(list_reduce(
+                                        / greatest(sqrt(list_reduce(
                                               list_transform(cent,
                                                   x -> x * x),
-                                              (a, b) -> a + b)) DESC,
+                                              (a, b) -> a + b)),
+                                              1e-12) DESC,
                                         c0.c
                            ) AS rn
                     FROM e CROSS JOIN c0
@@ -4712,10 +4711,11 @@ def oracle_sql() -> dict[str, str]:
                                             list_transform(range(1, 65),
                                                 i -> q[i] * cent[i]),
                                             (a, b) -> a + b)
-                                        / sqrt(list_reduce(
+                                        / greatest(sqrt(list_reduce(
                                               list_transform(cent,
                                                   x -> x * x),
-                                              (a, b) -> a + b)) DESC,
+                                              (a, b) -> a + b)),
+                                              1e-12) DESC,
                                         c1.c
                            ) AS rn
                     FROM e CROSS JOIN c1
@@ -4747,10 +4747,11 @@ def oracle_sql() -> dict[str, str]:
                                             list_transform(range(1, 65),
                                                 i -> q[i] * cent[i]),
                                             (a, b) -> a + b)
-                                        / sqrt(list_reduce(
+                                        / greatest(sqrt(list_reduce(
                                               list_transform(cent,
                                                   x -> x * x),
-                                              (a, b) -> a + b)) DESC,
+                                              (a, b) -> a + b)),
+                                              1e-12) DESC,
                                         c0.c
                            ) AS rn
                     FROM e CROSS JOIN c0
@@ -4777,10 +4778,11 @@ def oracle_sql() -> dict[str, str]:
                                             list_transform(range(1, 65),
                                                 i -> q[i] * cent[i]),
                                             (a, b) -> a + b)
-                                        / sqrt(list_reduce(
+                                        / greatest(sqrt(list_reduce(
                                               list_transform(cent,
                                                   x -> x * x),
-                                              (a, b) -> a + b)) DESC,
+                                              (a, b) -> a + b)),
+                                              1e-12) DESC,
                                         c1.c
                            ) AS rn
                     FROM e CROSS JOIN c1

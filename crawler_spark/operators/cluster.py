@@ -75,6 +75,15 @@ def kmeans_fit(
     ).astype("float64")
     if cents.shape[0] != k:
         raise ValueError(f"init has {cents.shape[0]} rows, expected k={k}")
+    data_dim = int(emb.select(F.size(vec_col)).first()[0])
+    if cents.shape[1] != data_dim:
+        raise ValueError(
+            f"init dim {cents.shape[1]} != embedding dim {data_dim}"
+        )
+    # the E-step is a plain dot against the codebook, so cosine semantics
+    # (and the documented unit-row return for empty cells) require unit
+    # init rows — normalize defensively; a no-op for unit inputs
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     dim = cents.shape[1]
     schema = "cell int, n long, s array<double>"
 
@@ -144,6 +153,7 @@ def kmeans_objective(
 
     part = emb.select(vec_col).mapInPandas(score, "c double")
     row = part.agg(F.sum("c").alias("obj")).collect()[0]
+    bc.destroy()
     return float(row["obj"] or 0.0)
 
 
@@ -165,12 +175,19 @@ def _fold_dot(vec_col, weights: list[float]):
 
 
 def _py_fold_norm(cent: list[float]) -> float:
-    """Python left fold of √(Σ c_i²) — IEEE-identical to the SQL
-    ``sqrt(list_reduce(list_transform(c, x -> x*x), (a,b)->a+b))``."""
+    """Python left fold of max(√(Σ c_i²), 1e-12) — IEEE-identical to the
+    SQL ``greatest(sqrt(list_reduce(list_transform(c, x -> x*x),
+    (a,b)->a+b)), 1e-12)``. The floor guards an all-zero centroid (a
+    quantized-to-zero init row or a cell whose members sum to zero in
+    every dim): without it the Spark score divides by a literal 0.0 —
+    a job-aborting DIVIDE_BY_ZERO under ANSI mode — while DuckDB would
+    return NULL and this reference would raise: three different
+    behaviors. With the shared floor all three engines score such a
+    centroid identically (a huge-but-finite dot/1e-12 ratio)."""
     acc = 0.0
     for c in cent:
         acc = acc + c * c
-    return math.sqrt(acc)
+    return max(math.sqrt(acc), 1e-12)
 
 
 def kmeans_portable_assign(

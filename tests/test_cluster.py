@@ -93,6 +93,42 @@ def test_kmeans_fit_rejects_wrong_k(spark):
         kmeans_fit(emb, k=3, init=np.eye(4, 16))
 
 
+def test_kmeans_fit_rejects_wrong_dim(spark):
+    emb = _toy_emb(spark, n=20)  # dim 16
+    with pytest.raises(ValueError, match="embedding dim"):
+        kmeans_fit(emb, k=4, init=np.eye(4, 8))
+
+
+def test_kmeans_fit_normalizes_init(spark):
+    """A caller-supplied non-unit init must behave as its unit direction
+    (the E-step is a dot against the codebook — cosine only for unit
+    rows), and an empty cell returns a UNIT row, as documented."""
+    a, b = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    rows = [(i, a) for i in range(10)] + [(10 + i, b) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    init = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [-10.0, -10.0, -10.0]])
+    got = kmeans_fit(emb, k=3, n_iter=2, init=init)
+    assert np.allclose(np.linalg.norm(got, axis=1), 1.0)
+    assert np.allclose(got[2], np.array([-1.0, -1.0, -1.0]) / math.sqrt(3.0))
+
+
+def test_portable_assign_survives_zero_quantized_centroid(spark):
+    """An init row whose components all quantize to 0 (|x| < 1/quant)
+    yields the all-zero centroid; the shared 1e-12 norm floor keeps all
+    three engines scoring it identically instead of Spark aborting with
+    DIVIDE_BY_ZERO (ANSI mode) while the oracle returns NULL."""
+    rows = [(0, [0.0004, 0.0002, 0.0003, 0.0001])] + [
+        (i, [float(i), 1.0, 0.0, 0.5]) for i in range(1, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cell_first"], r["cell"])
+        for r in kmeans_portable_assign(emb, k=3, n_iter=2).collect()
+    }
+    vecs = {r[0]: r[1] for r in rows}
+    assert got == kmeans_portable_reference(vecs, k=3, n_iter=2)
+
+
 def test_portable_assign_matches_serial_spec_bitexact(spark):
     emb = _toy_emb(spark, n=120, dim=8, n_clusters=3).repartition(7)
     got = {
