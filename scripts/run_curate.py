@@ -27,6 +27,16 @@ Stages (each skippable):
   the configuration a 100 TB pass runs) — `--near-dup-threshold`,
   `--max-bucket-size`, off with `--no-near-dedup`. Cap-hit counters are
   reported in the output line.
+- **semantic-dedup** (needs `--embeddings`): SemDeDup (Abbas et al.
+  2023) over the doc embeddings — cell-confined cosine pairs, min-id
+  survivors (`--semantic-threshold`, `--semantic-cells`). Docs WITHOUT
+  an embedding row are never dropped (conservative: absence of evidence
+  keeps the doc).
+- **cluster-balance** (needs `--embeddings`): D4-style diversification
+  (Tirumala et al. 2023) — k-means codebook trained on the surviving
+  docs' embeddings (`operators.cluster.kmeans_fit`), cells rebalanced
+  toward share^alpha with the deterministic temperature sampler
+  (`--cluster-alpha`, `--cluster-k`; embedding-less docs kept).
 - **sample**: deterministic per-language subsample (md5-keyed, a pure
   function of (doc_id, salt) — retries select the SAME docs) —
   `--sample-rate` integer percent, 100 = keep all.
@@ -71,6 +81,20 @@ def main() -> None:
     ap.add_argument("--max-bucket-size", type=int, default=10000,
                     help="LSH mega-bucket guard for the chain")
     ap.add_argument("--no-near-dedup", action="store_true")
+    ap.add_argument("--embeddings",
+                    help="doc embeddings parquet ((doc_id|vec_id) long, "
+                         "embedding array<float>) for the semantic stages")
+    ap.add_argument("--semantic-threshold", type=float, default=0.0,
+                    help="SemDeDup cosine threshold (0 = stage off)")
+    ap.add_argument("--semantic-cells", type=int, default=64,
+                    help="SemDeDup cell count")
+    ap.add_argument("--cluster-alpha", type=float, default=0.0,
+                    help="cluster-balance share^alpha exponent "
+                         "(0 = stage off; 1 keeps natural proportions)")
+    ap.add_argument("--cluster-k", type=int, default=16,
+                    help="k-means codebook size (needs >= k embedded docs)")
+    ap.add_argument("--cluster-iter", type=int, default=3,
+                    help="k-means Lloyd iterations")
     ap.add_argument("--sample-rate", type=int, default=100,
                     help="per-language keep percent (deterministic)")
     ap.add_argument("--sample-salt", default="curate")
@@ -119,6 +143,7 @@ def main() -> None:
         # chain executes once, not once per downstream action
         new = new.persist()
         out[key] = new.count()
+        out["curated_docs"] = out[key]  # last stage wins
         if prev is not None:
             prev.unpersist()
         return new
@@ -143,6 +168,58 @@ def main() -> None:
         docs = advance(docs, deduped, "after_near_dedup")
         out["cap_hits"] = caps
 
+    emb = None
+    if args.semantic_threshold or args.cluster_alpha:
+        if not args.embeddings:
+            ap.error("--semantic-threshold/--cluster-alpha need --embeddings")
+        emb = spark.read.parquet(args.embeddings)
+        if "doc_id" not in emb.columns:
+            emb = emb.withColumnRenamed("vec_id", "doc_id")
+        emb = emb.select("doc_id", "embedding")
+
+    def keep_with_unembedded(current, kept_ids):
+        # a doc with no embedding row is never dropped by an
+        # embedding-driven stage — absence of evidence keeps the doc
+        no_emb = current.join(emb, "doc_id", "left_anti").select("doc_id")
+        return current.join(
+            kept_ids.unionByName(no_emb), "doc_id", "left_semi"
+        )
+
+    if args.semantic_threshold:
+        from crawler_spark.operators.similarity import semantic_dedup
+
+        emb_cur = emb.join(docs.select("doc_id"), "doc_id", "left_semi")
+        survivors = semantic_dedup(
+            emb_cur,
+            threshold=args.semantic_threshold,
+            n_cells=args.semantic_cells,
+            id_col="doc_id",
+        ).select("doc_id")
+        docs = advance(
+            docs, keep_with_unembedded(docs, survivors), "after_semantic"
+        )
+
+    if args.cluster_alpha:
+        from crawler_spark.operators.cluster import kmeans_fit
+        from crawler_spark.operators.scrub import temperature_sample
+        from crawler_spark.operators.similarity import ivf_assign
+
+        emb_cur = emb.join(docs.select("doc_id"), "doc_id", "left_semi")
+        cents = kmeans_fit(
+            emb_cur, k=args.cluster_k, n_iter=args.cluster_iter,
+            id_col="doc_id",
+        )
+        cells = ivf_assign(emb_cur, cents, id_col="doc_id").select(
+            "doc_id", "cell"
+        )
+        kept = temperature_sample(
+            cells, "doc_id", "cell", alpha=args.cluster_alpha,
+            salt=args.sample_salt + "/cluster",
+        ).select("doc_id")
+        docs = advance(
+            docs, keep_with_unembedded(docs, kept), "after_cluster_balance"
+        )
+
     if args.sample_rate < 100:
         docs = advance(
             docs,
@@ -159,12 +236,6 @@ def main() -> None:
     curated.write.mode("overwrite").parquet(
         os.path.join(args.out, "curated")
     )
-    out["curated_docs"] = out.get(
-        "after_sample",
-        out.get("after_near_dedup",
-                out.get("after_quality", out["input_docs"])),
-    )
-
     if args.shard_tokens:
         sink = export_jsonl if args.format == "jsonl" else export_shards
         out["shards"] = sink(

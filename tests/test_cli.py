@@ -97,6 +97,52 @@ def test_cli_curate_from_foreign_cwd(tmp_path):
     assert n_shards == line["shards"]["n_shards"]
 
 
+def test_cli_curate_semantic_stages(tmp_path):
+    """--embeddings unlocks SemDeDup + D4-style cluster balancing in the
+    curate CLI: both stages run, both only ever REMOVE docs, docs
+    without an embedding row survive untouched, and the stage counts
+    agree with the curated parquet on disk."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "cur")
+    # keep only half the embeddings so the no-embedding-keeps-doc rule
+    # is actually exercised
+    emb_half = str(tmp_path / "emb_half")
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    pq.write_table(t.slice(0, 250), os.path.join(emb_half + ".parquet"))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_CPUS"] = "8"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "run_curate.py"),
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out, "--no-quality", "--no-near-dedup",
+            "--embeddings", emb_half + ".parquet",
+            "--semantic-threshold", "0.35",
+            "--cluster-alpha", "0.5", "--cluster-k", "8",
+        ],
+        cwd=str(tmp_path),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert (
+        line["input_docs"]
+        >= line["after_semantic"]
+        >= line["after_cluster_balance"]
+        == line["curated_docs"]
+        > 0
+    )
+    # the semantic stage must have removed something at this threshold
+    assert line["after_semantic"] < line["input_docs"]
+    n_curated, n_unembedded = duckdb.sql(
+        f"select count(*), count(*) filter (doc_id >= 250) "
+        f"from read_parquet('{out}/curated/*.parquet')"
+    ).fetchone()
+    assert n_curated == line["curated_docs"]
+    assert n_unembedded == 250  # embedding-less docs all survive
+
+
 def test_cli_curate_store_with_refetched_urls(spark, tmp_path):
     """--store input must stay one-row-per-url when the store carries
     REFETCHES (retract → resume writes a second pages row per victim):
