@@ -2706,19 +2706,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_flags": q_url_trap_flags,
         "redirect_resolution": q_redirect_resolution,
         "link_pagerank": q_link_pagerank,
-        "hits_scores": q_hits_scores,
         "recrawl_schedule": q_recrawl_schedule,
         "cdx_index": q_cdx_index,
         "stream_frontier_ingest": q_stream_frontier_ingest,
         "stream_host_budget": q_stream_host_budget,
-        "round_windows": q_round_windows,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "doc_exact_dedup": q_doc_exact_dedup,
         "minhash_portable": q_minhash_portable,
         "simhash_portable": q_simhash_portable,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        # round-5 new families (same rebalance rule as below — one
+        # in-window slot per family added this round): k-means codebook
+        # training, cluster-balanced (D4-style) sampling, incremental
+        # per-round semantic dedup, streaming hamming-1..3 near-dedup.
+        # Displaced: hits_scores (graph family keeps link_pagerank +
+        # trustrank_scores + priority_fusion), round_windows (streaming
+        # keeps frontier ingest + host budget + the h3 rung),
+        # range_join (temporal keeps asof_join), ngram_jaccard (dedup
+        # keeps exact/minhash/simhash/clusters/soft_weights) — all four
+        # sit right below the window, still value-checked by the full
+        # gate and tests/test_tail_oracles.py.
+        "kmeans_portable": q_kmeans_portable,
+        "cluster_sample_portable": q_cluster_sample_portable,
+        "incremental_semantic_portable": q_incremental_semantic_portable,
+        "stream_near_dedup_h3": q_stream_near_dedup_h3,
+        # the guarded exact→LSH→CC→survivors composition — the chain a
+        # 100 TB curation pass actually runs — earns the 50th slot (the
+        # window section was 49 entries long before round 5; the first
+        # extra silently rode inside the driver's gate)
+        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
         # round-4 final session families (round-5 window rebalance —
         # one in-window slot each, as VERDICT r4 item 5 prescribed):
         # DUST rewrite, canonical-URL collapse, sitemap-driven
@@ -2765,6 +2781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         # ---- oracle-backed extras past the 50-entry gate window
         # (value-checked by tools/check_correctness.py runs) ----
+        "hits_scores": q_hits_scores,
+        "round_windows": q_round_windows,
+        "range_join": q_range_join,
+        "ngram_jaccard": q_ngram_jaccard,
         "chunk_dedup": q_chunk_dedup,
         "session_windows": q_session_windows,
         "embedding_quantization": q_embedding_quantization,
@@ -2772,13 +2792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "temperature_mix": q_temperature_mix,
         "minhash_collapse_portable": q_minhash_collapse_portable,
-        "corpus_near_dedup_portable": q_corpus_near_dedup_portable,
         "simhash_near_dups_portable": q_simhash_near_dups_portable,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "lsh_pairs_portable": q_lsh_pairs_portable,
-        "kmeans_portable": q_kmeans_portable,
-        "cluster_sample_portable": q_cluster_sample_portable,
         "anchor_topk": q_anchor_topk,
         "c4_filters": q_c4_filters,
         "combine_images": q_combine_images,
@@ -2805,7 +2822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_split": q_host_split,
         "image_counts": q_image_counts,
         "incremental_dedup_portable": q_incremental_dedup_portable,
-        "incremental_semantic_portable": q_incremental_semantic_portable,
         "line_dedup": q_line_dedup,
         "link_counts": q_link_counts,
         "max_normalized_price": q_max_normalized_price,
@@ -2822,7 +2838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_portable": q_classify_portable,
         "stream_doc_curation": q_stream_doc_curation,
         "stream_near_dedup": q_stream_near_dedup,
-        "stream_near_dedup_h3": q_stream_near_dedup_h3,
         "dust_rules": q_dust_rules,
         # (dust_canonicalize / canonical_collapse / sitemap_recrawl /
         # soft_404 / keyword_blocklist / host_boilerplate moved INTO

@@ -47,15 +47,21 @@ def test_entry_punct_literal_matches_engine():
 
 def test_every_new_family_has_an_in_window_slot():
     """Round-5 rebalance (VERDICT r4 item 5): each family added in
-    round 4 keeps one slot inside the driver-graded window so its
-    correctness is driver-recorded, not only locally re-checked."""
+    rounds 4 and 5 keeps one slot inside the driver-graded window so
+    its correctness is driver-recorded, not only locally re-checked."""
     window = set(list(em.queries())[:WINDOW])
     for k in [
+        # round-4 families
         "dust_canonicalize",     # DUST rewrite family
         "canonical_collapse",    # canonical-URL collapse
         "sitemap_recrawl",       # sitemap-driven freshness
         "soft_404",              # soft-404 detection
         "keyword_blocklist",     # C4 keyword blocklist
         "host_boilerplate",      # host-boilerplate removal
+        # round-5 families
+        "kmeans_portable",       # k-means codebook training
+        "cluster_sample_portable",  # cluster-balanced (D4) sampling
+        "incremental_semantic_portable",  # per-round semantic dedup
+        "stream_near_dedup_h3",  # streaming hamming-1..3 near-dedup
     ]:
         assert k in window, k
