@@ -126,8 +126,12 @@ HEADLINE = [
     "soft_404",
     "keyword_blocklist",
     # round 5: trained-codebook clustering (Lloyd's k-means over the
-    # embedding column — the IVF/SemDeDup centroid trainer, D4-style)
+    # embedding column — the IVF/SemDeDup centroid trainer, D4-style),
+    # cluster-balanced sampling over the trained cells, and the
+    # per-round incremental semantic dedup (recurring-crawl shape)
     "kmeans_ivf",
+    "cluster_sample_portable",
+    "incremental_semantic_portable",
 ]
 
 # timed twice, min reported (+ both in "query_runs"): the heavy queries

@@ -126,13 +126,17 @@ def test_bucketed_corpus_crawl_matches_plain(spark, web, tmp_path):
 
 def test_resume_with_wrong_filter_type_fails_clearly(spark, web, tmp_path):
     """Resuming a bloom store with seen_filter='cuckoo' must raise a
-    clear ValueError at load, not an opaque cogroup/schema error later."""
+    clear ValueError at load, not an opaque cogroup/schema error later.
+    Since the geometry-file hardening this is caught by the
+    filter_geometry.json validation (which names both geometries); the
+    older per-table check at driver.py:205 still covers legacy stores
+    written before the geometry file existed."""
     corpus = _to_spark_corpus(spark, web.pages)
     seeds = web.seeds.url.tolist()
     root = str(tmp_path / "mismatch")
     run_crawl(spark, corpus, seeds, _cfg(web, max_rounds=2), root,
               bloom_buckets=8, bloom_bits=1 << 16, seen_filter="bloom")
-    with pytest.raises(ValueError, match="other seen_filter"):
+    with pytest.raises(ValueError, match="geometry mismatch"):
         run_crawl(spark, corpus, seeds, _cfg(web), root, bloom_buckets=8,
                   cuckoo_entries=1 << 12, seen_filter="cuckoo", resume=True)
 
