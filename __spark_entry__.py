@@ -3766,7 +3766,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lx.xent <= c.p33 THEN 'head'
                         WHEN lx.xent <= c.p66 THEN 'middle'
                         ELSE 'tail' END AS bucket
-            FROM lx JOIN cuts c USING (lang)
+            FROM lx JOIN cuts c ON c.lang IS NOT DISTINCT FROM lx.lang
         """,
         # span-level decontamination: same benchmark derivation as
         # doc_decontaminate (8-grams of every 50th doc), same removal
@@ -4819,7 +4819,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM w CROSS JOIN ws
             )
             SELECT c.vec_id, c.cell, r.keep_p6
-            FROM cells c JOIN rates r ON r.s = c.cell
+            FROM cells c JOIN rates r ON r.s IS NOT DISTINCT FROM c.cell
             WHERE CAST(list_sum(list_transform(range(1, 16),
                       i -> (strpos('0123456789abcdef',
                                    substr(md5(CAST(c.vec_id AS VARCHAR)
@@ -5613,7 +5613,9 @@ def oracle_sql() -> dict[str, str]:
         # (see q_chunk_dedup / operators.passages.repeated_chunk_filter)
         "chunk_dedup": """
             WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS l
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS l
                 FROM documents
             ), w AS (
                 SELECT doc_id,
@@ -5646,7 +5648,9 @@ def oracle_sql() -> dict[str, str]:
         # (see q_host_mirrors / operators.passages.host_mirror_pairs)
         "host_mirrors": """
             WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS l
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS l
                 FROM documents
             ), w AS (
                 SELECT doc_id,
@@ -5696,11 +5700,16 @@ def oracle_sql() -> dict[str, str]:
         # smoothed TF-IDF disjunctive retrieval, top-20
         # (see q_term_search / analytics.search.tfidf_topk)
         "term_search": """
-            WITH toks AS (
+            WITH tl AS (
                 SELECT doc_id,
-                       len(string_split(text, ' ')) AS dl,
-                       unnest(string_split(text, ' ')) AS term
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   t -> t <> '') AS toklist
                 FROM documents
+            ), toks AS (
+                SELECT doc_id, len(toklist) AS dl,
+                       unnest(toklist) AS term
+                FROM tl
             ), q AS (
                 SELECT unnest(['join', 'spark', 'table', 'window'])
                     AS term
@@ -5782,11 +5791,16 @@ def oracle_sql() -> dict[str, str]:
         # Okapi BM25 twin of term_search: same postings CTEs, BM25
         # idf/saturation scoring (identical double operation order)
         "bm25_search": """
-            WITH toks AS (
+            WITH tl AS (
                 SELECT doc_id,
-                       len(string_split(text, ' ')) AS dl,
-                       unnest(string_split(text, ' ')) AS term
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   t -> t <> '') AS toklist
                 FROM documents
+            ), toks AS (
+                SELECT doc_id, len(toklist) AS dl,
+                       unnest(toklist) AS term
+                FROM tl
             ), q AS (
                 SELECT unnest(['join', 'spark', 'table', 'window'])
                     AS term
@@ -5797,9 +5811,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY t.doc_id, t.term
             ), nd AS (
                 SELECT CAST(count(*) AS DOUBLE) AS n,
-                       CAST(avg(len(string_split(text, ' ')))
-                            AS DOUBLE) AS avgdl
-                FROM documents
+                       CAST(avg(len(toklist)) AS DOUBLE) AS avgdl
+                FROM tl
             ), df AS (
                 SELECT term, CAST(count(*) AS DOUBLE) AS df
                 FROM tf GROUP BY term
@@ -5842,7 +5855,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM w CROSS JOIN ws
             )
             SELECT d.doc_id, d.lang, r.keep_p6
-            FROM documents d JOIN rates r ON r.s = d.lang
+            FROM documents d JOIN rates r ON r.s IS NOT DISTINCT FROM d.lang
             WHERE CAST(list_sum(list_transform(range(1, 16),
                       i -> (strpos('0123456789abcdef',
                                    substr(md5(d.doc_id || 't3'), i, 1))
@@ -5876,7 +5889,7 @@ def oracle_sql() -> dict[str, str]:
                                                i, 1)) - 1)::BIGINT
                                 * (1::BIGINT << (4*(15 - i)))))
                             AS BIGINT) % 1000000 AS h
-                FROM documents d JOIN rates r ON r.s = d.lang
+                FROM documents d JOIN rates r ON r.s IS NOT DISTINCT FROM d.lang
             ), cc AS (
                 SELECT doc_id, lang,
                        p6 // 1000000

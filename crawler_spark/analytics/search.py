@@ -16,6 +16,16 @@ the posting rows of the query terms. The final top-k is a single
 ordered ``limit`` — Spark executes that as a TakeOrdered over partial
 per-partition heaps, no global sort materialization.
 
+Tokenization is the repo-wide word definition
+(:func:`crawler_spark.functions.textcols.word_tokens`: lower-cased,
+split on any whitespace run, empties dropped) — identical to python's
+``text.lower().split()``. On text that already went through the
+reference-parity ``cleanText`` (lower-cased, whitespace collapsed)
+this is the same bag of words as a single-space split; on raw text it
+stays correct where a literal-space split would emit phantom empty
+tokens, glue words across newlines, and match case-sensitively.
+NULL-text documents simply contribute no postings.
+
 Scoring (kept to expressions any engine reproduces bit-for-bit):
 ``tf = n_term_in_doc / n_tokens_in_doc``,
 ``idf = ln((N + 1) / (df + 1)) + 1``  (smoothed, sklearn-style),
@@ -27,6 +37,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.textcols import word_tokens
+
+
+def _query_postings(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared posting-list pipeline of both retrieval scorers: the
+    per-(doc, query-term) tf table ``(doc_id, term, n, dl)`` and the
+    per-term document-frequency table ``(term, df)``.
+
+    One broadcast semi-join shrinks the exploded corpus to query-term
+    rows before the only shuffle (the tf groupBy); doc length rides
+    each posting row so no corpus-wide length join is needed.
+    """
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    words = word_tokens(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    )
+    hits = toks.join(F.broadcast(q), "term")
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("n"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return tf, df_
+
 
 def tfidf_topk(
     docs: DataFrame,
@@ -37,31 +81,12 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-``k`` documents for a disjunctive term query, by TF-IDF sum.
 
-    Tokenization is whitespace split (the corpus tables are already
-    clean text; HTML goes through ``functions.html`` first). Returns
-    ``(doc_id, n_hits, score)`` — ``n_hits`` = how many distinct query
-    terms matched, ``score`` rounded to 6 dp for cross-engine compare.
+    Returns ``(doc_id, n_hits, score)`` — ``n_hits`` = how many
+    distinct query terms matched, ``score`` rounded to 6 dp for
+    cross-engine compare.
     """
-    spark = docs.sparkSession
-    q = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "term string"
-    )
-    # doc length rides each posting row as per-row array arithmetic — no
-    # corpus-wide length groupBy and no join back to the full corpus; the
-    # only shuffle in this operator is the tf aggregation of query-term
-    # hits, which the broadcast semi-join has already shrunk
-    words = F.split(F.col(text_col), " ")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words).alias("dl"),
-        F.explode(words).alias("term"),
-    )
     n_docs = docs.count()  # one scalar; a deployment caches it with the index
-    hits = toks.join(F.broadcast(q), "term")
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count("*").alias("n"), F.first("dl").alias("dl")
-    )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf, df_ = _query_postings(docs, query_terms, id_col, text_col)
     return (
         tf.join(F.broadcast(df_), "term")
         .groupBy("doc_id")
@@ -95,12 +120,11 @@ def bm25_topk(
     """Top-``k`` documents by Okapi BM25 (Robertson et al., TREC-3) —
     the saturation/length-normalized upgrade of :func:`tfidf_topk`.
 
-    Same Spark shape: broadcast semi-join of the query terms against the
-    exploded corpus (only query-term posting rows ever aggregate), one
-    grouped tf pass, a broadcast df table, one TakeOrdered top-k. The
-    corpus-level scalars — N and the average document length — are the
-    numbers a deployment caches with its index; here they cost one
-    2-scalar aggregate job.
+    Same Spark shape (shared :func:`_query_postings` pipeline): one
+    grouped tf pass over broadcast-shrunk postings, a broadcast df
+    table, one TakeOrdered top-k. The corpus-level scalars — N and the
+    average document length — are the numbers a deployment caches with
+    its index; here they cost one 2-scalar aggregate job.
 
     Scoring, kept bit-reproducible cross-engine (every literal cast to
     double, same operation order as the DuckDB oracle)::
@@ -111,26 +135,13 @@ def bm25_topk(
 
     Returns ``(doc_id, n_hits, score)`` like :func:`tfidf_topk`.
     """
-    spark = docs.sparkSession
-    q = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "term string"
-    )
-    words = F.split(F.col(text_col), " ")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words).alias("dl"),
-        F.explode(words).alias("term"),
-    )
+    words = word_tokens(F.col(text_col))
     n_docs, avgdl = docs.select(
         F.count("*"), F.avg(F.size(words)).cast("double")
     ).first()
-    if not n_docs:  # empty corpus: avg() is NULL — return the empty
-        avgdl = 1.0  # top-k instead of float(None) at plan-build time
-    hits = toks.join(F.broadcast(q), "term")
-    tf = hits.groupBy("doc_id", "term").agg(
-        F.count("*").alias("n"), F.first("dl").alias("dl")
-    )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if avgdl is None:  # empty corpus OR every text NULL: avg() is NULL —
+        avgdl = 1.0  # postings are empty either way; avoid float(None)
+    tf, df_ = _query_postings(docs, query_terms, id_col, text_col)
     n = F.col("n").cast("double")
     dl = F.col("dl").cast("double")
     dfc = F.col("df").cast("double")

@@ -60,11 +60,22 @@ def doc_chunks(
     the hash alone.
     """
     h = _chunk_hash_col(portable)
-    words = F.split(F.col(text_col), " ")
+    # drop empty tokens: split('', ' ') is [''], which would otherwise
+    # make every empty/whitespace-only document one phantom chunk whose
+    # hash md5('') marks all such docs mutual duplicates (and inflate
+    # n_words on any double-space). NULL text stays NULL → no rows out
+    # of posexplode, same as a zero-chunk doc.
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+    )
     n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda i: F.slice(words, i * chunk_words + 1, chunk_words),
+    chunks = F.when(
+        n_chunks <= 0, F.array().cast("array<array<string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.slice(words, i * chunk_words + 1, chunk_words),
+        )
     )
     return (
         docs.select(
@@ -148,11 +159,13 @@ def duplicate_span_stats(
     h = _chunk_hash_col(portable)
     toks = word_tokens(F.col(text_col))
     grams = sliding_grams(toks, k)
+    # fixed-width rows only through the two shuffles below: (doc_id,
+    # pos, gh) — per-doc totals are re-derived from `docs` in `totals`,
+    # so n_tokens does NOT ride the corpus-sized gram exchanges
     g = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
         F.posexplode(grams).alias("pos", "_g"),
-    ).select("doc_id", "n_tokens", "pos", h(F.col("_g")).alias("gh"))
+    ).select("doc_id", "pos", h(F.col("_g")).alias("gh"))
     dup = (
         g.withColumn("_cnt", F.count("*").over(Window.partitionBy("gh")))
         .where(F.col("_cnt") >= 2)
@@ -172,10 +185,14 @@ def duplicate_span_stats(
             ).alias("covered_tokens"),
         )
     )
+    # coalesce: word_tokens(NULL) is NULL and size(NULL) is NULL under
+    # ANSI — a NULL-text doc must report (0, 0, 0, 0.0), not NULLs that
+    # silently fall out of both sides of a dup_ratio threshold filter
+    n_toks = F.coalesce(F.size(toks), F.lit(0))
     totals = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0)).alias("n_grams"),
+        n_toks.alias("n_tokens"),
+        F.greatest(n_toks - F.lit(k - 1), F.lit(0)).alias("n_grams"),
     )
     return totals.join(cover, "doc_id", "left").select(
         "doc_id",
@@ -283,7 +300,13 @@ def _cut_spans(
         .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
     )
 
-    base = docs.select(F.col(id_col).alias("doc_id"), toks_col.alias("_t"))
+    # NULL text → empty token stream, so the output keeps its typed
+    # (clean_text string, n_kept long, n_removed long) contract instead
+    # of an all-NULL row
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(toks_col, F.array().cast("array<string>")).alias("_t"),
+    )
     joined = base.join(spans, "doc_id", "left")
     covered = lambda i: F.exists(  # noqa: E731
         F.col("_spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])

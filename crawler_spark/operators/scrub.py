@@ -167,8 +167,12 @@ def temperature_sample(
         ),
         16, 10,
     ).cast("long") % 1000000
+    # null-safe: groupBy gave a NULL stratum its own rate row, and an
+    # equi-join would silently drop those rows while their count still
+    # skews every other stratum's rate (the hazard host_disjoint_split
+    # documents); NULL-strata docs sample like any other stratum
     return (
-        df.join(F.broadcast(rates), df[strata_col] == rates["_s"])
+        df.join(F.broadcast(rates), df[strata_col].eqNullSafe(rates["_s"]))
         .where(h < F.col("keep_p6"))
         .select(F.col(id_col), F.col(strata_col), F.col("keep_p6"))
     )
@@ -254,7 +258,8 @@ def temperature_mix(
         + F.when(h < F.col("keep_p6") % 1000000, F.lit(1)).otherwise(F.lit(0))
     ).alias("_copies")
     return (
-        df.join(F.broadcast(rates), df[strata_col] == rates["_s"])
+        # null-safe join for the same reason as temperature_sample
+        df.join(F.broadcast(rates), df[strata_col].eqNullSafe(rates["_s"]))
         .select(F.col(id_col), F.col(strata_col), n_copies)
         .where(F.col("_copies") > 0)
         .select(

@@ -96,8 +96,7 @@ def dsir_logweights(
     raw_f = _doc_features(raw, id_col, text_col, buckets, portable)
     tgt_f = _doc_features(target, id_col, text_col, buckets, portable)
 
-    def model(feats: DataFrame, out: str) -> DataFrame:
-        cnt = feats.groupBy("b").agg(F.count("*").alias("_c"))
+    def model(cnt: DataFrame, out: str) -> DataFrame:
         tot = cnt.agg(F.sum("_c").alias("_n"))
         return cnt.crossJoin(F.broadcast(tot)).select(
             "b",
@@ -107,13 +106,18 @@ def dsir_logweights(
             ).alias(out),
         )
 
-    raw_m = model(raw_f, "lp_raw")
-    tgt_m = model(tgt_f, "lp_tgt")
+    raw_cnt = raw_f.groupBy("b").agg(F.count("*").alias("_c"))
+    tgt_cnt = tgt_f.groupBy("b").agg(F.count("*").alias("_c"))
+    raw_m = model(raw_cnt, "lp_raw")
+    tgt_m = model(tgt_cnt, "lp_tgt")
     # full ratio table: raw buckets drive scoring (every scored feature
     # exists in raw_m by construction); target-missing buckets fall back
-    # to the smoothed floor log(α / (N_tgt + αB))
-    tgt_n = tgt_f.groupBy().count().select(
-        F.col("count").cast("double").alias("_nt")
+    # to the smoothed floor log(α / (N_tgt + αB)). N_tgt comes from the
+    # SAME keyed bucket-count relation the model uses (≤ buckets rows;
+    # ReuseExchange collapses the shared aggregation subtree), not a
+    # second keyless count() that would re-scan the target corpus.
+    tgt_n = tgt_cnt.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("double").alias("_nt")
     )
     ratio = (
         raw_m.join(tgt_m.select("b", "lp_tgt"), "b", "left")
@@ -183,12 +187,16 @@ def ccnet_buckets(
         )
         .localCheckpoint(eager=False)
     )
-    cuts = xent.groupBy("lang").agg(
+    cuts = xent.groupBy(F.col("lang").alias("_l")).agg(
         F.percentile("xent", F.lit(1.0 / 3.0)).alias("_p33"),
         F.percentile("xent", F.lit(2.0 / 3.0)).alias("_p66"),
     )
+    # null-safe label join: groupBy gave NULL-lang docs their own cutoff
+    # row, and an equi-join would silently drop every such doc from the
+    # output relation (the same hazard scrub.host_disjoint_split warns
+    # about) — NULL-lang docs bucket within their own group instead
     return (
-        xent.join(F.broadcast(cuts), "lang")
+        xent.join(F.broadcast(cuts), F.col("lang").eqNullSafe(F.col("_l")))
         .select(
             id_col,
             "lang",

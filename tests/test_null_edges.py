@@ -1,0 +1,173 @@
+"""NULL/empty-input edge contracts of the curation operators.
+
+Regressions for a round-5 review pass: real web corpora carry NULL
+text (fetch failures), NULL lang (failed language ID), empty and
+whitespace-mangled documents — and several operators either dropped
+such rows silently (strata equi-joins never match NULL = NULL), crashed
+at plan-build time (float(None) from a NULL avg), or manufactured
+phantom tokens (split('', ' ') is ['']). Each test here pins the fixed
+contract: NULL groups participate like any other group, NULL text means
+zero tokens with typed zero stats, and empty documents produce no
+chunks at all.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_temperature_sample_null_stratum_participates(spark):
+    """A NULL stratum is a stratum: its rows get their own share^alpha
+    rate (not silently dropped by the rate join), and the other
+    strata's rates are computed over the SAME total either way."""
+    from crawler_spark.operators.scrub import temperature_sample
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 900 else None))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = temperature_sample(df, "doc_id", "lang", alpha=0.5, salt="s")
+    kept = {r["doc_id"]: (r["lang"], r["keep_p6"]) for r in out.collect()}
+
+    # the NULL stratum is a 100-doc minority → p = 1.0, all rows kept
+    null_kept = [i for i, (l, _) in kept.items() if l is None]
+    assert len(null_kept) == 100
+    assert all(kept[i][1] == 1000000 for i in null_kept)
+    # and the majority rate is the one computed WITH the NULL group in
+    # the total (identical to the all-non-NULL fixture in
+    # test_training_ops — 'de'/None both minority, en thinned)
+    wsum = (0.8 ** 0.5) + 2 * (0.1 ** 0.5)
+    want_en = round(min(1.0, (0.8 ** 0.5 / wsum) / 0.8) * 1e6)
+    en_rows = [i for i, (l, _) in kept.items() if l == "en"]
+    assert all(kept[i][1] == want_en for i in en_rows)
+
+    # alpha=1 keeps everything — including the NULL-stratum rows
+    assert temperature_sample(df, "doc_id", "lang", alpha=1.0).count() == 1000
+
+
+def test_temperature_mix_null_stratum_participates(spark):
+    """Uncapped mixing must upsample a NULL minority stratum like any
+    other (copies >= 1 for every row of an under-represented group)."""
+    from crawler_spark.operators.scrub import temperature_mix
+
+    rows = [(i, "en" if i < 900 else None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = temperature_mix(df, "doc_id", "lang", alpha=0.5, salt="m")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # NULL stratum present and upsampled above its natural 100 rows
+    assert by_lang.get(None, 0) > 100
+
+
+def test_ccnet_buckets_null_lang_not_dropped(spark):
+    """ccnet_buckets returns a row for every input doc, NULL-lang docs
+    included — they tercile within their own group instead of vanishing
+    from the output relation."""
+    from crawler_spark.operators.selection import ccnet_buckets
+
+    # each doc mixes one shared token with i doc-unique ones, so the
+    # per-doc unigram cross-entropies are strictly increasing — no
+    # percentile ties inside either language group
+    rows = [
+        (i, " ".join(["common"] * 3 + [f"w{i}_{j}" for j in range(i + 1)]),
+         "en" if i % 3 else None)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    out = ccnet_buckets(df).collect()
+    assert len(out) == 30
+    null_rows = [r for r in out if r["lang"] is None]
+    assert len(null_rows) == 10
+    # the NULL group spans its own head/middle/tail split
+    assert {r["bucket"] for r in null_rows} == {"head", "middle", "tail"}
+
+
+def test_bm25_all_null_text_returns_empty(spark):
+    """A non-empty corpus whose every text is NULL used to crash at
+    plan-build time (avg(dl) is NULL → float(None)); the contract is an
+    empty top-k, same as an empty corpus."""
+    from crawler_spark.analytics.search import bm25_topk, tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id: long, text: string"
+    )
+    assert bm25_topk(df, ["x"]).collect() == []
+    assert tfidf_topk(df, ["x"]).collect() == []
+
+
+def test_retrieval_tokenization_is_word_tokens(spark):
+    """Retrieval tokenizes with the repo-wide word definition: any
+    whitespace run splits (newlines included), empties are dropped (no
+    phantom-token dl inflation), and matching is case-insensitive."""
+    from crawler_spark.analytics.search import bm25_topk, tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "Foo\nbar baz"),    # newline splits; case folds
+            (2, "foo  bar   baz"),  # runs of spaces add no empty tokens
+            (3, "foo bar baz"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in tfidf_topk(df, ["foo"]).collect()}
+    assert set(out) == {1, 2, 3}
+    # identical bags of words → identical scores for all three docs
+    assert len({r["score"] for r in out.values()}) == 1
+    out = {r["doc_id"]: r for r in bm25_topk(df, ["foo"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert len({r["score"] for r in out.values()}) == 1
+
+
+def test_doc_chunks_empty_docs_produce_no_chunks(spark):
+    """split('', ' ') is [''] — an empty or whitespace-only document
+    must yield ZERO chunks, not one phantom md5('') chunk that makes
+    all empty docs mutual duplicates; double spaces add no tokens."""
+    from crawler_spark.operators.passages import (
+        doc_chunks,
+        repeated_chunk_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  "), (3, None), (4, "a  b c")],
+        "doc_id: long, text: string",
+    )
+    ch = doc_chunks(df, chunk_words=2).collect()
+    assert {r["doc_id"] for r in ch} == {4}
+    assert sorted((r["chunk_idx"], r["n_words"]) for r in ch) == [
+        (0, 2), (1, 1)
+    ]
+    # and the filter reports zero-chunk stats for them, not a
+    # first-empty-doc-survives / rest-removed fiction
+    stats = {r["doc_id"]: r for r in repeated_chunk_filter(df, 2).collect()}
+    assert set(stats) == {4}  # no chunk rows → no stats rows, by contract
+
+
+def test_span_ops_null_text_typed_zeros(spark):
+    """NULL-text docs keep the typed contract of the span operators:
+    dup_ratio 0.0 (not NULL falling out of threshold filters), and
+    remove_duplicate_spans returns an empty clean stream with zero
+    counts (not an all-NULL row)."""
+    from crawler_spark.operators.passages import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    base = "x y z " * 10
+    df = spark.createDataFrame(
+        [(1, base + "tail one"), (2, base + "tail two"), (3, None)],
+        "doc_id: long, text: string",
+    )
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(df, k=5).collect()}
+    assert stats[3]["n_grams"] == 0
+    assert stats[3]["n_dup_grams"] == 0
+    assert stats[3]["covered_tokens"] == 0
+    assert stats[3]["dup_ratio"] == 0.0
+    assert stats[1]["dup_ratio"] > 0.0
+
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=5).collect()}
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_kept"] == 0
+    assert out[3]["n_removed"] == 0
+    # the duplicated prefix was actually cut from the later copy
+    assert out[2]["n_removed"] > 0
