@@ -14,6 +14,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def portable_hash64(col: Column) -> Column:
+    """The engine-portable 60-bit hash every cross-engine-deterministic
+    operator keys on: first 15 hex chars of md5 as a non-negative long
+    — ``conv(substring(md5(x), 1, 15), 16, 10)`` evaluates identically
+    in Spark and DuckDB (15 chars keeps the value under 2^60, inside
+    both engines' exact integer range). ONE definition for the same
+    reason as ``word_tokens`` below: the oracle contract rests on this
+    expression, and private copies would silently drift. Callers mod /
+    concat around it (rates, salts, hash families) but never re-spell
+    the primitive."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def word_tokens(text: str | Column) -> Column:
     """Lower-cased whitespace tokens of the trimmed text, empties
     dropped — python's ``text.lower().split()`` as a column."""

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crawler_spark.functions.textcols import word_tokens
+from crawler_spark.functions.textcols import portable_hash64, word_tokens
 from crawler_spark.functions.textops import tokenize
 
 # ---------------------------------------------------------------------------
@@ -169,12 +169,9 @@ def minhash_signatures(
     pipeline value-checkable by the SQL oracle."""
     if portable:
         def h(i: int):
-            return F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15
-                ),
-                16, 10,
-            ).cast("long")
+            return portable_hash64(
+                F.concat(F.lit(f"{i}|"), F.col("shingle"))
+            )
 
         aggs = [F.min(h(i)).alias(f"h{i}") for i in range(n_hashes)]
         sig = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
@@ -643,7 +640,7 @@ def with_portable_simhash(
     toks = word_tokens(F.coalesce(F.col(text_col), F.lit("")))
     hs = F.transform(
         toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        lambda t: portable_hash64(t),
     )
     tmp_hs, tmp_n = "_simhash_hs", "_simhash_n"
     out = df.withColumn(tmp_hs, hs).withColumn(tmp_n, F.size(toks))

@@ -17,7 +17,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.textcols import sliding_grams, word_tokens
+from crawler_spark.functions.textcols import (
+    portable_hash64,
+    sliding_grams,
+    word_tokens,
+)
 
 # small function-word profiles for the language-ID heuristic (public,
 # high-frequency words; the synthetic corpora only exercise determinism)
@@ -333,7 +337,7 @@ def gram_hash(gram: Column) -> Column:
     whole winnowing fingerprint is oracle-checkable; 15 hex chars = 60 bits
     fit a signed long on both engines.
     """
-    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    return portable_hash64(gram)
 
 
 def md5int15(s: str) -> int:

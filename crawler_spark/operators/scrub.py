@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.textcols import sliding_grams, word_tokens
+from crawler_spark.functions.textcols import (
+    portable_hash64,
+    sliding_grams,
+    word_tokens,
+)
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
@@ -68,12 +72,9 @@ def stratified_sample(
     re-run of a 100 TB job selects the SAME documents. Rates are integer
     percents; change ``salt`` to draw an independent sample.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16, 10,
-    ).cast("long") % 100
+    h = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    ) % 100
     rate = None
     for stratum, r in sorted(rates.items()):
         cond = F.col(strata_col) == stratum
@@ -114,18 +115,12 @@ def host_disjoint_split(
     # NULL hosts (malformed/relative URLs) coalesce to '' so they get a
     # deterministic side instead of is_eval=NULL — a NULL flag would
     # drop those rows from BOTH splits' filters silently.
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.coalesce(F.col(host_col).cast("string"), F.lit("")),
-                    F.lit(salt),
-                )
-            ),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long") % 10000
+    h = portable_hash64(
+        F.concat(
+            F.coalesce(F.col(host_col).cast("string"), F.lit("")),
+            F.lit(salt),
+        )
+    ) % 10000
     return df.withColumn("is_eval", h < F.lit(eval_bps))
 
 
@@ -161,12 +156,9 @@ def temperature_sample(
     rates = _temperature_rates(
         df, strata_col, alpha, target_fraction, capped=True
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16, 10,
-    ).cast("long") % 1000000
+    h = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    ) % 1000000
     # null-safe: groupBy gave a NULL stratum its own rate row, and an
     # equi-join would silently drop those rows while their count still
     # skews every other stratum's rate (the hazard host_disjoint_split
@@ -247,12 +239,9 @@ def temperature_mix(
     rates = _temperature_rates(
         df, strata_col, alpha, target_fraction, capped=False
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
-        ),
-        16, 10,
-    ).cast("long") % 1000000
+    h = portable_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    ) % 1000000
     n_copies = (
         F.floor(F.col("keep_p6") / F.lit(1000000))
         + F.when(h < F.col("keep_p6") % 1000000, F.lit(1)).otherwise(F.lit(0))

@@ -38,17 +38,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.textcols import sliding_grams, word_tokens
+from crawler_spark.functions.textcols import (
+    portable_hash64,
+    sliding_grams,
+    word_tokens,
+)
 from crawler_spark.operators.quality import unigram_cross_entropy
 
 
 def _bucket_col(gram, buckets: int, portable: bool):
     if portable:
         # md5-prefix → int, mod buckets: reproducible in any engine
-        return (
-            F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
-            % buckets
-        )
+        return portable_hash64(gram) % buckets
     return F.pmod(F.xxhash64(gram), F.lit(buckets))
 
 
