@@ -5923,8 +5923,9 @@ def oracle_sql() -> dict[str, str]:
             ), errs AS (
                 SELECT vec_id,
                        x - CASE WHEN mx = mn THEN mn
-                                ELSE mn + round((x - mn) / (mx - mn)
-                                                * 255.0)
+                                ELSE mn + least(255.0, greatest(0.0,
+                                         round((x - mn) / (mx - mn)
+                                               * 255.0)))
                                      / 255.0 * (mx - mn)
                            END AS err
                 FROM per

@@ -194,17 +194,21 @@ def c4_clean(
     ``{``, or the cleaned text has fewer than ``min_sentences``
     sentences (terminal-punctuation count).
     """
+    # NULL text ≡ empty text: every stat stays typed (('', 0, 0, false,
+    # false, false) — the repo-wide NULL-text contract) instead of an
+    # all-NULL row whose keep_doc=NULL vanishes from BOTH filter branches
+    text = F.coalesce(F.col(text_col), F.lit(""))
     trimmed = F.filter(
         F.transform(
-            F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+            F.split(text, "\n"), lambda x: F.trim(x)
         ),
         lambda x: x != F.lit(""),
     )
     kept = F.filter(trimmed, lambda ln: _c4_line_keep(ln, min_words))
     clean = F.array_join(kept, "\n")
     n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
-    lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
-    brace = F.col(text_col).contains("{")
+    lorem = F.lower(text).contains("lorem ipsum")
+    brace = text.contains("{")
     return df.select(
         F.col(id_col),
         clean.alias("clean_text"),

@@ -192,7 +192,11 @@ def gopher_quality_flags(
     Returns one row per doc with each rule's value, its pass flag, and
     ``keep`` = AND of all flags.
     """
-    c = F.col(text_col)
+    # NULL text ≡ empty text (the repo-wide NULL-text contract): a
+    # fetch-failure doc gets typed zero stats and keep=false here, the
+    # same way gopher_repetition_flags already coalesces — an all-NULL
+    # row would otherwise vanish from BOTH keep filter branches
+    c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(c), r"\s+")
     n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
         F.size(words)
@@ -302,7 +306,12 @@ def gopher_repetition_flags(
         ),
         lambda acc: acc["best"],
     )
-    total_cnt = F.size(sorted_bg)
+    # |bigrams| = max(0, |tokens| - 1) — NOT F.size(sorted_bg), which
+    # would re-run the whole tokenize+gram-build+sort per row (no CSE
+    # across higher-order lambdas; see the vocab comment below)
+    total_cnt = F.greatest(
+        F.size(word_tokens(c)) - F.lit(1), F.lit(0)
+    )
     top_ratio = F.when(
         total_cnt > 0, top_cnt / total_cnt
     ).otherwise(F.lit(0.0))

@@ -54,7 +54,10 @@ def cosine_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm_col(vec_col) * F.lit(qn))
+    # try_divide: a zero corpus vector has norm 0, and a plain divide
+    # would abort the whole job under ANSI mode (same guard as
+    # _pair_cosine); its cosine is undefined → NULL → sorts last
+    cos = F.try_divide(dot, _norm_col(vec_col) * F.lit(qn))
     return (
         emb.select(F.col(id_col), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -78,6 +81,13 @@ def cosine_topk_join(
     """
     spark = corpus.sparkSession
     q_rows = queries.select(query_id_col, vec_col).collect()
+    out_schema_empty = f"{query_id_col} long, {id_col} long, cosine double"
+    if not q_rows:
+        # zero queries → empty top-k (np.array([]) is 1-D and the axis-1
+        # norm below would raise AxisError at plan-build time otherwise)
+        return spark.createDataFrame([], out_schema_empty).withColumn(
+            "_rank", F.lit(0)
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype="float64")
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
@@ -293,6 +303,14 @@ def lsh_near_dup_pairs(
         if portable
         else lsh_bucket_ids(emb, dim, n_bits, seed, id_col, vec_col)
     )
+    if n_bits % n_bands:
+        # a remainder would silently discard the top n_bits % n_bands
+        # sign bits from every band — the caller pays for hyperplane
+        # dot products that never narrow a candidate bucket
+        raise ValueError(
+            f"n_bits ({n_bits}) must be divisible by n_bands ({n_bands}):"
+            " bands cover exactly n_bands * (n_bits // n_bands) bits"
+        )
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     bands = F.array(

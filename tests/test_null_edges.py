@@ -171,3 +171,140 @@ def test_span_ops_null_text_typed_zeros(spark):
     assert out[3]["n_removed"] == 0
     # the duplicated prefix was actually cut from the later copy
     assert out[2]["n_removed"] > 0
+
+
+def test_cosine_topk_zero_vector_no_abort(spark):
+    """A zero corpus vector has norm 0; under ANSI a plain divide would
+    abort the whole job. Its cosine is NULL and it sorts after every
+    real score (same try_divide guard as _pair_cosine)."""
+    from crawler_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = cosine_topk(df, [1.0, 0.0], k=3).collect()
+    by_id = {r["vec_id"]: r["cosine"] for r in out}
+    assert by_id[2] is None
+    assert by_id[1] == pytest.approx(1.0)
+    # NULLs last: the zero vector never outranks a real match
+    assert [r["vec_id"] for r in out][-1] == 2
+
+
+def test_cosine_topk_join_empty_queries(spark):
+    """Zero query rows must yield an empty top-k (np.array([]) is 1-D,
+    so the axis-1 norm would raise AxisError at plan-build time
+    otherwise) with the same output schema as the non-empty path."""
+    from crawler_spark.operators.similarity import cosine_topk_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    queries = corpus.where(F.lit(False)).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    out = cosine_topk_join(queries, corpus, k=3)
+    assert out.columns == ["query_id", "vec_id", "cosine", "_rank"]
+    assert out.collect() == []
+
+
+def test_lsh_near_dup_pairs_rejects_indivisible_bands(spark):
+    """n_bits % n_bands != 0 silently discarded the top sign bits from
+    every band; the contract is now an explicit error."""
+    from crawler_spark.operators.similarity import lsh_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_near_dup_pairs(df, dim=2, n_bits=10, n_bands=4)
+
+
+def test_quantize_edge_vectors(spark):
+    """Empty vectors quantize to empty codes with zero error (instead
+    of sequence(0, -1) descending into an ANSI out-of-bounds abort);
+    a vector shorter than the stats dim reads NULL stats through F.get
+    instead of aborting the aggregation."""
+    from crawler_spark.operators.quantize import (
+        dimension_stats,
+        quantize,
+        reconstruction_error,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [10.0, 0.0]), (3, []), (4, [5.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    stats = dimension_stats(df, dim=2)
+    mins, maxs = stats.first()
+    assert mins == [0.0, 0.0] and maxs == [10.0, 10.0]
+
+    codes = {r["vec_id"]: r["codes"] for r in quantize(df, stats=stats).collect()}
+    assert codes[3] == []
+    assert codes[1] == [0, 255]
+    assert codes[4] == [128]
+
+    errs = {
+        r["vec_id"]: r
+        for r in reconstruction_error(df, stats=stats).collect()
+    }
+    assert errs[3]["mse"] == 0.0 and errs[3]["max_abs_err"] == 0.0
+
+
+def test_quantize_clamps_reused_stats(spark):
+    """Reusing stored stats on data outside the fitted range must
+    saturate codes at the byte bounds (uint8 contract), not emit
+    values like 1020 or -893."""
+    from crawler_spark.operators.quantize import dimension_stats, quantize
+
+    fit = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    stats = dimension_stats(fit)
+    new = spark.createDataFrame(
+        [(9, [9.0, -5.0])], "vec_id: long, embedding: array<double>"
+    )
+    [row] = quantize(new, stats=stats).collect()
+    assert row["codes"] == [255, 0]
+
+
+def test_dimension_stats_empty_corpus_clear_error(spark):
+    """An empty embeddings input with no explicit dim raises a clear
+    ValueError, not 'NoneType' object is not subscriptable."""
+    from crawler_spark.operators.quantize import dimension_stats
+
+    empty = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        dimension_stats(empty)
+
+
+def test_c4_and_gopher_null_text_typed(spark):
+    """NULL-text docs keep typed stats in c4_clean and BOTH Gopher
+    families — and the two Gopher keeps agree (an all-NULL row used to
+    pass repetition but vanish from both branches of quality)."""
+    from crawler_spark.operators.lines import c4_clean
+    from crawler_spark.operators.quality import (
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "Real text. With sentences! Three of them?")],
+        "doc_id: long, text: string",
+    )
+    c4 = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert c4[1]["clean_text"] == ""
+    assert c4[1]["n_lines_kept"] == 0
+    assert c4[1]["n_sentences"] == 0
+    assert c4[1]["keep_doc"] is False
+
+    gq = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert gq[1]["n_words"] == 0
+    assert gq[1]["keep"] is False
+
+    gr = {r["doc_id"]: r for r in gopher_repetition_flags(df).collect()}
+    assert gr[1]["dup_line_ratio"] == 0.0
+    assert gr[1]["keep"] is True  # no repetition evidence → passes
