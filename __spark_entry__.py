@@ -3917,7 +3917,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_portable": r"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS l
                 FROM documents WHERE doc_id < 300
             ), shingles AS (
                 SELECT DISTINCT doc_id,
@@ -3967,7 +3970,10 @@ def oracle_sql() -> dict[str, str]:
         # with the corpus side as id_a (new-new pairs ordered id_a<id_b)
         "incremental_dedup_portable": r"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS l
                 FROM documents WHERE doc_id < 300
             ), shingles AS (
                 SELECT DISTINCT doc_id,
@@ -4438,7 +4444,10 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents WHERE doc_id < 300
                 ) WHERE doc_id = canon
             ), toks AS (
-                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS l
                 FROM uniq
             ), shingles AS (
                 SELECT DISTINCT doc_id,
@@ -4503,7 +4512,10 @@ def oracle_sql() -> dict[str, str]:
         # signature CTEs as minhash_portable)
         "minhash_collapse_portable": r"""
             WITH toks AS (
-                SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS l
                 FROM documents WHERE doc_id < 300
             ), shingles AS (
                 SELECT DISTINCT doc_id,
@@ -5687,8 +5699,12 @@ def oracle_sql() -> dict[str, str]:
         "training_shards": """
             WITH t AS (
                 SELECT doc_id, lang,
-                       CAST(len(string_split(text, ' ')) AS BIGINT)
-                           AS n_tokens
+                       CAST(CASE WHEN trim(coalesce(text, '')) = ''
+                                 THEN 0
+                                 ELSE len(string_split_regex(
+                                          trim(coalesce(text, '')),
+                                          '\\s+'))
+                            END AS BIGINT) AS n_tokens
                 FROM documents
             )
             SELECT doc_id, lang, n_tokens,

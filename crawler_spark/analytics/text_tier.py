@@ -169,9 +169,14 @@ def _counted_grams(blocks: DataFrame, gram_col_expr) -> DataFrame:
         F.posexplode(gram_col_expr).alias("pos_in_block", "term"),
     )
     # global first-occurrence order within the page: (block_idx, pos)
+    # packed into one long. 2^32 stride: a block would need 4e9 grams to
+    # bleed into the next block's range (a 2^20 stride was overflowable
+    # by one degenerate ~1M-gram block, silently corrupting the
+    # first-occurrence tie-break); block_idx stays < 2^31 by schema.
     grams = grams.withColumn(
         "gpos",
-        F.col("block_idx").cast("long") * F.lit(1 << 20) + F.col("pos_in_block"),
+        F.col("block_idx").cast("long") * F.lit(1 << 32)
+        + F.col("pos_in_block"),
     )
     return grams.groupBy("url", "term").agg(
         F.count("*").alias("cnt"), F.min("gpos").alias("first_pos")

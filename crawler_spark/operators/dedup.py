@@ -105,7 +105,14 @@ def _shingle_array(text_col: str, k: int):
     """Word k-shingle array expression (shared by the string and hashed
     shingle ops). JVM-side: lower/split/slide via ``transform`` over the
     token index range."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # drop empty tokens: leading/trailing whitespace would otherwise
+    # inject '' tokens that mint spurious shingles — two word-identical
+    # docs differing only in surrounding whitespace would jaccard < 1
+    # (and exact dedup already missed them), a near-dup recall hole
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
     n = F.size(toks) - F.lit(k - 1)
     # the n < 1 guard is load-bearing: Spark's sequence(0, -1) DESCENDS
     # ([0, -1]) instead of being empty, and the resulting slice(toks, 0,

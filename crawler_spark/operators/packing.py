@@ -78,14 +78,19 @@ def _assign_with_manifest(
     scan)."""
     assigned = pack_shards(
         docs, budget, lang_col, id_col, tokens, num_partitions
-    )
+    ).localCheckpoint(eager=False)  # manifest agg + write both read it:
+    # without freezing, each action re-runs the window sum + offset join
     m = assigned.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang", "shard_id").alias("n_shards"),
         F.sum("n_tokens").alias("n_tokens"),
     ).first()
+    # the assignment's shard_id/n_tokens are authoritative: drop any
+    # same-named input columns (e.g. a curated stream already carrying
+    # n_tokens) instead of failing on duplicate/ambiguous columns
     sharded = (
-        docs.join(
+        docs.drop("shard_id", "n_tokens")
+        .join(
             assigned.select(
                 F.col("doc_id").alias(id_col), "shard_id", "n_tokens"
             ),
@@ -163,7 +168,13 @@ def pack_shards(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     if tokens is None:
-        tokens = F.size(F.split(F.col("text"), " "))
+        # true whitespace word count, NULL text ≡ empty ≡ 0 tokens — a
+        # literal-space split would count empties in space runs, treat
+        # "a\nb" as one token, and (worse) give NULL text a NULL count
+        # that silently corrupts the running sum and the manifest
+        from crawler_spark.operators.quality import ws_token_count
+
+        tokens = ws_token_count(F.coalesce(F.col("text"), F.lit("")))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
@@ -181,13 +192,19 @@ def pack_shards(
         .agg(F.sum("n_tokens").alias("t"))
         .collect()
     )  # langs × partitions rows — driver-side prefix sum, not a collect
-    acc: dict[str, int] = {}
+    # NULL lang is a language of its own (failed/abstained language ID):
+    # it sorts first in the prefix walk and joins back null-safely —
+    # an equi-join would silently drop every NULL-lang doc from the
+    # export, and a bare tuple sort would TypeError on None
+    acc: dict[str | None, int] = {}
     offsets = []
-    for r in sorted(sums, key=lambda r: (r["lang"], r["_pid"])):
+    for r in sorted(
+        sums, key=lambda r: (r["lang"] is not None, r["lang"] or "", r["_pid"])
+    ):
         offsets.append((r["_pid"], r["lang"], acc.get(r["lang"], 0)))
         acc[r["lang"]] = acc.get(r["lang"], 0) + r["t"]
     off_df = spark.createDataFrame(
-        offsets, "_pid int, lang string, _off long"
+        offsets, "_opid int, _olang string, _off long"
     )
     w = (
         Window.partitionBy("_pid", "lang")
@@ -196,7 +213,11 @@ def pack_shards(
     )
     return (
         parted.withColumn("_cum", F.sum("n_tokens").over(w))
-        .join(F.broadcast(off_df), ["_pid", "lang"])
+        .join(
+            F.broadcast(off_df),
+            (F.col("_pid") == F.col("_opid"))
+            & F.col("lang").eqNullSafe(F.col("_olang")),
+        )
         .select(
             "doc_id",
             "lang",

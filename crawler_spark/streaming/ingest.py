@@ -159,9 +159,15 @@ def _budget_fn(budget: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (emitted,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            if emitted >= budget:
-                break
+        if emitted < budget:
+            # the group arrives as an ITERATOR of Arrow chunks — a
+            # per-chunk sort would admit the earliest rows of whichever
+            # chunk streams in first, not the globally earliest
+            # (disc_ts, url) rows, and a task retry could admit a
+            # different subset. Concatenate first: memory is bounded by
+            # this host's slice of the micro-batch, which the task
+            # already holds.
+            pdf = pd.concat(list(pdfs), ignore_index=True)
             pdf = pdf.sort_values(["disc_ts", "url"], kind="mergesort")
             take = pdf.head(budget - emitted).copy()
             take["admit_seq"] = range(emitted, emitted + len(take))

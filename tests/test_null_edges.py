@@ -308,3 +308,102 @@ def test_c4_and_gopher_null_text_typed(spark):
     gr = {r["doc_id"]: r for r in gopher_repetition_flags(df).collect()}
     assert gr[1]["dup_line_ratio"] == 0.0
     assert gr[1]["keep"] is True  # no repetition evidence → passes
+
+
+def test_pack_shards_null_text_and_lang(spark):
+    """Shard packing: NULL text counts 0 tokens (not a NULL/-1 that
+    corrupts the running sum), whitespace runs/newlines count words
+    correctly, and NULL-lang docs form their own language instead of
+    silently vanishing from the export through the offset equi-join."""
+    from crawler_spark.operators.packing import pack_shards
+
+    rows = [
+        (1, "en", None),          # 0 tokens
+        (2, "en", "a  b\nc"),     # 3 words, not 1 or 4
+        (3, "en", "d e"),
+        (4, None, "x y z"),       # NULL lang: own group, not dropped
+        (5, None, "w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, text: string")
+    out = {r["doc_id"]: r for r in pack_shards(df, budget=4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["n_tokens"] == 0
+    assert out[2]["n_tokens"] == 3
+    # en stream: tokens_before 0,0,3 → shards 0,0,0 at budget 4
+    assert [out[i]["shard_id"] for i in (1, 2, 3)] == [0, 0, 0]
+    # NULL-lang stream independent: 0,3 → shards 0,0
+    assert out[4]["lang"] is None and out[4]["shard_id"] == 0
+    assert out[5]["shard_id"] == 0
+
+
+def test_export_shards_docs_with_existing_n_tokens(spark, tmp_path):
+    """A curated stream already carrying n_tokens (or shard_id) must
+    export cleanly — the assignment's columns are authoritative, not a
+    duplicate-column AnalysisException."""
+    from crawler_spark.operators.packing import export_shards
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c", 99), (2, "en", "d e", 99)],
+        "doc_id: long, lang: string, text: string, n_tokens: long",
+    )
+    manifest = export_shards(df, str(tmp_path / "sh"), budget=4)
+    assert manifest["n_docs"] == 2
+    assert manifest["n_tokens"] == 5  # recomputed, not the stale 99s
+
+
+def test_budget_fn_admits_globally_earliest_across_chunks():
+    """The stateful host-budget kernel receives each group as an
+    ITERATOR of Arrow chunks; admission must pick the globally earliest
+    (disc_ts, url) rows, not the earliest of whichever chunk streams
+    first."""
+    import pandas as pd
+
+    from crawler_spark.streaming.ingest import _budget_fn
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+
+        @property
+        def get(self):
+            raise AssertionError("state.get on non-existent state")
+
+        def update(self, v):
+            self.updated = v
+
+    ts = pd.Timestamp("2026-01-01")
+    late = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(10, 15)],
+         "host": ["h"] * 5,
+         "disc_ts": [ts + pd.Timedelta(seconds=s) for s in range(10, 15)]}
+    )
+    early = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(5)],
+         "host": ["h"] * 5,
+         "disc_ts": [ts + pd.Timedelta(seconds=s) for s in range(5)]}
+    )
+    state = FakeState()
+    # the LATE chunk arrives first in iterator order
+    out = list(_budget_fn(5)(("h",), iter([late, early]), state))
+    admitted = pd.concat(out, ignore_index=True)
+    assert list(admitted["url"]) == [f"u{i}" for i in range(5)]
+    assert list(admitted["admit_seq"]) == list(range(5))
+    assert state.updated == (5,)
+
+
+def test_word_shingles_whitespace_insensitive(spark):
+    """Docs identical up to surrounding/extra whitespace must produce
+    IDENTICAL shingle sets (a '' token from a leading space used to
+    mint spurious shingles → jaccard < 1 → near-dup recall hole)."""
+    from crawler_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "  hello world\nfoo bar ")],
+        "doc_id: long, text: string",
+    )
+    rows = word_shingles(df, k=3).collect()
+    s1 = {r["shingle"] for r in rows if r["doc_id"] == 1}
+    s2 = {r["shingle"] for r in rows if r["doc_id"] == 2}
+    assert s1 == s2 == {"hello world foo", "world foo bar"}
