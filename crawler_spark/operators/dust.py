@@ -67,6 +67,13 @@ __all__ = [
     "apply_dust_rules",
 ]
 
+# ONE copy of the scheme://authority prefix pattern: the rewrite must
+# recompose exactly what path_segments decomposed, and the serial
+# oracle (CrawlConfig.dust_canonical) hand-mirrors the same literal —
+# two in-module copies already drifted once (the suffix-extraction
+# parity bug this constant's introduction fixed).
+SCHEME_AUTHORITY_RE = r"(?i)^([a-z][a-z0-9+.-]*://[^/]*)"
+
 
 def path_segments(url):
     """Slash-split path segments of ``url`` as an array column.
@@ -80,7 +87,7 @@ def path_segments(url):
     split rewrites it. One leading ``/`` is stripped so the root path
     yields ``[]``, not ``['']``.
     """
-    prefix = F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*://[^/]*)", 1)
+    prefix = F.regexp_extract(url, SCHEME_AUTHORITY_RE, 1)
     rest = F.substr(url, F.length(prefix) + F.lit(1))
     path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     trimmed = F.regexp_replace(path, r"^/", "")
@@ -246,8 +253,15 @@ def apply_dust_rules(
     # are normally pre-canonicalized lowercase, but this operator takes
     # arbitrary tables) and the original spelling is preserved — the
     # serial mirror (CrawlConfig.dust_canonical) does the same.
+    # the suffix must be cut from the POST-AUTHORITY remainder (the
+    # same `rest` path_segments splits on), not the full URL: a '?' or
+    # '#' inside the authority — 'http://h#frag/x', userinfo with '?' —
+    # would otherwise be extracted AND kept in the prefix, duplicating
+    # it into the rewrite and diverging from the serial oracle
+    _prefix = F.regexp_extract(u, SCHEME_AUTHORITY_RE, 1)
+    _rest = F.substr(u, F.length(_prefix) + F.lit(1))
     rewritten = F.concat(
-        F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/]*)", 1),
+        _prefix,
         F.lit("/"),
         F.array_join(
             F.transform(
@@ -256,7 +270,7 @@ def apply_dust_rules(
             ),
             "/",
         ),
-        F.regexp_extract(u, r"([?#].*)$", 1),
+        F.regexp_extract(_rest, r"([?#].*)$", 1),
     )
     return pick.select(
         *urls.columns,

@@ -73,6 +73,12 @@ def pagerank(
     # every iteration's plan free of a repeated count-aggregate — the
     # no-collect rule is about per-iteration round-trips, not this
     n = float(nd.count())
+    if n == 0:
+        # empty graph (fresh store with no links yet, or every edge
+        # collapsed upstream): 1/n below is CONSTANT-FOLDED at plan
+        # time, so even a zero-row plan aborts with DIVIDE_BY_ZERO
+        # under ANSI — the contract is an empty rank table
+        return nd.select("node", F.lit(0.0).alias("rank"))
     ranks = nd.select(
         "node", "deg", (F.lit(1.0) / F.lit(n)).alias("rank")
     ).localCheckpoint(eager=False)
@@ -350,9 +356,37 @@ def host_ranks_df(
     priorities); recomputing every round would re-rank on a half-built
     graph for no scheduling benefit.
     """
-    edges = _host_edges(links, source_host, host)
+    edges = _host_edges(links, source_host, host).localCheckpoint(
+        eager=False
+    )  # pagerank reads the edge table every iteration — without the
+    # checkpoint each of the ~n_iter+2 jobs re-scans the raw (page-
+    # level, dominant) links table; the host graph is small
+    return _ranks_from_edges(edges, n_iter, damping)
+
+
+def _ranks_from_edges(
+    edges: DataFrame, n_iter: int, damping: float
+) -> DataFrame:
+    """(host, priority) from a prepared host-edge table — the shared
+    pagerank half of :func:`host_ranks_df` and the fused feed."""
     return pagerank(edges, n_iter=n_iter, damping=damping).select(
         F.col("node").alias("host"), F.col("rank").alias("priority")
+    )
+
+
+def _trust_from_edges(
+    edges: DataFrame,
+    seed_hosts: list[str],
+    n_iter: int,
+    damping: float,
+) -> DataFrame:
+    """(host, priority) TrustRank from a prepared host-edge table — the
+    shared half of :func:`host_trust_df` and the fused feed."""
+    seeds = edges.sparkSession.createDataFrame(
+        [(h,) for h in sorted(set(seed_hosts))], "node string"
+    )
+    return trustrank(edges, seeds, n_iter=n_iter, damping=damping).select(
+        F.col("node").alias("host"), F.col("trust").alias("priority")
     )
 
 
@@ -397,14 +431,10 @@ def host_trust_df(
     get priority 0.0 exactly — they still crawl (priority is an
     ordering, not a filter), just last.
     """
-    spark = links.sparkSession
-    edges = _host_edges(links, source_host, host)
-    seeds = spark.createDataFrame(
-        [(h,) for h in sorted(set(seed_hosts))], "node string"
-    )
-    return trustrank(edges, seeds, n_iter=n_iter, damping=damping).select(
-        F.col("node").alias("host"), F.col("trust").alias("priority")
-    )
+    edges = _host_edges(links, source_host, host).localCheckpoint(
+        eager=False
+    )  # same per-iteration re-scan rationale as host_ranks_df
+    return _trust_from_edges(edges, seed_hosts, n_iter, damping)
 
 
 def host_trust_from_links(
@@ -433,6 +463,8 @@ def fused_host_priority_df(
     n_iter: int = 8,
     damping: float = 0.85,
     rrf_k: int = 60,
+    source_host: str = "source_host",
+    host: str = "host",
 ) -> DataFrame:
     """Rank-fuse several host-level signals into one ``(host,
     priority)`` DataFrame for ``run_crawl(priority_df=...)`` (the
@@ -464,26 +496,25 @@ def fused_host_priority_df(
         raise ValueError(f"unknown priority signals {bad}; pick from {sorted(known)}")
     if not signals:
         raise ValueError("fused_host_priority needs at least one signal")
-    edges = _host_edges(links, "source_host", "host")
-    spark = links.sparkSession
+    # ONE host-edge collapse (checkpointed — the iterative kernels read
+    # it every iteration) shared by the link-graph signals, through the
+    # same edge-fed halves the single-signal feeds use
+    edges = _host_edges(links, source_host, host).localCheckpoint(
+        eager=False
+    )
     sigs = []
     for name in signals:
         if name == "pagerank":
             sigs.append(
-                pagerank(edges, n_iter=n_iter, damping=damping).select(
-                    F.col("node").alias("host"), F.col("rank").alias("score")
-                )
+                _ranks_from_edges(edges, n_iter, damping)
+                .withColumnRenamed("priority", "score")
             )
         elif name == "trust":
             if not seed_hosts:
                 raise ValueError('signal "trust" needs seed_hosts')
-            seeds = spark.createDataFrame(
-                [(h,) for h in sorted(set(seed_hosts))], "node string"
-            )
             sigs.append(
-                trustrank(edges, seeds, n_iter=n_iter, damping=damping)
-                .select(F.col("node").alias("host"),
-                        F.col("trust").alias("score"))
+                _trust_from_edges(edges, seed_hosts, n_iter, damping)
+                .withColumnRenamed("priority", "score")
             )
         else:  # reputation
             if pages_text is None:

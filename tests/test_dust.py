@@ -240,6 +240,13 @@ def test_malformed_urls_match_serial_oracle(spark):
         "http://h.test/b/é/unicode",   # raw non-ASCII segment
         "not a url at all/b/x",             # no scheme, junk + space
         "http://h.test/a/clean",            # control: no rewrite
+        # '?'/'#' INSIDE the authority: the rewrite's suffix must come
+        # from the post-authority remainder, not the full URL (a whole-
+        # URL extract duplicated the authority's '#frag' into the
+        # output and diverged from the oracle)
+        "http://h.test#frag/b/x",
+        "http://u?p@h.test/b/x",
+        "http://h.test/b/x?q=1#frag",       # control: real suffix kept
     ]
     frontier = spark.createDataFrame(
         [("h.test", u) for u in cases], ["host", "url"]

@@ -407,3 +407,15 @@ def test_word_shingles_whitespace_insensitive(spark):
     s1 = {r["shingle"] for r in rows if r["doc_id"] == 1}
     s2 = {r["shingle"] for r in rows if r["doc_id"] == 2}
     assert s1 == s2 == {"hello world foo", "world foo bar"}
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """An empty edge table (fresh store, no links yet) must yield an
+    empty rank table — 1/n is constant-folded at plan time, so even a
+    zero-row plan used to abort with DIVIDE_BY_ZERO under ANSI."""
+    from crawler_spark.operators.graphrank import host_ranks_df, pagerank
+
+    edges = spark.createDataFrame([], "src: string, dst: string")
+    assert pagerank(edges).collect() == []
+    links = spark.createDataFrame([], "source_host: string, host: string")
+    assert host_ranks_df(links).collect() == []
