@@ -82,14 +82,32 @@ class _DomBuilder(HTMLParser):
                     break
                 if t not in ("a", "b", "i", "u", "em", "strong", "span", "small"):
                     break
-        node = _Node(tag, {k: (v or "") for k, v in attrs})
+        node = _Node(tag, self._attr_dict(attrs))
         self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
+    @staticmethod
+    def _attr_dict(attrs) -> dict[str, str]:
+        # FIRST occurrence wins on duplicate attributes (HTML spec /
+        # parse5): '<a href="/real" href="/spam">' resolves to /real —
+        # a last-wins dict comprehension would feed the frontier a
+        # different URL than the reference crawls
+        out: dict[str, str] = {}
+        for k, v in attrs:
+            out.setdefault(k, v or "")
+        return out
+
     def handle_startendtag(self, tag: str, attrs) -> None:
+        # '/>' on a NON-void element is ignored by parse5/browsers —
+        # '<div/>text' OPENS the div and the text is inside it; treating
+        # it as an empty element would orphan the text (and any anchor
+        # content) out of the block extraction
+        if tag.lower() not in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+            return
         self.stack[-1].children.append(
-            _Node(tag.lower(), {k: (v or "") for k, v in attrs})
+            _Node(tag.lower(), self._attr_dict(attrs))
         )
 
     def handle_endtag(self, tag: str) -> None:

@@ -114,7 +114,13 @@ def _clean_pattern(
     if v.endswith("$"):
         v = v[:-1]
     if not v:
-        return None
+        # a NON-empty disallow that truncated to nothing ('*', '*.pdf',
+        # '$') could match anything — conservative mode must over-BLOCK,
+        # so it becomes '/'; dropping it would turn 'Disallow: *' into
+        # allow-all, the one direction this mode promises never to err.
+        # (A genuinely empty value returned None above = allow-all per
+        # RFC; wildcarded ALLOW rules were dropped above = over-block.)
+        return "/"
     if not v.startswith("/"):
         v = "/" + v
     return v
@@ -168,20 +174,32 @@ def _select_group(
             in_agent_run = False  # sitemap/unknown: group ends UA run
     flush()
 
-    # group selection: exact UA token match beats '*'; longest match wins
-    best: tuple[list[tuple[str, bool]], float | None] | None = None
-    best_score = -1
-    for agents, rules, delay in groups:
+    # group selection: exact UA token match beats '*'; longest match
+    # wins — and ALL groups at the winning specificity are COMBINED
+    # (RFC 9309 §2.2.1: machine-appended files often carry several
+    # 'User-agent: *' blocks; keeping only the first would silently
+    # drop the later blocks' disallows and over-fetch)
+    def gscore(agents: list[str]) -> int:
+        s = -1
         for a in agents:
             if a == "*":
-                score = 0
+                s = max(s, 0)
             elif a and a in ua:
-                score = len(a)
-            else:
-                continue
-            if score > best_score:
-                best_score, best = score, (rules, delay)
-    return best
+                s = max(s, len(a))
+        return s
+
+    scored = [(gscore(agents), rules, delay) for agents, rules, delay in groups]
+    best_score = max((s for s, _, _ in scored), default=-1)
+    if best_score < 0:
+        return None
+    merged_rules: list[tuple[str, bool]] = []
+    merged_delay: float | None = None
+    for s, rules, delay in scored:
+        if s == best_score:
+            merged_rules.extend(rules)
+            if merged_delay is None:
+                merged_delay = delay
+    return (merged_rules, merged_delay)
 
 
 def parse_robots_txt(

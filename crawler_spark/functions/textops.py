@@ -335,7 +335,6 @@ def extract_tags(terms: dict[str, float], limit: int = 3) -> list[str]:
         [p for p in pairs if p[1] > avg2],
         key=lambda p: -p[1],
     )]
-    seen: dict[str, int] = {}
-    for c in candidates:
-        seen.setdefault(c, 1)
-    return list(seen.keys())[:limit]
+    # (the reference dedupes its candidate array here, text.ts:310 —
+    # our candidates are keys of one dict, unique by construction)
+    return candidates[:limit]

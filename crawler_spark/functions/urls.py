@@ -52,10 +52,13 @@ SPECIAL_SCHEMES: dict[str, int | None] = {
 BAD_EXTENSIONS = ("json", "csv", "xml")
 
 # Characters allowed un-escaped in the path / query per the WHATWG percent
-# encode sets (C0 controls, space, ", <, >, `, #, ?, {, } escaped in paths;
-# query additionally escapes ').
-_PATH_SAFE = re.compile(r"[^A-Za-z0-9\-._~!$&'()*+,;=:@/%]")
-_QUERY_SAFE = re.compile(r"[^A-Za-z0-9\-._~!$&()*+,;=:@/?%]")
+# encode sets: paths escape C0 controls, space, ", <, >, `, #, ?, {, }
+# (so |, [, ], ^ stay VERBATIM — the whatwg-url serializer the reference
+# uses does not touch them); queries escape only C0, space, ", #, <, >
+# plus ' for special schemes. Backslashes never reach the path encoder
+# for special schemes (normalize_url converts them to '/' first).
+_PATH_SAFE = re.compile(r"[^A-Za-z0-9\-._~!$&'()*+,;=:@/%|\[\]^\\]")
+_QUERY_SAFE = re.compile(r"[^A-Za-z0-9\-._~!$&()*+,;=:@/?%|\[\]^\\`{}]")
 _PCT_OK = re.compile(r"%[0-9A-Fa-f]{2}")
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
@@ -164,8 +167,26 @@ def normalize_url(url: str, base: str = "", sort_query: bool = True) -> str:
     """
     try:
         raw = urljoin(base, url) if base else url
-        if not _SCHEME_RE.match(raw):
+        m = _SCHEME_RE.match(raw)
+        if not m:
             return ""
+        scheme0 = raw[: m.end() - 1].lower()
+        if scheme0 in SPECIAL_SCHEMES and scheme0 != "file":
+            # WHATWG slash recovery for special schemes: after
+            # 'scheme:' ANY run of / and \ (including none at all —
+            # 'http:example.com/x', 'https:/h/x') starts the authority,
+            # and \ acts as / through authority+path ('http://h\p').
+            # urlsplit alone would yield an empty netloc (link dropped)
+            # or a backslash inside the hostname (garbage politeness
+            # key). file: keeps its genuinely different slash rules.
+            remainder = raw[m.end():]
+            cut = len(remainder)
+            for ch in "?#":
+                p = remainder.find(ch)
+                if p != -1:
+                    cut = min(cut, p)
+            pre = remainder[:cut].replace("\\", "/")
+            raw = f"{scheme0}://{pre.lstrip('/')}{remainder[cut:]}"
         parts = urlsplit(raw)
         scheme = parts.scheme.lower()
         if not scheme:
@@ -227,10 +248,11 @@ def has_proto(url: str) -> bool:
     try:
         if not _SCHEME_RE.match(url):
             return False
-        parts = urlsplit(url)
-        if parts.scheme.lower() in SPECIAL_SCHEMES and not parts.hostname:
-            return False
-        return bool(parts.scheme)
+        # share normalize_url's WHATWG slash recovery: the reference's
+        # hasProto is "new URL() succeeds", and WHATWG recovers
+        # 'http:example.com' / 'https:/h/x' to a parsed special URL —
+        # rejecting them here would drop links the reference crawls
+        return bool(normalize_url(url, "", sort_query=False))
     except ValueError:
         return False
 

@@ -114,7 +114,13 @@ def rrf_fuse(
     contribs: list[str] = []
     for i, sig in enumerate(signals):
         ranked = with_global_seq(
+            # a NULL score means "this signal knows nothing about the
+            # key" — contribution 0, same as a key absent from the
+            # signal. Without the filter, -NULL is NULL and the range
+            # sort puts NULLS FIRST: rank 1, the MAXIMUM contribution,
+            # inverting the documented semantics.
             sig.select(F.col(key), F.col(score_col).alias("_s"))
+            .where(F.col("_s").isNotNull())
             .withColumn("_ns", -F.col("_s")),
             ["_ns", key],
             out="_seq",

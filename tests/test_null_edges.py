@@ -419,3 +419,102 @@ def test_pagerank_empty_graph_returns_empty(spark):
     assert pagerank(edges).collect() == []
     links = spark.createDataFrame([], "source_host: string, host: string")
     assert host_ranks_df(links).collect() == []
+
+
+def test_robots_conservative_star_disallow_blocks():
+    """'Disallow: *' (and '*.pdf') must over-BLOCK in conservative mode
+    — truncating the pattern to nothing and dropping it turned a
+    disallow-everything file into allow-all, the one direction
+    conservative mode promises never to err."""
+    from crawler_spark.functions.robots import parse_robots_txt
+
+    rules = parse_robots_txt(
+        "h.test", "User-agent: *\nDisallow: *\n"
+    )
+    assert ("h.test", "/", False) in rules
+    rules = parse_robots_txt(
+        "h.test", "User-agent: *\nDisallow: *.pdf\n"
+    )
+    assert ("h.test", "/", False) in rules
+    # empty Disallow still means allow-all (no rule) per RFC
+    assert parse_robots_txt("h.test", "User-agent: *\nDisallow:\n") == []
+
+
+def test_robots_multiple_matching_groups_merge():
+    """RFC 9309 §2.2.1: several groups matching the UA at the same
+    specificity COMBINE — machine-appended files carry multiple
+    'User-agent: *' blocks, and keeping only the first dropped the
+    later blocks' disallows."""
+    from crawler_spark.functions.robots import (
+        parse_crawl_delay,
+        parse_robots_txt,
+    )
+
+    body = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /b\nCrawl-delay: 2\n"
+    )
+    rules = parse_robots_txt("h.test", body)
+    assert ("h.test", "/a", False) in rules
+    assert ("h.test", "/b", False) in rules
+    assert parse_crawl_delay(body) == 2.0
+    # a more specific UA group still beats (and excludes) the '*' groups
+    body2 = "User-agent: mybot\nDisallow: /only\n\n" + body
+    rules2 = parse_robots_txt("h.test", body2, user_agent="mybot/1.0")
+    assert rules2 == [("h.test", "/only", False)]
+
+
+def test_rrf_fuse_null_score_contributes_zero(spark):
+    """A NULL score in a signal means 'no information' — contribution
+    0 like an absent key, not rank 1 (NULLS FIRST under the -score
+    sort used to hand the unknown key the MAXIMUM contribution)."""
+    from crawler_spark.operators.topk import rrf_fuse
+
+    sig = spark.createDataFrame(
+        [("known_hi", 10.0), ("known_lo", 1.0), ("unknown", None)],
+        "host: string, score: double",
+    )
+    out = {r["host"]: r["rrf"] for r in
+           rrf_fuse([sig], key="host", score_col="score").collect()}
+    assert out["known_hi"] > out["known_lo"]
+    assert "unknown" not in out  # single signal, no info → no row
+
+
+def test_html_self_closing_nonvoid_and_duplicate_attrs():
+    """parse5 parity: '/>' on a non-void element is an OPEN tag (the
+    text belongs inside the div), and duplicate attributes keep the
+    FIRST occurrence."""
+    from crawler_spark.functions.html import (
+        extract_links_from,
+        extract_text_blocks,
+    )
+
+    blocks = extract_text_blocks(
+        "<html><body><div/>some words here</body></html>"
+    )
+    assert any("some words here" in b for b in blocks)
+    links = [u for u, _, _ in extract_links_from(
+        '<a href="/real" href="/spam">x</a>', "http://h.test/"
+    )]
+    assert links == ["http://h.test/real"]
+
+
+def test_normalize_url_whatwg_slash_recovery():
+    """WHATWG recovers special-scheme URLs written without '//' and
+    treats '\\' as '/' — the reference's whatwg-url does both, so
+    rejecting them dropped links the reference crawls (or keyed
+    politeness on a hostname containing a backslash)."""
+    from crawler_spark.functions.urls import (
+        get_hostname,
+        has_proto,
+        normalize_url,
+    )
+
+    assert normalize_url("http:example.com/page") == (
+        "http://example.com/page"
+    )
+    assert normalize_url("https:/example.com/x") == "https://example.com/x"
+    canon = normalize_url("http://h.com\\path")
+    assert canon == "http://h.com/path"
+    assert get_hostname(canon) == "h.com"
+    assert has_proto("http:example.com/page") is True
