@@ -5258,10 +5258,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), parts AS (
                 SELECT doc_id, url,
-                       regexp_replace(
-                           url, '^[a-z][a-z0-9+.\-]*://[^/]*', ''
-                       ) AS after
-                FROM src
+                       CASE WHEN contains(a0, '#')
+                            THEN substr(a0, 1, instr(a0, '#') - 1)
+                            ELSE a0 END AS after
+                FROM (
+                    SELECT doc_id, url,
+                           regexp_replace(
+                               url, '(?i)^[a-z][a-z0-9+.\-]*://[^/]*', ''
+                           ) AS a0
+                    FROM src
+                )
             ), pq AS (
                 SELECT doc_id, url,
                        CASE WHEN contains(after, '?')
@@ -5284,8 +5290,10 @@ def oracle_sql() -> dict[str, str]:
                        len(segs) AS depth,
                        len(params) AS n_params,
                        len(segs) > 8 AS deep_path,
-                       (len(segs) - len(list_distinct(segs))) >= 2
-                           AS repeated_segments,
+                       coalesce(list_max(list_transform(
+                           list_distinct(segs),
+                           s -> len(list_filter(segs, x -> x = s))))
+                           >= 3, false) AS repeated_segments,
                        len(params) > 8 AS many_params,
                        len(query) > 100 AS long_query,
                        (len(list_filter(params, p ->
@@ -5380,21 +5388,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM flags GROUP BY page_id
             ), est AS (
                 SELECT page_id, n_captures, x, span,
-                       -ln((n_captures - 1 - x + 0.5)
-                           / (n_captures - 1 + 0.5))
-                           / (span / (n_captures - 1)) AS lam
+                       CASE WHEN n_captures >= 2 AND span > 0
+                            THEN -ln((n_captures - 1 - x + 0.5)
+                                     / (n_captures - 1 + 0.5))
+                                 / (span / (n_captures - 1))
+                       END AS lam
                 FROM agg
-                WHERE n_captures >= 2 AND span > 0
             )
             SELECT page_id,
                    CAST(n_captures AS BIGINT) AS n_captures,
                    CAST(x AS BIGINT) AS n_changes,
                    CAST(round(CASE WHEN x = 0 THEN 0.0
-                                   ELSE lam * 86400.0 END, 6) AS DOUBLE)
+                                   WHEN lam IS NOT NULL
+                                   THEN lam * 86400.0 END, 6) AS DOUBLE)
                        AS rate_per_day,
                    CAST(round(CASE WHEN x = 0 THEN 2592000.0
-                                   ELSE least(greatest(1.0 / lam, 3600.0),
+                                   WHEN lam IS NOT NULL
+                                   THEN least(greatest(1.0 / lam, 3600.0),
                                               2592000.0)
+                                   ELSE 3600.0
                               END, 3) AS DOUBLE) AS revisit_seconds
             FROM est
         """,

@@ -48,15 +48,28 @@ TRAP_THRESHOLD = 2
 def url_trap_flags(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append the trap columns to ``df`` (see module docstring)."""
     u = F.col(url_col)
-    # strip scheme://host — path starts at the first '/' after authority
-    after = F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
+    # strip scheme://host (case-INSENSITIVE — 'HTTP://h/x' must not
+    # count its scheme+host as two path segments) and the #fragment
+    # (fragment text is not query text: a long fragment would flag
+    # long_query and '&'s inside it would mint phantom params)
+    after = F.regexp_replace(u, r"(?i)^[a-z][a-z0-9+.\-]*://[^/]*", "")
+    after = F.substring_index(after, "#", 1)
     path = F.substring_index(after, "?", 1)
     query = F.substring(after, F.length(path) + 2, F.lit(1 << 30))
     segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
     depth = F.size(segs)
-    # ≥3 occurrences of one segment ⇔ distinct count drops by ≥2
-    repeated = (depth - F.size(F.array_distinct(segs))) >= F.lit(
-        SEGMENT_REPEATS - 1
+    # true multiplicity test: SOME segment occurs ≥ 3 times. (The old
+    # depth − distinct ≥ 2 shortcut also fired on two segments each
+    # appearing twice — '/blog/blog/img/img' — a false trap signal.)
+    repeated = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda s: F.size(F.filter(segs, lambda x: x == s)),
+            )
+        )
+        >= F.lit(SEGMENT_REPEATS),
+        F.lit(False),
     )
     params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
     n_params = F.size(params)

@@ -29,6 +29,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _capture_ut(df: DataFrame, ts_col: str) -> Column:
+    """Unix seconds of a capture timestamp, tolerant of the STRING
+    timestamp shapes this module documents as inputs: ISO strings and
+    the CDX index's 14-digit ``yyyyMMddHHmmss`` (``sources/cdx.py``).
+    A bare ``unix_timestamp(str)`` throws CANNOT_PARSE_TIMESTAMP under
+    ANSI for the CDX form; ``try_to_timestamp`` yields NULL instead
+    (skipped by the min/max aggregates)."""
+    t = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "string":
+        t = F.coalesce(
+            F.try_to_timestamp(t),
+            F.try_to_timestamp(t, F.lit("yyyyMMddHHmmss")),
+        )
+    return F.unix_timestamp(t)
+
+
 def change_rates(
     captures: DataFrame,
     id_col: str = "url",
@@ -60,7 +76,7 @@ def change_rates(
     w = Window.partitionBy(id_col).orderBy(*order)
     flags = captures.select(
         F.col(id_col),
-        F.unix_timestamp(ts_col).alias("_ut"),
+        _capture_ut(captures, ts_col).alias("_ut"),
         F.col(digest_col).alias("_d"),
         F.lag(digest_col).over(w).alias("_prev"),
     )
@@ -76,6 +92,13 @@ def change_rates(
         F.max("_ut").alias("last_capture_ut"),
     )
     n_obs = (F.col("n_captures") - 1).cast("double")
+    # the estimator needs ≥ 2 captures over > 0 seconds; pages outside
+    # that (single capture — the most common state in a growing crawl —
+    # or same-instant captures) used to be FILTERED OUT entirely, so
+    # due_for_recrawl could never schedule them again: a permanent
+    # staleness trap. They now get the defensible degenerate answers
+    # below instead of vanishing.
+    est_ok = (n_obs > 0) & (F.col("_span") > 0)
     avg_int = F.col("_span") / n_obs
     lam = (
         -F.log(
@@ -86,25 +109,28 @@ def change_rates(
     revisit = F.when(
         F.col("n_changes") == 0, F.lit(float(max_revisit_seconds))
     ).otherwise(
-        F.least(
-            F.greatest(1.0 / lam, F.lit(float(min_revisit_seconds))),
-            F.lit(float(max_revisit_seconds)),
-        )
+        F.when(
+            est_ok,
+            F.least(
+                F.greatest(1.0 / lam, F.lit(float(min_revisit_seconds))),
+                F.lit(float(max_revisit_seconds)),
+            ),
+        # changes observed over a zero span: rate unknown-but-high —
+        # revisit at the band floor
+        ).otherwise(F.lit(float(min_revisit_seconds)))
     )
-    return (
-        agg.where((F.col("n_captures") >= 2) & (F.col("_span") > 0))
-        .select(
-            id_col,
-            "n_captures",
-            F.col("n_changes").cast("long").alias("n_changes"),
-            # explicit 0.0 — -ln(1) is IEEE -0.0, which would leak a
-            # sign into 6-dp-rounded comparisons
-            F.when(F.col("n_changes") == 0, F.lit(0.0))
-            .otherwise(lam * F.lit(86400.0))
-            .alias("rate_per_day"),
-            revisit.alias("revisit_seconds"),
-            *(["last_capture_ut"] if include_last_capture else []),
-        )
+    return agg.select(
+        id_col,
+        "n_captures",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        # explicit 0.0 — -ln(1) is IEEE -0.0, which would leak a
+        # sign into 6-dp-rounded comparisons; NULL when the rate is
+        # genuinely inestimable (changes over zero span)
+        F.when(F.col("n_changes") == 0, F.lit(0.0))
+        .otherwise(F.when(est_ok, lam * F.lit(86400.0)))
+        .alias("rate_per_day"),
+        revisit.alias("revisit_seconds"),
+        *(["last_capture_ut"] if include_last_capture else []),
     )
 
 
@@ -128,9 +154,18 @@ def due_for_recrawl(
         captures, id_col=id_col, ts_col=ts_col, digest_col=digest_col,
         include_last_capture=True, **rate_kwargs,
     )
-    as_of_ut = F.unix_timestamp(
-        as_of if isinstance(as_of, Column) else F.lit(as_of)
-    )
+    if isinstance(as_of, Column):
+        as_of_ut = F.unix_timestamp(as_of)
+    else:
+        # same tolerant parse as the capture timestamps: a string
+        # as_of in a non-default format must not ANSI-abort
+        c = F.lit(as_of)
+        as_of_ut = F.unix_timestamp(
+            F.coalesce(
+                F.try_to_timestamp(c),
+                F.try_to_timestamp(c, F.lit("yyyyMMddHHmmss")),
+            )
+        )
     return rates.where(
         (F.col("last_capture_ut") + F.col("revisit_seconds")) <= as_of_ut
     ).select(id_col, "revisit_seconds")

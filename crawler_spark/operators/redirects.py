@@ -59,7 +59,15 @@ def resolve_redirects(
     ``max_hops`` (a loop, or an absurdly long chain) both are null and
     ``is_cycle`` is true.
     """
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("cur"))
+    # a NULL dst (a 3xx capture whose Location failed to parse) is NOT
+    # a redirect edge: keeping it would emit (final_id=NULL, hops=1,
+    # is_cycle=false) — a row that claims terminal resolution with no
+    # terminal, and every such src would collapse onto one NULL key in
+    # a final_id-keyed consumer. Dropping the edge makes the src a
+    # non-redirecting node (resolves to itself), the honest reading.
+    e = edges.where(F.col(dst).isNotNull()).select(
+        F.col(src).alias("node"), F.col(dst).alias("cur")
+    )
     # invariant: state[x].cur = f^(state[x].hops)(x); done ⇒ cur terminal
     state = e.select(
         "node",

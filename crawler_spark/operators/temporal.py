@@ -69,7 +69,11 @@ def asof_join(
         ).alias("_ev"),
         pv_struct.alias("_pv"),
     )
-    e = events.select(
+    # an event with a NULL timestamp has no place on the time axis:
+    # NULLs sort FIRST in the window order, so such an event would fill
+    # every probe before the first real event (and the tolerance guard
+    # fails open on a NULL age) — matched_ts=NULL with populated values
+    e = events.where(F.col(ts).isNotNull()).select(
         F.col(key), F.col(ts), F.lit(0).alias("_probe"),
         ev_struct.alias("_ev"),
         F.lit(None).cast(
@@ -125,6 +129,18 @@ def range_join_buckets(
     Two equi hash joins on (key, epoch bucket) — candidates bounded by
     bucket width — then the exact window predicate.
     """
+    # same ambiguity guard as asof_join, both directions: overlapping
+    # payload lists (the natural self-join passes the same column
+    # twice) or a payload named like key/ts would yield a frame with
+    # duplicate column names that fails only at first downstream select
+    clash = (set(left_cols) & set(right_cols)) | (
+        (set(left_cols) | set(right_cols)) & {key, ts}
+    )
+    if clash:
+        raise ValueError(
+            "left_cols/right_cols collide (with each other or with "
+            f"key/ts): {sorted(clash)} — alias them before the join"
+        )
     bkt: Column = F.floor(F.unix_timestamp(F.col(ts)) / span_seconds)
     l = left.select(
         F.col(key), F.col(ts).alias("_lts"), bkt.alias("_bkt"),

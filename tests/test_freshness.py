@@ -26,7 +26,8 @@ def test_change_rate_estimator_values(spark):
         # page B: never changes -> rate 0, revisit = band max
         ("b", "2024-01-01 00:00:00", "x"),
         ("b", "2024-01-02 00:00:00", "x"),
-        # page C: single capture -> excluded
+        # page C: single capture -> rate unknown, revisit at band max
+        # (it must still appear, or due_for_recrawl never refetches it)
         ("c", "2024-01-01 00:00:00", "y"),
         # page D: changes every capture, 1-minute spacing -> clamped to min
         ("d", "2024-01-01 00:00:00", "1"),
@@ -35,7 +36,7 @@ def test_change_rate_estimator_values(spark):
     ]
     out = change_rates(_caps(spark, rows))
     got = {r.url: r for r in out.collect()}
-    assert set(got) == {"a", "b", "d"}
+    assert set(got) == {"a", "b", "c", "d"}
 
     n, x, avg = 4, 2, 3600.0
     lam = -math.log((n - x + 0.5) / (n + 0.5)) / avg
@@ -45,6 +46,9 @@ def test_change_rate_estimator_values(spark):
 
     assert got["b"].rate_per_day == 0.0
     assert got["b"].revisit_seconds == 30 * 86400.0
+    assert got["c"].n_captures == 1
+    assert got["c"].rate_per_day == 0.0
+    assert got["c"].revisit_seconds == 30 * 86400.0
     assert got["d"].revisit_seconds == 3600.0  # clamped to the floor
 
     # one url-keyed Exchange serves both the window and the aggregate

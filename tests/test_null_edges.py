@@ -518,3 +518,107 @@ def test_normalize_url_whatwg_slash_recovery():
     assert canon == "http://h.com/path"
     assert get_hostname(canon) == "h.com"
     assert has_proto("http:example.com/page") is True
+
+
+def test_asof_join_ignores_null_event_ts(spark):
+    """An event with a NULL timestamp has no place on the time axis —
+    it used to sort FIRST and fill every probe before the first real
+    event (matched_ts=NULL with populated values, tolerance failing
+    open)."""
+    from crawler_spark.operators.temporal import asof_join
+
+    events = spark.createDataFrame(
+        [("k", None, 99), ("k", "2026-06-01 00:00:00", 1)],
+        "user_id: string, ts: string, value: int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    probes = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00")], "user_id: string, ts: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row] = asof_join(probes, events, "user_id", "ts", ["value"]).collect()
+    assert row["value"] is None and row["matched_ts"] is None
+    [row] = asof_join(
+        probes, events, "user_id", "ts", ["value"], tolerance_seconds=10
+    ).collect()
+    assert row["value"] is None
+
+
+def test_range_join_buckets_rejects_colliding_cols(spark):
+    """Overlapping left/right payload names (the natural self-join
+    mistake) must fail fast, not produce a duplicate-name frame."""
+    from crawler_spark.operators.temporal import range_join_buckets
+
+    df = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00", "d")],
+        "user_id: string, ts: string, digest: string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        range_join_buckets(df, df, "user_id", "ts", 300,
+                           ["digest"], ["digest"])
+
+
+def test_change_rates_single_capture_not_dropped(spark):
+    """A page fetched exactly once must still appear in the schedule
+    (revisit at the band ceiling) — filtering it out meant
+    due_for_recrawl could NEVER refetch it: a permanent staleness
+    trap. CDX-style 14-digit string timestamps must parse, not
+    ANSI-abort."""
+    from crawler_spark.operators.freshness import (
+        change_rates,
+        due_for_recrawl,
+    )
+
+    caps = spark.createDataFrame(
+        [("a", "20260101000000", "d1"),
+         ("b", "20260101000000", "d1"), ("b", "20260111000000", "d2")],
+        "url: string, cdx_ts: string, digest: string",
+    )
+    out = {r["url"]: r for r in change_rates(
+        caps, ts_col="cdx_ts", tiebreak_col="digest"
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_captures"] == 1
+    assert out["a"]["rate_per_day"] == 0.0
+    assert out["a"]["revisit_seconds"] == 30 * 86400.0
+    assert out["b"]["n_changes"] == 1
+    # and the once-crawled page becomes due once the ceiling elapses
+    due = {r["url"] for r in due_for_recrawl(
+        caps, "20270101000000", ts_col="cdx_ts", tiebreak_col="digest"
+    ).collect()}
+    assert "a" in due
+
+
+def test_resolve_redirects_null_dst_not_terminal(spark):
+    """A redirect edge whose Location failed to parse (dst NULL) is
+    dropped — its src must not come back as (final_id=NULL, hops=1,
+    is_cycle=false), a row claiming success with no terminal."""
+    from crawler_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", None), ("b", "c")], "src: string, dst: string"
+    )
+    out = {r["src_id"]: r for r in resolve_redirects(edges).collect()}
+    assert "a" not in out
+    assert out["b"]["final_id"] == "c"
+
+
+def test_url_trap_flags_scheme_case_and_fragment(spark):
+    """Mixed-case schemes must not count scheme+host as path segments,
+    fragments are not query text, and repeated_segments needs a
+    segment occurring >= 3 times (two pairs is not a trap)."""
+    from crawler_spark.functions.traps import url_trap_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://a.test/doc/1"),
+            (2, "http://a.test/a?x=1#" + "f" * 120),
+            (3, "http://a.test/blog/blog/img/img"),
+            (4, "http://a.test/a/b/a/c/a"),
+        ],
+        "doc_id: long, url: string",
+    )
+    out = {r["doc_id"]: r for r in url_trap_flags(df).collect()}
+    assert out[1]["depth"] == 2
+    assert out[2]["long_query"] is False
+    assert out[2]["n_params"] == 1
+    assert out[3]["repeated_segments"] is False
+    assert out[4]["repeated_segments"] is True
