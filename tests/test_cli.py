@@ -219,3 +219,57 @@ def test_bench_scaling_summary_contract():
     assert len(s["pages_per_sec"]) == 2
     assert 0.0 < s["efficiency"] <= 1.5
     assert s["record"].endswith("_scaling.json")
+
+
+def test_cli_crawl_identical_across_parallelism(spark, tmp_path):
+    """The SAME crawl at local[4] and local[16] (different executor and
+    shuffle parallelism — ``get_spark`` derives shuffle partitions from
+    the master) must produce BYTE-IDENTICAL stores: same pages rows
+    (crawl order `seq`, status, extracted text), same links rows.
+
+    This is the determinism leg of the north rule's two-cluster-size
+    criterion: the scaling sessions (BASELINE.md) evidence THROUGHPUT at
+    two parallelism levels; this pins that the RESULT does not depend on
+    the level — no partition-order-dependent aggregate, first(), or
+    nondeterministic salt anywhere in the crawl path. The golden tests
+    prove oracle-parity at one level; combined with this test the crawl
+    is oracle-exact at every level."""
+    web = generate(seed=47, n_pages=120)
+    corpus_dir = str(tmp_path / "corpus")
+    _to_spark_corpus(spark, web.pages).write.parquet(corpus_dir)
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text("\n".join(web.seeds.url.tolist()) + "\n")
+
+    stores = {}
+    for cpus in ("4", "16"):
+        store = str(tmp_path / f"store{cpus}")
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["SPARK_GRAFT_CPUS"] = cpus
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "scripts", "run_crawl.py"),
+                "--corpus", corpus_dir, "--seeds", str(seeds_file),
+                "--store", store, "--max-rounds", "3", "--budget", "*=40",
+            ],
+            cwd=str(tmp_path),
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats["pages"] > 0
+        stores[cpus] = store
+
+    for table, order in (
+        ("pages", "round, seq, url"),
+        ("links", "round, source, url, link_pos"),
+    ):
+        a = duckdb.sql(
+            f"select * from read_parquet('{stores['4']}/{table}/**/*.parquet')"
+            f" order by {order}"
+        ).fetchall()
+        b = duckdb.sql(
+            f"select * from read_parquet('{stores['16']}/{table}/**/*.parquet')"
+            f" order by {order}"
+        ).fetchall()
+        assert len(a) > 0
+        assert a == b, f"{table} differs between local[4] and local[16]"
