@@ -170,6 +170,22 @@ def generate(seed: int = 42, n_pages: int = 500) -> MiniWeb:
         else:
             page_hosts.append(rng.choice(ordinary_hosts[1:]))
 
+    # the seed list below indexes by_host[HOT_HOST], [ordinary_hosts[2]]
+    # and [COOLDOWN_HOSTS[0]]; the random draw can miss any of them at
+    # small n_pages (~16% chance of zero slow-a pages at n_pages=60),
+    # which used to KeyError. Only when a required host IS missing,
+    # deterministically claim the three tail slots for the required
+    # trio — combos that already cover them (every committed fixture
+    # seed) are byte-identical to before.
+    _required = (HOT_HOST, ordinary_hosts[2], COOLDOWN_HOSTS[0])
+    if any(h not in page_hosts for h in _required):
+        if n_pages < len(_required):
+            raise ValueError(
+                f"n_pages must be >= {len(_required)} to host the seed list"
+            )
+        for j, h in enumerate(_required):
+            page_hosts[len(page_hosts) - 1 - j] = h
+
     per_host_idx: dict[str, int] = {}
     urls: list[str] = []
     for h in page_hosts:

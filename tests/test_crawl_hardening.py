@@ -234,3 +234,23 @@ def test_topk_salt_is_deterministic_expression(spark):
         ).where("_r <= 3").select("g", "v").collect()
     }
     assert got == want
+
+
+def test_webgen_total_over_seed_space():
+    """`fixtures.webgen.generate` must be total over (seed, n_pages):
+    the seed list indexes three specific hosts' page lists, and the
+    random host assignment can miss any of them at small n_pages
+    (regression: KeyError 'slow-a.test' at seed=2004). The guard
+    claims the tail slots only when a required host is missing, so
+    committed fixture seeds are byte-identical to the pre-guard
+    generator (hash-checked when the fix landed)."""
+    from crawler_spark.fixtures.webgen import generate
+
+    for s in range(2000, 2040):  # several of these crashed pre-guard
+        w = generate(seed=s, n_pages=60)
+        assert len(w.seeds) == 3
+        hosts = set(u.split("/")[2] for u in w.pages.url)
+        assert set(u.split("/")[2] for u in w.seeds.url) <= hosts
+
+    with pytest.raises(ValueError):
+        generate(seed=2004, n_pages=2)
