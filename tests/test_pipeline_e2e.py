@@ -269,3 +269,29 @@ def test_all_signals_resumed_session_golden(spark, tmp_path):
               .set_index("url")["count"].to_dict())
     for u, n in counts.items():
         assert n == (2 if u in due else 1), (u, n)
+
+
+def test_randomized_composed_config_differential(spark):
+    """One pinned trial of the randomized differential sweep
+    (scripts/diff_sweep.py): a DENSE random composition — DUST rewrite
+    + per-round capacity + cuckoo seen filter + mid-crawl kill/resume
+    (base 21000, trial 0) — must match the serial oracle exactly on
+    crawl order, seen set, text bytes, and links. The sweep searched 68
+    such compositions in round 5 with zero divergence; this keeps one
+    of the densest in the suite so the composition path cannot rot."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "diff_sweep",
+        _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                      "scripts", "diff_sweep.py"),
+    )
+    ds = importlib.util.module_from_spec(spec)
+    import sys as _sys
+    _sys.modules["diff_sweep"] = ds
+    spec.loader.exec_module(ds)
+    checks, mode, pages = ds.run_trial(spark, 0, 21000)
+    assert "kill@2" in mode and "cuckoo" in mode  # the composition we pinned
+    assert pages > 0
+    assert all(checks.values()), checks
